@@ -1,0 +1,347 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The declared relational query surface (SURVEY.md §2.4, Q1–Q14).
+  *
+  * Every query is a plain declarative DataFrame plan — scans, filters,
+  * projections, joins, aggregates, windows, set ops — so Catalyst supplies
+  * predicate pushdown, column pruning, join selection and whole-stage codegen
+  * for free. Each entry has a matching ANSI-SQL oracle (run by the driver in
+  * DuckDB over the same parquet files); column aliases are kept identical on
+  * both sides because the driver's compare hashes columns by name.
+  *
+  * Scale notes (100 TB posture): all joins here either broadcast a dimension
+  * table (nation/region/customer at their true cardinalities) or shuffle on
+  * the natural join key; aggregates are partial (map-side) by construction;
+  * no query collects to the driver.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — scan + filter + project. Pushdown check: both predicates reach the
+    // parquet scan; ReadSchema is 5 columns, not 11.
+    "q01_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_quantity" > 24)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+
+    // Q2 — hash aggregate, TPC-H Q1 shape (partial agg + final agg on 2 keys).
+    "q02_group_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          avg($"l_quantity").as("avg_qty"),
+          avg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q3 — two equi inner joins + aggregate. customer⋈nation broadcasts;
+    // orders⋈customer shuffles on custkey.
+    "q03_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // Q4 — broadcast-join chain over the tiny dims (region 5 rows, nation 25).
+    "q04_broadcast_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), sum($"c_acctbal").as("total_bal"))
+    }),
+
+    // Q5a — left outer join + aggregate (customers keep their zero counts).
+    "q05_left_outer" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("order_cnt"))
+    }),
+
+    // Q5b — left-semi join (EXISTS): customers with a >400k order.
+    "q06_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // Q5c — left-anti join (NOT EXISTS): customers without one.
+    "q07_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, $"o_custkey" === $"c_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // Q6 — global sort + limit: Spark plans TakeOrderedAndProject (top-k per
+    // partition, k merged on the driver — no full sort at scale).
+    "q08_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // Q7 — window ranking: latest order per customer (deterministic tiebreak).
+    "q09_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+    }),
+
+    // Q8 — window frame: 7-event running sum per user.
+    "q10_window_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_id".asc)
+        .rowsBetween(-6, Window.currentRow)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value",
+          sum($"value").over(w).as("run_sum"))
+    }),
+
+    // Q9a — exact distinct counts (expand-based multi-distinct aggregate).
+    "q11_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Q9b — HyperLogLog++ sketch counterpart; no SQL oracle (algorithmic
+    // estimate — the driver records a rows-only check).
+    "q12_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+          approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+    }),
+
+    // Q10 — ROLLUP over the join of orders→customer→nation.
+    "q13_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("rev"))
+    }),
+
+    // Q11 — set operations over two customer-key selections.
+    "q14_union" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.union(b).distinct()
+    }),
+    "q15_union_all" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.union(b)
+    }),
+    "q16_intersect" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.intersect(b)
+    }),
+    "q17_except" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.except(b)
+    }),
+
+    // Q12 — scalar function gauntlet: string/date/math, row-wise hash-checked.
+    "q18_scalar_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        upper(substring($"o_orderpriority", 1, 4)).as("pri4"),
+        lower($"o_orderstatus").as("st"),
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mon"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_trunc("month", $"o_orderdate").as("mstart"),
+        floor($"o_totalprice").as("price_floor"),
+        abs($"o_totalprice" - lit(100000.0)).as("absdiff"),
+        ($"o_orderkey" % 7).as("m7"),
+        $"o_orderpriority".like("%URGENT%").as("is_urgent"),
+        concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("tag"))
+    }),
+
+    // Q12b — conditional expressions: CASE WHEN / NULLIF / COALESCE.
+    "q19_case_null" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        when($"o_totalprice" > 300000.0, "big")
+          .when($"o_totalprice" > 150000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("st2"))
+    }),
+
+    // Q13a — array explode with position over the embeddings table.
+    "q20_explode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", $"pos".cast("long").as("pos"), $"col".as("val"))
+    }),
+
+    // Q13b — JSON extraction from the events.props string column.
+    "q21_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+    }),
+
+    // Q14 — grouped string aggregation, canonicalized by in-group sort.
+    "q22_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(array_join(array_sort(collect_list($"c_name")), "|").as("names"))
+    }),
+  )
+
+  /** Shared inputs for the set-operation queries: two overlapping custkey sets. */
+  private def setOpInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val a = t(s, dir, "customer").filter($"c_acctbal" > 1000.0)
+      .select($"c_custkey".as("k"))
+    val b = t(s, dir, "orders").filter($"o_orderkey" % 3 === 0)
+      .select($"o_custkey".as("k"))
+    (a, b)
+  }
+
+  private val setA = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000.0"
+  private val setB = "SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0"
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 24""".stripMargin,
+    "q02_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_base_price,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |       avg(l_quantity) AS avg_qty,
+        |       avg(l_extendedprice) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q08_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) q WHERE rn = 1""".stripMargin,
+    "q10_window_frame" ->
+      """SELECT event_id, user_id, value,
+        |       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS run_sum
+        |FROM events""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q13_rollup" ->
+      """SELECT n_name, o_orderpriority, count(*) AS cnt, sum(o_totalprice) AS rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+    "q14_union" -> s"$setA UNION $setB",
+    "q15_union_all" -> s"$setA UNION ALL $setB",
+    "q16_intersect" -> s"$setA INTERSECT $setB",
+    "q17_except" -> s"$setA EXCEPT $setB",
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(substr(o_orderpriority, 1, 4)) AS pri4,
+        |       lower(o_orderstatus) AS st,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mon,
+        |       day(o_orderdate) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       abs(o_totalprice - 100000.0) AS absdiff,
+        |       o_orderkey % 7 AS m7,
+        |       (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+        |       concat(o_orderstatus, '-', o_orderpriority) AS tag
+        |FROM orders""".stripMargin,
+    "q19_case_null" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 150000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st2
+        |FROM orders""".stripMargin,
+    "q20_explode" ->
+      """SELECT vec_id,
+        |       unnest(range(len(embedding))) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings""".stripMargin,
+    "q21_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q22_string_agg" ->
+      """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+  )
+}
