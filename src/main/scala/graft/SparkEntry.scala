@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++
+      llmops.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracles
+    relational.RelationalQueries.oracles ++
+      llmops.LlmQueries.oracles
 }

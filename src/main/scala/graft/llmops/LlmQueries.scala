@@ -1,0 +1,99 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the LLM-data-pipeline query surface (SURVEY §2.4 L1–L4 plus
+  * scale-path variants). Oracle SQL mirrors each Spark plan in DuckDB;
+  * LSH/SimHash variants are deliberately oracle-less (hash-function
+  * specific / sub-unit recall) and covered by ScalaTest equivalence specs.
+  */
+object LlmQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l01_exact_dup_groups" -> ((s, dir) => Dedup.exactDupGroups(s, dir)),
+    "l02_exact_dedup" -> ((s, dir) => Dedup.exactDedup(s, dir)),
+    "l03_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
+    "l04_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "l05_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "l06_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "l07_embed_dup" -> ((s, dir) => Similarity.embedDupPairs(s, dir)),
+    "l08_embed_dup_lsh" -> ((s, dir) => Similarity.embedDupPairsLsh(s, dir)),
+    "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
+    "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
+    "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
+    "l12_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
+    "l13_langid" -> ((s, dir) => TextStats.langIdHeuristic(s, dir)),
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "l01_exact_dup_groups" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "l02_exact_dedup" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
+    "l03_jaccard_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS ws FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)
+         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    "l06_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT query_id, e.vec_id,
+        |         list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> query_id)
+        |SELECT query_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims) t WHERE rn <= 10""".stripMargin,
+    "l07_embed_dup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_cosine_similarity(a.v, b.v) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+    "l09_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS ws FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(length(text) AS BIGINT) AS chars,
+         |       CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+         |       CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |         / greatest(len(ws), 1) AS stop_ratio,
+         |       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |         / greatest(len(ws), 1) AS mean_tok_len
+         |FROM t""".stripMargin,
+    "l10_lang_dist" ->
+      """SELECT lang, count(*) AS n_docs, avg(length(text)) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "l11_token_counts" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_words
+        |FROM documents""".stripMargin,
+    "l12_fingerprints" ->
+      """SELECT DISTINCT doc_id, md5(substr(text, i, 8)) AS fp
+        |FROM documents, unnest(range(1, length(text) - 6)) t(i)
+        |WHERE substr(md5(substr(text, i, 8)), 32, 1) IN ('0', '1')""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** L3 similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) over `array<double>` — no UDF, no MLlib Vector
+  * conversion, stays inside whole-stage codegen. Norms are precomputed once
+  * per row before any join so the pair loop only does the dot product.
+  *
+  * Scale paths:
+  * - top-k: the query set is tiny and broadcast; the corpus side streams —
+  *   embarrassingly parallel, no shuffle of the corpus.
+  * - brute-force dup scan blocks on `label` (a natural blocking key) to keep
+  *   the pair space 10× down; the LSH variant replaces blocking with random
+  *   hyperplane signatures for the 100 TB path.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** embeddings with double-cast vector and precomputed L2 norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+  }
+
+  /** L3a: brute-force cosine top-k of the corpus against query vectors
+    * (vec_id < nQueries). Deterministic tiebreak on vec_id.
+    */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val sims = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"query_id", $"vec_id", $"sim")
+  }
+
+  /** L3b: embedding near-duplicate pairs (cosine >= threshold), blocked on
+    * `label` so the pair space stays ~n²/|labels|. Oracle-checked.
+    */
+  def embedDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
+      .filter($"sim" >= threshold)
+  }
+
+  // Random hyperplane (SRP) LSH: 16 fixed hyperplanes => 16-bit signature,
+  // 4 bands of 4 bits. Deterministic seed.
+  private val Dim = 64
+  private val Planes = 16
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** L3c: LSH-bucketed near-dup scan — the 100 TB variant of [[embedDupPairs]].
+    * Candidates = pairs agreeing on >=1 of 4 sign-bit bands; each candidate
+    * is exact-verified. Recall < 1 near the threshold by construction (no
+    * SQL oracle; ScalaTest compares against brute force).
+    */
+  def embedDupPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val bits = (0 until Planes).map { p =>
+      val proj = (0 until Dim).map(i => element_at($"v", i + 1) * lit(planes(p)(i)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    val sig = e.withColumn("sig", bits.reduce(_.bitwiseOR(_)))
+    val banded = sig.select($"vec_id", $"v", $"norm",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL)).as("band_key"))): _*)).as("bk"))
+      .select($"vec_id", $"v", $"norm", $"bk.band_id", $"bk.band_key")
+    banded.as("a").join(banded.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
+      .distinct()
+      .filter($"sim" >= threshold)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** L4 text analysis over `documents`: quality stats, token counting,
+  * language distribution, document fingerprinting, language-ID heuristic.
+  * All single-pass projections/aggregations — trivially parallel at 100 TB
+  * (no shuffle except the final group-bys on low-cardinality keys).
+  */
+object TextStats {
+  import TextOps.tokens
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** L4a: per-document quality stats (length, tokens, uniques, stopword
+    * ratio, mean token length). Oracle-checked row-wise.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.load(s, dir, "documents")
+      .withColumn("ws", tokens($"text"))
+      .select(
+        $"doc_id", $"lang",
+        length($"text").cast("long").as("chars"),
+        size($"ws").cast("long").as("n_tokens"),
+        size(array_distinct($"ws")).cast("long").as("n_uniq"),
+        (size(filter($"ws", w => array_contains(stopArr, w))).cast("double") /
+          greatest(size($"ws"), lit(1)).cast("double")).as("stop_ratio"),
+        (aggregate($"ws", lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          greatest(size($"ws"), lit(1)).cast("double")).as("mean_tok_len"))
+  }
+
+  /** L4b: corpus language distribution. */
+  def langDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(length($"text")).as("avg_chars"))
+  }
+
+  /** L4c: BPE-ish token counting — runs of letters, runs of digits, single
+    * punctuation. Regex kept RE2-compatible so Spark (Java regex) and the
+    * DuckDB oracle (RE2) count identically.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpeish"),
+        regexp_count($"text", lit("[a-z]+")).as("n_words"))
+  }
+
+  /** L4d: mod-sampled md5 document fingerprint, exploded to one row per
+    * retained char-8-gram digest (winnowing-style selection: keep digests
+    * whose last hex nibble is 0 or 1 — a deterministic 1/8 sample).
+    * Exploded output keeps the oracle in plain SQL.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("grams",
+        when(length($"text") >= 8,
+          transform(sequence(lit(1), length($"text") - 7),
+            i => md5($"text".substr(i, lit(8)))))
+          .otherwise(array().cast("array<string>")))
+      .select($"doc_id", explode(array_distinct(
+        filter($"grams", m => substring(m, 32, 1).isin("0", "1")))).as("fp"))
+  }
+
+  /** L4e: n-gram/stopword language-ID heuristic. The synthetic corpus shares
+    * one vocabulary across langs, so this demonstrates the mechanics (scored
+    * evidence columns + argmax), not real accuracy. Rows-only check.
+    */
+  def langIdHeuristic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"),
+      "fr" -> Seq("le", "la", "et"),
+      "de" -> Seq("der", "die", "und"),
+      "zh" -> Seq.empty)
+    val scored = Tables.load(s, dir, "documents")
+      .withColumn("ws", tokens($"text"))
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val score = if (ms.isEmpty) lit(0)
+      else size(filter($"ws", w => ms.map(m => w === m).reduce(_ || _)))
+      struct(score.cast("double").as("score"), lit(lang).as("lang"))
+    }
+    scored.select($"doc_id", $"lang",
+      sort_array(array(scoreCols: _*), asc = false)(0).getField("lang").as("lang_pred"))
+  }
+}
