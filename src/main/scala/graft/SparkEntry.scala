@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++
-      llmops.LlmQueries.queries
+      llmops.LlmQueries.queries ++
+      graphs.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracles ++
-      llmops.LlmQueries.oracles
+      llmops.LlmQueries.oracles ++
+      graphs.GraphQueries.oracles
 }

@@ -1,0 +1,148 @@
+package graft.graphs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph operators over a derived edge view (FIXTURES.md §4): a deterministic
+  * synthetic graph `edges(src, dst)` built from `orders` with pure modulo
+  * arithmetic, so the exact same SQL defines the graph in Spark and in the
+  * DuckDB oracle at every scale factor.
+  *
+  * These are the DataFrame-native renderings of the reference's algorithm
+  * library (SURVEY §2.2): hop-count SSSP/BFS, connected components,
+  * triangle count, PageRank. The iterative ones follow the reference's
+  * dataflow (message generation → shuffle → reduce → update → convergence
+  * check, SURVEY §3.1) collapsed to join→groupBy→join rounds with:
+  * - frontier/delta pruning (≙ the reference's active-vertex send filter),
+  * - one driver action per iteration for convergence (≙ its Allgather),
+  * - `localCheckpoint` per iteration to truncate lineage — without it the
+  *   plan doubles every round and the job dies long before 100 TB.
+  */
+object GraphOps {
+
+  /** Directed derived edges. Kept in sync with [[GraphQueries.edgesSql]]. */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .select(($"o_custkey" % 1000).as("src"), ($"o_orderkey" % 1000).as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** Sparse variant (1/17 of orders) — keeps WCC non-trivial (the full view
+    * is dense enough to collapse to one component at every sf).
+    */
+  def sparseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .filter($"o_orderkey" % 17 === 0)
+      .select(($"o_custkey" % 1000).as("src"), ($"o_orderkey" % 1000).as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** G1 — hop-count SSSP from `source` (reference semantics: unit weights ⇒
+    * BFS level). Frontier-driven: each round only newly-discovered vertices
+    * send messages; terminates early when the frontier empties.
+    */
+  def bfs(s: SparkSession, edgeDf: DataFrame, source: Long = 1L,
+          maxDepth: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.cache()
+    var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select($"id")
+    var depth = 0L
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select($"id", lit(depth).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select($"id")
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** G4 — weakly connected components by iterated min-label propagation to a
+    * fixpoint (the intended semantics of the reference's WCC stub,
+    * algorithms.h:210). One count() action per round detects convergence.
+    */
+  def wcc(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val ue = edgeDf
+      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().cache()
+    var labels = ue.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("comp")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(ue, $"id" === $"src")
+        .select($"dst".as("id"), $"comp")
+      val next = labels.union(prop)
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), $"n.id" === $"o.id")
+        .filter($"n.comp" < $"o.comp").count()
+      labels = next
+    }
+    ue.unpersist()
+    labels
+  }
+
+  /** G2 — global triangle count (reference semantics: each triangle a<b<c
+    * counted once, algorithms.h:117-195). Canonical-edge triple join — the
+    * scalable rendering of the reference's adjacency-list-intersection
+    * reduce: the join on (e1.b=e2.a) enumerates wedges, the join against e3
+    * closes them, and Catalyst shuffles on the join keys instead of shipping
+    * whole adjacency lists.
+    */
+  def triangleCount(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val ue = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct().cache()
+    ue.as("e1")
+      .join(ue.as("e2"), $"e2.a" === $"e1.b")
+      .join(ue.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform
+    * init, no dangling redistribution) so the oracle stays plain SQL. The
+    * open-ended iterative version lives in the engine runner.
+    */
+  def pagerank2(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.cache()
+    val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+    val n = broadcast(v.agg(count(lit(1)).cast("double").as("nn")))
+    val deg = e.groupBy($"src").agg(count(lit(1)).cast("double").as("outdeg"))
+
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, Seq("src"))
+        .groupBy($"dst")
+        .agg(sum($"r" / $"outdeg").as("c"))
+      v.join(contrib, v("id") === contrib("dst"), "left")
+        .crossJoin(n)
+        .select(v("id"),
+          (lit(0.15) / $"nn" + lit(0.85) * coalesce($"c", lit(0.0))).as("r"))
+    }
+
+    val r0 = v.crossJoin(n).select($"id", (lit(1.0) / $"nn").as("r"))
+    val r2 = step(step(r0))
+    r2.select($"id", $"r".as("rank"))
+  }
+}

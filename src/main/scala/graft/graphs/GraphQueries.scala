@@ -1,0 +1,74 @@
+package graft.graphs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing graph query registry (SURVEY §2.4 G1–G4) over the derived
+  * edge view, with recursive-CTE / self-join DuckDB oracles.
+  */
+object GraphQueries {
+
+  /** The canonical derived edge view — identical text used by every oracle. */
+  val edgesSql: String =
+    "SELECT DISTINCT (o_custkey % 1000) AS src, (o_orderkey % 1000) AS dst " +
+      "FROM orders WHERE (o_custkey % 1000) <> (o_orderkey % 1000)"
+
+  val sparseEdgesSql: String =
+    "SELECT DISTINCT (o_custkey % 1000) AS src, (o_orderkey % 1000) AS dst " +
+      "FROM orders WHERE o_orderkey % 17 = 0 " +
+      "AND (o_custkey % 1000) <> (o_orderkey % 1000)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_sssp_bfs" -> ((s, dir) =>
+      GraphOps.bfs(s, GraphOps.edges(s, dir))),
+    "g02_triangles" -> ((s, dir) =>
+      GraphOps.triangleCount(s, GraphOps.edges(s, dir))),
+    "g03_pagerank2" -> ((s, dir) =>
+      GraphOps.pagerank2(s, GraphOps.edges(s, dir))),
+    "g04_wcc" -> ((s, dir) =>
+      GraphOps.wcc(s, GraphOps.sparseEdges(s, dir))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_sssp_bfs" ->
+      s"""WITH RECURSIVE e AS ($edgesSql),
+         |walk AS (
+         |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.d < 8
+         |)
+         |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
+    "g02_triangles" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
+         |       UNION SELECT dst, src FROM e0 WHERE dst < src)
+         |SELECT count(*) AS triangles
+         |FROM ue e1
+         |JOIN ue e2 ON e2.a = e1.b
+         |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "g03_pagerank2" ->
+      s"""WITH e AS ($edgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1.0/nn.nn AS r FROM v, nn),
+         |c1 AS (SELECT e.dst, sum(r0.r/deg.outdeg) AS c FROM e
+         |       JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r1 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c1.c, 0.0) AS r
+         |       FROM v LEFT JOIN c1 ON c1.dst = v.id, nn),
+         |c2 AS (SELECT e.dst, sum(r1.r/deg.outdeg) AS c FROM e
+         |       JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r2 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c2.c, 0.0) AS r
+         |       FROM v LEFT JOIN c2 ON c2.dst = v.id, nn)
+         |SELECT id, r AS rank FROM r2""".stripMargin,
+    "g04_wcc" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM ue
+         |  UNION
+         |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
+         |  WHERE cc.comp < ue.dst
+         |)
+         |SELECT id, min(comp) AS comp FROM cc GROUP BY id""".stripMargin,
+  )
+}
