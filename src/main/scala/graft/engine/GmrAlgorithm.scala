@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Static facts about the graph a run executes over. */
+final case class GraphMeta(numVertices: Long, source: Long = 1L)
+
+/** The engine's user API — a Spark-first re-expression of the reference's
+  * `GMR` abstract class (gmr.h:92-123: initGraph/map/reduce/keyComp +
+  * algoIterNum/upmode). One algorithm = one vertex-centric superstep algebra:
+  *
+  *   init     ≙ GMR::initGraph        (gmr.h:96, per-vertex initial value)
+  *   msg/send ≙ GMR::map + the active-vertex send filter (gmr.h:97,
+  *              partition.h:521-522 — only active vertices emit)
+  *   reduce   ≙ GMR::reduce           (gmr.h:104, per-destination combine)
+  *   update   ≙ updateGraph's accu/cover merge + convergence bookkeeping
+  *              (gmr.h:170-219)
+  *
+  * Every hook exists twice: as a Catalyst `Column` expression (SqlRunner —
+  * stays inside whole-stage codegen, no UDFs) and as a scalar function
+  * (GraphXRunner — used inside `aggregateMessages`). Both runners must
+  * produce identical results; a ScalaTest spec enforces it per algorithm.
+  */
+trait GmrAlgorithm extends Serializable {
+  def name: String
+
+  /** Iteration cap, mirroring MAX_ITERATION (gmr.h:32). */
+  def maxIter: Int = 120
+
+  /** Convergence threshold on |Δvalue| (gmr.h:29). */
+  def epsilon: Double = 1e-4
+
+  /** If true, only vertices whose value changed last round send messages —
+    * the reference's active-vertex pruning (partition.h:521-522) and
+    * dirty-predecessor skip (gmr.h:229-236). PageRank-style algorithms keep
+    * every vertex sending until global convergence.
+    */
+  def activeMessaging: Boolean = true
+
+  // ---- SqlRunner hooks (Catalyst expressions) ----
+  def initCol(id: Column, meta: GraphMeta): Column
+  def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column
+  def sendCondCol(srcVal: Column): Column = lit(true)
+  def reduceAgg(msg: Column): Column
+  /** `agg` is null when the vertex received no message this round. */
+  def updateCol(oldVal: Column, agg: Column, meta: GraphMeta): Column
+
+  // ---- GraphXRunner hooks (scalars) ----
+  def initFn(id: Long, meta: GraphMeta): Double
+  def msgFn(srcVal: Double, weight: Double, srcOutDeg: Int): Double
+  def sendCondFn(srcVal: Double): Boolean = true
+  def mergeFn(a: Double, b: Double): Double
+  def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double
+}

@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** GraphX executor for [[GmrAlgorithm]] — the same superstep algebra run
+  * through `aggregateMessages`/`outerJoinVertices`. GraphX's replicated
+  * vertex views play the role of the reference's predecessor mirror cache
+  * (`pre*` arrays, partition.h:32-37): vertex values are shipped to the
+  * edge partitions that need them, exactly like the Edge-quadruple shuffle
+  * into `updateGraph` (gmr.h:128-167).
+  *
+  * Exists (a) as the cross-check oracle for SqlRunner — the dual-runner
+  * equivalence spec mirrors the reference authors benchmarking GMR against
+  * GraphX — and (b) because for high-iteration-count algorithms a
+  * specialized vertex-cut engine beats repeated DataFrame joins.
+  */
+object GraphXRunner {
+
+  private final case class VAttr(value: Double, changed: Boolean, outdeg: Int)
+
+  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value). */
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+          alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
+    import spark.implicits._
+
+    val edgeRdd = edges.select("src", "dst", "weight").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vertRdd = vertices.select("id").rdd.map(r => (r.getLong(0), ()))
+    val base = Graph(vertRdd, edgeRdd, (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val degrees = base.outDegrees
+    var g: Graph[VAttr, Double] = base.outerJoinVertices(degrees) {
+      (id, _, d) => VAttr(alg.initFn(id, meta), changed = true, d.getOrElse(0))
+    }.cache()
+
+    var iter = 0
+    var changedCount = 1L
+    while (iter < alg.maxIter && changedCount > 0) {
+      iter += 1
+      val msgs = g.aggregateMessages[Double](
+        ctx => {
+          val a = ctx.srcAttr
+          if ((!alg.activeMessaging || a.changed) && alg.sendCondFn(a.value))
+            ctx.sendToDst(alg.msgFn(a.value, ctx.attr, a.outdeg))
+        },
+        alg.mergeFn)
+      val prev = g
+      g = g.outerJoinVertices(msgs) { (_, attr, m) =>
+        val nv = alg.updateFn(attr.value, m, meta)
+        val delta = math.abs(nv - attr.value)
+        VAttr(nv, delta > alg.epsilon, attr.outdeg) // NaN (inf-inf) => false
+      }.cache()
+      changedCount = g.vertices.filter(_._2.changed).count()
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    g.vertices.map { case (id, a) => (id, a.value) }.toDF("id", "value")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DataFrame executor for [[GmrAlgorithm]] — the reference's iteration driver
+  * (igmr.cpp:116-247) collapsed to a join→groupBy→join round per superstep:
+  *
+  *   messages  = activeVertices ⋈ edges           (O4: scan+filter+project)
+  *   aggregate = messages.groupBy(dst).agg(...)   (O6+O10: Spark's shuffle
+  *               replaces the sort+run-length-group; hash agg needs no sort)
+  *   update    = vertices ⟕ aggregate             (O11: merge + convergence)
+  *
+  * Per-iteration driver cost is ONE action (the changed-count, ≙ the
+  * reference's piggybacked Allgather convergence exchange, igmr.cpp:137-149).
+  * `localCheckpoint` truncates lineage every round — without it the plan
+  * doubles per iteration and optimizer time dominates long before any
+  * realistic scale. Vertices carry their static out-degree so PageRank-style
+  * messages need no extra join.
+  */
+object SqlRunner {
+
+  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value). */
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+          alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
+    import spark.implicits._
+
+    val e = edges.select($"src", $"dst", $"weight").cache()
+    val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
+    var verts = vertices.select($"id")
+      .join(deg, $"id" === deg("src"), "left")
+      .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
+        alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changedCount = 1L
+    while (iter < alg.maxIter && changedCount > 0) {
+      iter += 1
+      val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
+      val senders = senders0.filter(alg.sendCondCol($"value"))
+      val aggs = senders.join(e, senders("id") === e("src"))
+        .select(e("dst").as("mdst"),
+          alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
+        .groupBy($"mdst")
+        .agg(alg.reduceAgg($"msg").as("agg"))
+      val next = verts.join(aggs, verts("id") === aggs("mdst"), "left")
+        .select(verts("id"), verts("outdeg"), verts("value").as("old"),
+          alg.updateCol(verts("value"), $"agg", meta).as("value"))
+        .select($"id", $"outdeg", $"value",
+          // NaN-safe: |inf-inf| is NaN, which correctly compares false.
+          (abs($"value" - $"old") > alg.epsilon).as("changed"))
+        .localCheckpoint()
+      changedCount = next.filter($"changed").count()
+      verts = next
+    }
+    e.unpersist()
+    verts.select($"id", $"value")
+  }
+}

@@ -48,7 +48,7 @@ object GraphOps {
     * send messages; terminates early when the frontier empties.
     */
   def bfs(s: SparkSession, edgeDf: DataFrame, source: Long = 1L,
-          maxDepth: Int = 8): DataFrame = {
+          maxDepth: Int = 20): DataFrame = {
     import s.implicits._
     val e = edgeDf.cache()
     var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))

@@ -1,6 +1,10 @@
 package graft.graphs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.Algorithms
+import graft.engine.{GraphMeta, SqlRunner}
 
 /** Driver-facing graph query registry (SURVEY §2.4 G1–G4) over the derived
   * edge view, with recursive-CTE / self-join DuckDB oracles.
@@ -26,17 +30,49 @@ object GraphQueries {
       GraphOps.pagerank2(s, GraphOps.edges(s, dir))),
     "g04_wcc" -> ((s, dir) =>
       GraphOps.wcc(s, GraphOps.sparseEdges(s, dir))),
+    // Same answers as g01/g04 but produced by the generic GmrAlgorithm
+    // engine (SqlRunner) — gates the engine itself behind the oracle.
+    "g05_sssp_engine" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.edges(s, dir).withColumn("weight", lit(1.0))
+      val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+      SqlRunner.run(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L))
+        .filter(!$"value".isin(Double.PositiveInfinity))
+        .select($"id", $"value".cast("long").as("dist"))
+    }),
+    "g06_wcc_engine" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = GraphOps.sparseEdges(s, dir)
+      val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+        .withColumn("weight", lit(1.0))
+      val v = e.select($"src".as("id")).distinct()
+      SqlRunner.run(s, v, e, Algorithms.Wcc, GraphMeta(v.count()))
+        .select($"id", $"value".cast("long").as("comp"))
+    }),
   )
 
+  private val bfsOracle =
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       |walk AS (
+       |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+       |  UNION
+       |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.d < 20
+       |)
+       |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin
+
+  private val wccOracle =
+    s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+       |ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |cc AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM ue
+       |  UNION
+       |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
+       |  WHERE cc.comp < ue.dst
+       |)
+       |SELECT id, min(comp) AS comp FROM cc GROUP BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "g01_sssp_bfs" ->
-      s"""WITH RECURSIVE e AS ($edgesSql),
-         |walk AS (
-         |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
-         |  UNION
-         |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.d < 8
-         |)
-         |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
+    "g01_sssp_bfs" -> bfsOracle,
     "g02_triangles" ->
       s"""WITH e0 AS ($edgesSql),
          |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
@@ -60,15 +96,9 @@ object GraphQueries {
          |r2 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c2.c, 0.0) AS r
          |       FROM v LEFT JOIN c2 ON c2.dst = v.id, nn)
          |SELECT id, r AS rank FROM r2""".stripMargin,
-    "g04_wcc" ->
-      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
-         |ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-         |cc AS (
-         |  SELECT DISTINCT src AS id, src AS comp FROM ue
-         |  UNION
-         |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
-         |  WHERE cc.comp < ue.dst
-         |)
-         |SELECT id, min(comp) AS comp FROM cc GROUP BY id""".stripMargin,
+    "g04_wcc" -> wccOracle,
+    // Engine-backed variants answer the same questions — identical oracles.
+    "g05_sssp_engine" -> bfsOracle,
+    "g06_wcc_engine" -> wccOracle,
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algos.Algorithms
+import graft.engine.{GraphMeta, GraphXRunner, SqlRunner}
+import graft.sources.GraphSource
+
+/** Golden + dual-runner tests for the GMR engine on the reference fixtures.
+  * Goldens are the intended semantics (SURVEY §2.2): hand-checked for
+  * small.graph/3line (FIXTURES.md §1). The reference's `result` file is NOT
+  * used — it is output of the broken mid-refactor binary (its distance
+  * histogram is impossible for true BFS on 4elt; see FourEltSpec).
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toMap(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private lazy val small = GraphSource.readGmrText(spark, "/root/reference/graph/small.graph")
+  private lazy val threeLine = GraphSource.readGmrText(spark, "/root/reference/graph/3line.graph")
+
+  private val smallSsspGolden: Map[Long, Double] = Map(
+    1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0, 10L -> 1.0,
+    6L -> 2.0, 7L -> 2.0, 8L -> 2.0, 9L -> 2.0)
+
+  test("SSSP small.graph matches hand golden — SqlRunner") {
+    val meta = GraphMeta(small.numVertices, source = 1L)
+    val got = toMap(SqlRunner.run(spark, small.vertices, small.edges, Algorithms.Sssp, meta))
+    assert(got == smallSsspGolden)
+  }
+
+  test("SSSP small.graph matches hand golden — GraphXRunner") {
+    val meta = GraphMeta(small.numVertices, source = 1L)
+    val got = toMap(GraphXRunner.run(spark, small.vertices, small.edges, Algorithms.Sssp, meta))
+    assert(got == smallSsspGolden)
+  }
+
+  test("SSSP 3line: unreachable isolated vertex stays at infinity") {
+    val meta = GraphMeta(threeLine.numVertices, source = 1L)
+    val got = toMap(SqlRunner.run(spark, threeLine.vertices, threeLine.edges, Algorithms.Sssp, meta))
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> Double.PositiveInfinity))
+  }
+
+  test("WCC on symmetrized 3line: {1,2,3} and isolated {4}") {
+    import spark.implicits._
+    val sym = threeLine.edges
+      .union(threeLine.edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .distinct()
+    val meta = GraphMeta(threeLine.numVertices)
+    val got = toMap(SqlRunner.run(spark, threeLine.vertices, sym, Algorithms.Wcc, meta))
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 4.0))
+  }
+
+  test("PageRank standard: dual runners agree and mass sums to 1") {
+    val meta = GraphMeta(small.numVertices)
+    val alg = Algorithms.PageRank(0.85)
+    val sqlR = toMap(SqlRunner.run(spark, small.vertices, small.edges, alg, meta))
+    val gxR = toMap(GraphXRunner.run(spark, small.vertices, small.edges, alg, meta))
+    assert(sqlR.keySet == gxR.keySet)
+    sqlR.foreach { case (id, v) => assert(math.abs(v - gxR(id)) < 1e-9, s"vertex $id") }
+    assert(math.abs(sqlR.values.sum - 1.0) < 1e-3) // no dangling vertices in small.graph
+  }
+
+  test("PageRank parity mode (d=0.5, all-ones init): dual runners agree") {
+    val meta = GraphMeta(small.numVertices)
+    val alg = Algorithms.PageRank(0.5, uniformInit = true)
+    val sqlR = toMap(SqlRunner.run(spark, small.vertices, small.edges, alg, meta))
+    val gxR = toMap(GraphXRunner.run(spark, small.vertices, small.edges, alg, meta))
+    sqlR.foreach { case (id, v) => assert(math.abs(v - gxR(id)) < 1e-9, s"vertex $id") }
+  }
+
+  test("WCC dual runners agree on small.graph") {
+    import spark.implicits._
+    val sym = small.edges
+      .union(small.edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+      .distinct()
+    val meta = GraphMeta(small.numVertices)
+    val sqlR = toMap(SqlRunner.run(spark, small.vertices, sym, Algorithms.Wcc, meta))
+    val gxR = toMap(GraphXRunner.run(spark, small.vertices, sym, Algorithms.Wcc, meta))
+    assert(sqlR == gxR)
+    assert(sqlR.values.toSet == Set(1.0)) // small.graph is connected
+  }
+}
