@@ -55,10 +55,14 @@ object Algorithms {
     * reproduced: we use global n, the README §4.1 formula.
     * Standard mode: `PageRank(0.85)` with 1/n init.
     */
-  final case class PageRank(d: Double, uniformInit: Boolean = false)
+  final case class PageRank(d: Double, uniformInit: Boolean = false,
+                            fixedIters: Option[Int] = None)
       extends GmrAlgorithm {
     val name = s"pagerank_d$d"
     override val activeMessaging = false
+    // A fixed iteration count (≙ algoIterNum, gmr.h:121) disables the ε-stop.
+    override val maxIter: Int = fixedIters.getOrElse(120)
+    override val epsilon: Double = if (fixedIters.isDefined) -1.0 else 1e-4
 
     def initCol(id: Column, meta: GraphMeta): Column =
       if (uniformInit) lit(1.0) else lit(1.0 / meta.numVertices)

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algos.Algorithms
-import graft.engine.{GraphMeta, SqlRunner}
+import graft.engine.{GmrRunner, GraphMeta, SqlRunner}
+import graft.sources.GraphSource
 
 /** Driver-facing graph query registry (SURVEY §2.4 G1–G4) over the derived
   * edge view, with recursive-CTE / self-join DuckDB oracles.
@@ -26,8 +27,11 @@ object GraphQueries {
       GraphOps.bfs(s, GraphOps.edges(s, dir))),
     "g02_triangles" -> ((s, dir) =>
       GraphOps.triangleCount(s, GraphOps.edges(s, dir))),
-    "g03_pagerank2" -> ((s, dir) =>
-      GraphOps.pagerank2(s, GraphOps.edges(s, dir))),
+    "g03_pagerank2" -> ((s, dir) => {
+      import s.implicits._
+      GraphOps.pagerank2(s, GraphOps.edges(s, dir))
+        .select($"id", graft.Canon.sig6($"rank").as("rank"))
+    }),
     "g04_wcc" -> ((s, dir) =>
       GraphOps.wcc(s, GraphOps.sparseEdges(s, dir))),
     // Same answers as g01/g04 but produced by the generic GmrAlgorithm
@@ -48,6 +52,40 @@ object GraphQueries {
       val v = e.select($"src".as("id")).distinct()
       SqlRunner.run(s, v, e, Algorithms.Wcc, GraphMeta(v.count()))
         .select($"id", $"value".cast("long").as("comp"))
+    }),
+    // Per-vertex triangle count: the reference's accu-mode output shape
+    // (each triangle a<b<c credited to vertex a, algorithms.h:156-166).
+    "g07_triangles_pervertex" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.edges(s, dir)
+      val ue = e.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      ue.as("e1")
+        .join(ue.as("e2"), $"e2.a" === $"e1.b")
+        .join(ue.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .groupBy($"e1.a".as("id"))
+        .agg(count(lit(1)).as("n_tri"))
+    }),
+    // PageRank through the engine at a fixed 2 iterations — shares the
+    // statically-unrolled g03 oracle, gating the runner's PageRank path.
+    "g08_pagerank_engine" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.edges(s, dir).withColumn("weight", lit(1.0))
+      val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+      val nV = v.count()
+      GmrRunner.auto(s, v, e, Algorithms.PageRank(0.85, fixedIters = Some(2)),
+          GraphMeta(nV), numEdges = e.count())
+        .select($"id", graft.Canon.sig6($"value").as("rank"))
+    }),
+    // BENCH anchor: SSSP on the reference's 4elt mesh through the auto
+    // runner (stats pick the single-task local path) — directly comparable
+    // to BASELINE.md's 0.28 s native run. Rows-only check (not table data).
+    "b01_sssp_4elt" -> ((s, dir) => {
+      import s.implicits._
+      val g = GraphSource.readGmrText(s, "/root/reference/graph/4elt.graph")
+      GmrRunner.auto(s, g.vertices, g.edges, Algorithms.Sssp,
+          GraphMeta(g.numVertices, source = 1L), numEdges = g.numEdges)
+        .select($"id", $"value".cast("long").as("dist"))
     }),
   )
 
@@ -71,6 +109,22 @@ object GraphQueries {
        |)
        |SELECT id, min(comp) AS comp FROM cc GROUP BY id""".stripMargin
 
+  private val oraclePagerank2 =
+    s"""WITH e AS ($edgesSql),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, 1.0/nn.nn AS r FROM v, nn),
+       |c1 AS (SELECT e.dst, sum(r0.r/deg.outdeg) AS c FROM e
+       |       JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+       |r1 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c1.c, 0.0) AS r
+       |       FROM v LEFT JOIN c1 ON c1.dst = v.id, nn),
+       |c2 AS (SELECT e.dst, sum(r1.r/deg.outdeg) AS c FROM e
+       |       JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+       |r2 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c2.c, 0.0) AS r
+       |       FROM v LEFT JOIN c2 ON c2.dst = v.id, nn)
+       |SELECT id, ${graft.Canon.sig6Sql("r")} AS rank FROM r2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "g01_sssp_bfs" -> bfsOracle,
     "g02_triangles" ->
@@ -81,24 +135,20 @@ object GraphQueries {
          |FROM ue e1
          |JOIN ue e2 ON e2.a = e1.b
          |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
-    "g03_pagerank2" ->
-      s"""WITH e AS ($edgesSql),
-         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
-         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
-         |r0 AS (SELECT id, 1.0/nn.nn AS r FROM v, nn),
-         |c1 AS (SELECT e.dst, sum(r0.r/deg.outdeg) AS c FROM e
-         |       JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
-         |r1 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c1.c, 0.0) AS r
-         |       FROM v LEFT JOIN c1 ON c1.dst = v.id, nn),
-         |c2 AS (SELECT e.dst, sum(r1.r/deg.outdeg) AS c FROM e
-         |       JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
-         |r2 AS (SELECT v.id, 0.15/nn.nn + 0.85*coalesce(c2.c, 0.0) AS r
-         |       FROM v LEFT JOIN c2 ON c2.dst = v.id, nn)
-         |SELECT id, r AS rank FROM r2""".stripMargin,
+    "g03_pagerank2" -> oraclePagerank2,
     "g04_wcc" -> wccOracle,
     // Engine-backed variants answer the same questions — identical oracles.
     "g05_sssp_engine" -> bfsOracle,
     "g06_wcc_engine" -> wccOracle,
+    "g07_triangles_pervertex" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
+         |       UNION SELECT dst, src FROM e0 WHERE dst < src)
+         |SELECT e1.a AS id, count(*) AS n_tri
+         |FROM ue e1
+         |JOIN ue e2 ON e2.a = e1.b
+         |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+         |GROUP BY e1.a""".stripMargin,
+    "g08_pagerank_engine" -> oraclePagerank2,
   )
 }

@@ -2,6 +2,8 @@ package graft.llmops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.Canon.sig6Sql
+
 /** Registry of the LLM-data-pipeline query surface (SURVEY §2.4 L1–L4 plus
   * scale-path variants). Oracle SQL mirrors each Spark plan in DuckDB;
   * LSH/SimHash variants are deliberately oracle-less (hash-function
@@ -56,22 +58,23 @@ object LlmQueries {
          |JOIN cnt cb ON cb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
     "l06_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |sims AS (
-        |  SELECT query_id, e.vec_id,
-        |         list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS sim
-        |  FROM q JOIN embeddings e ON e.vec_id <> query_id)
-        |SELECT query_id, vec_id, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |                               ORDER BY sim DESC, vec_id) AS rn
-        |  FROM sims) t WHERE rn <= 10""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT query_id, e.vec_id,
+         |         ${sig6Sql("list_cosine_similarity(qv, e.embedding::DOUBLE[])")} AS sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id)
+         |SELECT query_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sims) t WHERE rn <= 10""".stripMargin,
     "l07_embed_dup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       list_cosine_similarity(a.v, b.v) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${sig6Sql("list_cosine_similarity(a.v, b.v)")} AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.45""".stripMargin,
     "l09_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS ws FROM documents)
          |SELECT doc_id, lang,
@@ -84,8 +87,9 @@ object LlmQueries {
          |         / greatest(len(ws), 1) AS mean_tok_len
          |FROM t""".stripMargin,
     "l10_lang_dist" ->
-      """SELECT lang, count(*) AS n_docs, avg(length(text)) AS avg_chars
-        |FROM documents GROUP BY lang""".stripMargin,
+      s"""SELECT lang, count(*) AS n_docs,
+         |       ${sig6Sql("avg(length(text))")} AS avg_chars
+         |FROM documents GROUP BY lang""".stripMargin,
     "l11_token_counts" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,

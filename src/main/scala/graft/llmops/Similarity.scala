@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Canon.sig6
 import graft.Tables
 
 /** L3 similarity search over the `embeddings` table (64-dim float vectors).
@@ -42,9 +43,10 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    // sig6 before ranking: cross-engine canonical (ties broken by vec_id).
     val sims = e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
+        sig6(dot($"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
     sims.withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
@@ -60,7 +62,7 @@ object Similarity {
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        (dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
+        sig6(dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
       .filter($"sim" >= threshold)
   }
 

@@ -40,7 +40,7 @@ object TextStats {
     Tables.load(s, dir, "documents")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
-        avg(length($"text")).as("avg_chars"))
+        graft.Canon.sig6(avg(length($"text"))).as("avg_chars"))
   }
 
   /** L4c: BPE-ish token counting — runs of letters, runs of digits, single

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Canon.{sig6, sig6Sql}
 import graft.Tables
 
 /** The declared relational query surface (SURVEY.md §2.4, Q1–Q14).
@@ -43,11 +44,11 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity").as("sum_qty"),
-          sum($"l_extendedprice").as("sum_base_price"),
-          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-          avg($"l_quantity").as("avg_qty"),
-          avg($"l_extendedprice").as("avg_price"),
+          sig6(sum($"l_quantity")).as("sum_qty"),
+          sig6(sum($"l_extendedprice")).as("sum_base_price"),
+          sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+          sig6(avg($"l_quantity")).as("avg_qty"),
+          sig6(avg($"l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -59,7 +60,7 @@ object RelationalQueries {
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
-        .agg(sum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(sig6(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // Q4 — broadcast-join chain over the tiny dims (region 5 rows, nation 25).
@@ -69,7 +70,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(count(lit(1)).as("n_cust"), sum($"c_acctbal").as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), sig6(sum($"c_acctbal")).as("total_bal"))
     }),
 
     // Q5a — left outer join + aggregate (customers keep their zero counts).
@@ -158,7 +159,7 @@ object RelationalQueries {
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .rollup($"n_name", $"o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("rev"))
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
     }),
 
     // Q11 — set operations over two customer-key selections.
@@ -249,26 +250,27 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 24""".stripMargin,
     "q02_group_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       sum(l_extendedprice) AS sum_base_price,
-        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-        |       avg(l_quantity) AS avg_qty,
-        |       avg(l_extendedprice) AS avg_price,
-        |       count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sig6Sql("sum(l_quantity)")} AS sum_qty,
+         |       ${sig6Sql("sum(l_extendedprice)")} AS sum_base_price,
+         |       ${sig6Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+         |       ${sig6Sql("avg(l_quantity)")} AS avg_qty,
+         |       ${sig6Sql("avg(l_extendedprice)")} AS avg_price,
+         |       count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q03_join_agg" ->
-      """SELECT n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
+      s"""SELECT n_name, ${sig6Sql("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
     "q04_broadcast_join" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin,
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |       ${sig6Sql("sum(c_acctbal)")} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
     "q05_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS order_cnt
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
@@ -301,11 +303,12 @@ object RelationalQueries {
         |       count(*) AS n_rows
         |FROM lineitem""".stripMargin,
     "q13_rollup" ->
-      """SELECT n_name, o_orderpriority, count(*) AS cnt, sum(o_totalprice) AS rev
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+      s"""SELECT n_name, o_orderpriority, count(*) AS cnt,
+         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
     "q14_union" -> s"$setA UNION $setB",
     "q15_union_all" -> s"$setA UNION ALL $setB",
     "q16_intersect" -> s"$setA INTERSECT $setB",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.algos.Algorithms
-import graft.engine.{GraphMeta, GraphXRunner, SqlRunner}
+import graft.engine.{GraphMeta, GraphXRunner, LocalRunner, SqlRunner}
 import graft.sources.GraphSource
 
 /** Golden + dual-runner tests for the GMR engine on the reference fixtures.
@@ -37,6 +37,20 @@ class EngineSpec extends AnyFunSuite {
     val meta = GraphMeta(small.numVertices, source = 1L)
     val got = toMap(GraphXRunner.run(spark, small.vertices, small.edges, Algorithms.Sssp, meta))
     assert(got == smallSsspGolden)
+  }
+
+  test("SSSP small.graph matches hand golden — LocalRunner") {
+    val meta = GraphMeta(small.numVertices, source = 1L)
+    val got = toMap(LocalRunner.run(spark, small.vertices, small.edges, Algorithms.Sssp, meta))
+    assert(got == smallSsspGolden)
+  }
+
+  test("PageRank standard: LocalRunner agrees with SqlRunner") {
+    val meta = GraphMeta(small.numVertices)
+    val alg = Algorithms.PageRank(0.85)
+    val sqlR = toMap(SqlRunner.run(spark, small.vertices, small.edges, alg, meta))
+    val locR = toMap(LocalRunner.run(spark, small.vertices, small.edges, alg, meta))
+    sqlR.foreach { case (id, v) => assert(math.abs(v - locR(id)) < 1e-9, s"vertex $id") }
   }
 
   test("SSSP 3line: unreachable isolated vertex stays at infinity") {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.algos.Algorithms
-import graft.engine.{GraphMeta, SqlRunner}
+import graft.engine.{GraphMeta, LocalRunner, SqlRunner}
 import graft.sources.GraphSource
 
 /** SSSP on the 4elt mesh (15,606 v / 91,756 directed e).
@@ -18,14 +18,7 @@ import graft.sources.GraphSource
 class FourEltSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("SSSP on 4elt matches independently computed BFS golden") {
-    val g = GraphSource.readGmrText(spark, "/root/reference/graph/4elt.graph")
-    assert(g.numVertices == 15606 && g.numEdges == 91756)
-    val meta = GraphMeta(g.numVertices, source = 1L)
-    val res = SqlRunner.run(spark, g.vertices, g.edges, Algorithms.Sssp, meta)
-    val hist = res.collect()
-      .map(r => r.getDouble(1))
-      .groupBy(identity).view.mapValues(_.length).toMap
+  private def checkHistogram(hist: Map[Double, Int]): Unit = {
     assert(hist.getOrElse(0.0, 0) == 1)
     assert(hist.getOrElse(1.0, 0) == 4)
     assert(hist.getOrElse(2.0, 0) == 6)
@@ -34,5 +27,26 @@ class FourEltSpec extends AnyFunSuite {
     assert(hist.getOrElse(5.0, 0) == 18)
     assert(hist.keys.max == 69.0)
     assert(hist.values.sum == 15606) // all reached, none at infinity
+  }
+
+  private def histOf(df: org.apache.spark.sql.DataFrame): Map[Double, Int] =
+    df.collect().map(_.getDouble(1)).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("SSSP on 4elt matches independently computed BFS golden — SqlRunner") {
+    val g = GraphSource.readGmrText(spark, "/root/reference/graph/4elt.graph")
+    assert(g.numVertices == 15606 && g.numEdges == 91756)
+    val meta = GraphMeta(g.numVertices, source = 1L)
+    checkHistogram(histOf(SqlRunner.run(spark, g.vertices, g.edges, Algorithms.Sssp, meta)))
+  }
+
+  test("SSSP on 4elt matches golden — LocalRunner (the auto-picked path)") {
+    val g = GraphSource.readGmrText(spark, "/root/reference/graph/4elt.graph")
+    val meta = GraphMeta(g.numVertices, source = 1L)
+    val t0 = System.nanoTime()
+    val res = LocalRunner.run(spark, g.vertices, g.edges, Algorithms.Sssp, meta)
+    val hist = histOf(res)
+    info(f"LocalRunner 4elt SSSP wall: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      "(BASELINE native: 0.28 s)")
+    checkHistogram(hist)
   }
 }
