@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++
       llmops.LlmQueries.queries ++
-      graphs.GraphQueries.queries
+      graphs.GraphQueries.queries ++
+      streaming.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracles ++
       llmops.LlmQueries.oracles ++
-      graphs.GraphQueries.oracles
+      graphs.GraphQueries.oracles ++
+      streaming.EventQueries.oracles
 }

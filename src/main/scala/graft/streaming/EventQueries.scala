@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Canon.{sig6, sig6Sql}
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Batch queries over the time-ordered `events` table: the as-of join and
+  * tumbling-window shapes that the streaming module runs incrementally.
+  * `events.ts` is read as epoch-nanos long (Spark 4 has no nanos timestamp);
+  * all time math here is integer epoch-ms on the Spark side and `epoch_ms`
+  * on the DuckDB side, so no float/zone boundary can disagree.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each event matched to the user's latest order at-or-before
+    // the event (backward inner as-of; ties to the largest o_orderkey).
+    "q23_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val left = Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", expr("ts div 1000000").as("ev_ms"))
+      val right = Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+          // the same wall-clock→epoch mapping DuckDB's epoch_ms applies.
+          unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"))
+      AsOfJoin.backward(left, right,
+        leftKey = left("user_id"), rightKey = right("o_custkey"),
+        leftTime = left("ev_ms"), rightTime = right("order_ms"),
+        rightTieBreak = right("o_orderkey"),
+        rightCols = Seq("o_orderkey", "order_ms"))
+    }),
+
+    // Tumbling 1-hour windows per event type (the batch twin of the
+    // streaming watermarked aggregation in EventStreams).
+    "q24_tumbling_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"event_type", $"value")
+        .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
+        .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS k, o_orderkey,
+        |                  epoch_ms(o_orderdate) AS order_ms FROM orders),
+        |cand AS (
+        |  SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ev_ms,
+        |         r.o_orderkey, r.order_ms,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY r.order_ms DESC, r.o_orderkey DESC) AS rn
+        |  FROM events e JOIN r ON r.k = e.user_id AND r.order_ms <= epoch_ms(e.ts))
+        |SELECT event_id, user_id, ev_ms, o_orderkey, order_ms
+        |FROM cand WHERE rn = 1""".stripMargin,
+    "q24_tumbling_window" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
+         |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
+         |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

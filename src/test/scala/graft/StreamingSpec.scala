@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Streaming/batch agreement: the incremental pipelines must produce the
+  * same answers as their batch twins on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long) = new java.sql.Timestamp(minutes * 60000L)
+
+  private val evs = Seq(
+    Ev(1, ts(5), 10, "click", 1.0),
+    Ev(2, ts(20), 10, "click", 2.0),
+    Ev(3, ts(70), 10, "buy", 5.0),
+    Ev(4, ts(10), 11, "click", 3.0),
+    Ev(5, ts(200), 10, "click", 7.0), // new session for user 10 (gap > 30m)
+    Ev(6, ts(65), 11, "buy", 4.0))
+
+  test("tumbling window agg: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = EventStreams.tumblingAgg(
+      mem.toDF().withColumnRenamed("ev_ts", "ev_ts"))
+    val q = out.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_test")
+      .select($"wstart", $"event_type", $"cnt", $"total")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+
+    val batch = EventStreams.tumblingAgg(evs.toDF()) // same plan, batch input
+    // tumblingAgg on a batch DF: watermark is a no-op, so this is the
+    // batch twin directly.
+    val expected = batch.collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionization closes sessions on gap and final flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val closed = spark.table("sessions_test").as[EventStreams.Session]
+      .collect().toSet
+    q.stop()
+    // Sessions closed by in-stream gaps (>30 min); each user's trailing
+    // session stays open in state. User 10: [5,20] closed by the 50-min gap
+    // to 70, [70] closed by the gap to 200. User 11: [10] closed by the gap
+    // to 65.
+    assert(closed == Set(
+      EventStreams.Session(10, 5 * 60000L, 20 * 60000L, 2, 3.0),
+      EventStreams.Session(10, 70 * 60000L, 70 * 60000L, 1, 5.0),
+      EventStreams.Session(11, 10 * 60000L, 10 * 60000L, 1, 3.0)))
+  }
+}
