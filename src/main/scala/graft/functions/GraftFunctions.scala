@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-API wrappers for graft's native expressions.
+  *
+  * Two paths, per the standard extension mechanism:
+  * - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *   `builder.withExtensions`) injects at session build;
+  * - [[GraftFunctions.ensureRegistered]] registers into an existing session
+  *   (idempotent), so library code works on sessions it didn't build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.specs.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private[functions] val specs: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+
+  /** Register graft functions into an already-built session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    specs.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  def arrayDot(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("array_dot", a, b)
+  }
+
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("cosine_sim", a, b)
+  }
+}

@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 
 import graft.Canon.sig6
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** L3 similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Cosine is computed with codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) over `array<double>` — no UDF, no MLlib Vector
-  * conversion, stays inside whole-stage codegen. Norms are precomputed once
-  * per row before any join so the pair loop only does the dot product.
+  * Cosine/dot run through graft's native fused Catalyst expressions
+  * ([[graft.functions.ArrayDot]]/[[graft.functions.CosineSim]], one codegen
+  * loop per pair, no intermediate array) — no UDF, no MLlib Vector
+  * conversion. Norms are precomputed once per row before any join so the
+  * top-k pair loop only does the dot product.
   *
   * Scale paths:
   * - top-k: the query set is tiny and broadcast; the corpus side streams —
@@ -23,16 +25,13 @@ import graft.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
   /** embeddings with double-cast vector and precomputed L2 norm. */
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(GraftFunctions.arrayDot(s, $"v", $"v")))
   }
 
   /** L3a: brute-force cosine top-k of the corpus against query vectors
@@ -46,7 +45,7 @@ object Similarity {
     // sig6 before ranking: cross-engine canonical (ties broken by vec_id).
     val sims = e.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        sig6(dot($"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
+        sig6(GraftFunctions.arrayDot(s, $"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
     sims.withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
@@ -62,7 +61,7 @@ object Similarity {
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        sig6(dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
+        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
       .filter($"sim" >= threshold)
   }
 
@@ -98,7 +97,7 @@ object Similarity {
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        (dot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("sim"))
+        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
       .distinct()
       .filter($"sim" >= threshold)
   }
