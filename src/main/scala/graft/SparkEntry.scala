@@ -17,7 +17,8 @@ object SparkEntry {
     relational.RelationalQueries.queries ++
       llmops.LlmQueries.queries ++
       graphs.GraphQueries.queries ++
-      streaming.EventQueries.queries
+      streaming.EventQueries.queries ++
+      multimodal.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
