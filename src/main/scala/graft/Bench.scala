@@ -1,26 +1,74 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (metric/value/unit/queries/sf) plus shuffle and
+  * spill totals from a task-metrics listener — the O17 instrumentation
+  * analogue (the reference logs per-phase ticks and cumulative shuffle
+  * bytes, gmr.h:317-334, igmr.cpp:158).
+  */
 object Bench {
+
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The sf0.1 parquet files are 10-60 MB: at the default 128 MB split
+      // size every scan is ONE task and local[32] idles. 8 MB splits fan the
+      // scans out; on a real cluster with 100 TB inputs the default is right,
+      // this knob is per-deployment input sizing.
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // Session/JIT warmup on three cheap queries so the first timed query
+    // doesn't absorb codegen-compiler and scan-cache cold starts.
+    Seq("q01_filter_project", "q03_join_agg", "l10_lang_dist").foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count(): Unit
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent: drop cached relations and let the context
+      // cleaner reclaim checkpoint/broadcast blocks so one query's residue
+      // doesn't stall a later one's tasks.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val mb = 1024.0 * 1024.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one named query, print wall time and the formatted
+  * physical plan. `runMain graft.Explain <queryName> [sfDir] [--plan]`
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1)
+      else "/root/testdata/sf0.1"
+    val showPlan = args.contains("--plan")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (showPlan) df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    val n2 = df.count()
+    println(f"[explain] $name (2nd run): $n2 rows in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -68,6 +68,66 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection signature: bit p of the result is the sign of
+  * `v · planes(p)`. The plane matrix rides along as a referenced object, so
+  * a 48×64 projection is one fused loop instead of a 3072-term expression
+  * tree (which chokes the optimizer and Janino long before execution).
+  */
+case class SrpSignature(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_signature requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      val d = math.min(n, plane.length)
+      while (i < d) { acc += v.getDouble(i) * plane(i); i += 1 }
+      if (acc >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val d = ctx.freshName("d")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double $acc = 0.0;
+         |  int $d = java.lang.Math.min($v.numElements(), $mat[$p].length);
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += $v.getDouble($i) * $mat[$p][$i];
+         |  }
+         |  if ($acc >= 0) $sig |= 1L << $p;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), all three sums in one fused loop. */
 case class CosineSim(left: Expression, right: Expression)
     extends FusedVectorExpression {

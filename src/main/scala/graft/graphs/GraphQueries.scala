@@ -36,11 +36,14 @@ object GraphQueries {
       GraphOps.wcc(s, GraphOps.sparseEdges(s, dir))),
     // Same answers as g01/g04 but produced by the generic GmrAlgorithm
     // engine (SqlRunner) — gates the engine itself behind the oracle.
+    // Auto-dispatched (stats pick LocalRunner at these edge counts; the
+    // distributed SqlRunner path stays gated by g06 and the test suite).
     "g05_sssp_engine" -> ((s, dir) => {
       import s.implicits._
       val e = GraphOps.edges(s, dir).withColumn("weight", lit(1.0))
       val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
-      SqlRunner.run(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L))
+      GmrRunner.auto(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L),
+          numEdges = e.count())
         .filter(!$"value".isin(Double.PositiveInfinity))
         .select($"id", $"value".cast("long").as("dist"))
     }),
