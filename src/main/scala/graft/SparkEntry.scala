@@ -18,7 +18,8 @@ object SparkEntry {
       llmops.LlmQueries.queries ++
       graphs.GraphQueries.queries ++
       streaming.EventQueries.queries ++
-      multimodal.MultimodalOps.queries
+      multimodal.MultimodalOps.queries ++
+      algos.KMeans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

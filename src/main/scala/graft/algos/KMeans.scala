@@ -1,0 +1,67 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** K-means over the `embeddings` table — the reference's declared-intent
+  * `Kmeans` stub (algorithms.h:227-265, a placeholder with a copied PageRank
+  * body) done for real, as Lloyd iterations in the DataFrame engine:
+  *
+  *   assign: cross join points × broadcast(centroids), argmin distance
+  *           (min_by over a tiny broadcast side — no shuffle of the points)
+  *   update: groupBy cluster, per-dimension mean via posexplode + pivot-free
+  *           aggregation (shuffles only k×dim partial sums per partition)
+  *
+  * Deterministic: seeds = the k lowest vec_ids, fixed iteration count.
+  */
+object KMeans {
+
+  /** @return (vec_id, cluster) assignment after `iters` Lloyd rounds. */
+  def fit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame = {
+    import s.implicits._
+    val points = graft.Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .cache()
+
+    // dist²(a,b) = |a|² - 2a·b + |b|²; only -2a·b + |b|² varies per centroid.
+    def assign(centroids: DataFrame): DataFrame =
+      points.crossJoin(broadcast(centroids))
+        .withColumn("d2",
+          GraftFunctions.arrayDot(s, $"c", $"c") -
+            lit(2.0) * GraftFunctions.arrayDot(s, $"v", $"c"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cluster", struct($"d2", $"cluster")).as("cluster"))
+
+    var centroids = points.orderBy($"vec_id").limit(k)
+      .select($"vec_id".cast("int").as("cluster"), $"v".as("c"))
+      .localCheckpoint()
+
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val assigned = assign(centroids)
+      centroids = points.join(assigned, "vec_id")
+        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos")
+        .agg(avg($"x").as("m"))
+        .groupBy($"cluster")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cluster", expr("transform(pm, p -> p.m)").as("c"))
+        .localCheckpoint()
+    }
+    val out = assign(centroids)
+    points.unpersist()
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cluster sizes are stable under any runner; rows-only driver check,
+    // determinism + structure asserted in KMeansSpec.
+    "l14_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      fit(s, dir).groupBy($"cluster").agg(count(lit(1)).as("n_points"))
+    }),
+  )
+}

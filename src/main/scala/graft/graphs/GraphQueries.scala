@@ -80,6 +80,18 @@ object GraphQueries {
           GraphMeta(nV), numEdges = e.count())
         .select($"id", graft.Canon.sig6($"value").as("rank"))
     }),
+    // SCC — the reference's stronglyConnectedComponents stub
+    // (algorithms.h:214) done via GraphX's vertex-cut SCC; labels are the
+    // smallest vertex id per component, matching the closure oracle.
+    "g09_scc" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.sparseEdges(s, dir)
+      val edgeRdd = e.rdd.map(r =>
+        org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+      val g = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+      g.stronglyConnectedComponents(numIter = 50)
+        .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "comp")
+    }),
     // BENCH anchor: SSSP on the reference's 4elt mesh through the auto
     // runner (stats pick the single-task local path) — directly comparable
     // to BASELINE.md's 0.28 s native run. Rows-only check (not table data).
@@ -153,5 +165,18 @@ object GraphQueries {
          |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
          |GROUP BY e1.a""".stripMargin,
     "g08_pagerank_engine" -> oraclePagerank2,
+    // SCC: id's component = min vertex mutually reachable with it (the
+    // directed closure joined with its transpose).
+    "g09_scc" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |reach AS (
+         |  SELECT id, id AS anc FROM v
+         |  UNION
+         |  SELECT e0.dst, reach.anc FROM reach JOIN e0 ON e0.src = reach.id
+         |)
+         |SELECT r1.id, min(r1.anc) AS comp
+         |FROM reach r1 JOIN reach r2 ON r2.id = r1.anc AND r2.anc = r1.id
+         |GROUP BY r1.id""".stripMargin,
   )
 }

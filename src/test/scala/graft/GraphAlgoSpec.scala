@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graphs.GraphOps
+import graft.sources.GraphSource
+
+/** Goldens for the non-iterative graph operators on reference fixtures. */
+class GraphAlgoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("triangle count on small.graph = 2 (DataFrame triple join)") {
+    import spark.implicits._
+    val g = GraphSource.readGmrText(spark, "/root/reference/graph/small.graph")
+    val n = GraphOps.triangleCount(spark, g.edges.select($"src", $"dst"))
+      .collect()(0).getLong(0)
+    assert(n == 2) // {1,2,3} and {1,4,5}, FIXTURES.md §1
+  }
+
+  test("GraphX TriangleCount agrees (cross-engine check)") {
+    val g = GraphSource.readGmrText(spark, "/root/reference/graph/small.graph")
+    val edgeRdd = g.edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges(edgeRdd, ())
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+    val perVertex = graph.triangleCount().vertices.map(_._2.toLong).sum()
+    assert(perVertex / 3 == 2) // each triangle counted at its 3 corners
+  }
+
+  test("SCC: cycle {1,2,3} collapses, appendage {4} is its own component") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val edgeRdd = edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val scc = Graph.fromEdges(edgeRdd, ())
+      .stronglyConnectedComponents(numIter = 10)
+      .vertices.collect().toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+}
