@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object SqlRunner {
 
+  /** Set `-Dgraft.engine.verbose=true` for the reference-log-style
+    * per-iteration line (iter, changed count, seconds — ≙ printTimeConsume,
+    * gmr.h:317-334).
+    */
+  private val verbose = sys.props.get("graft.engine.verbose").contains("true")
+
   /** Run `alg` over `edges(src, dst, weight)`; returns (id, value). */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
           alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
@@ -51,7 +57,11 @@ object SqlRunner {
           // NaN-safe: |inf-inf| is NaN, which correctly compares false.
           (abs($"value" - $"old") > alg.epsilon).as("changed"))
         .localCheckpoint()
+      val t0 = System.nanoTime()
       changedCount = next.filter($"changed").count()
+      if (verbose)
+        println(f"[${alg.name}] iter $iter: changed=$changedCount " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
       verts = next
     }
     e.unpersist()
