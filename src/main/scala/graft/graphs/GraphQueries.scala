@@ -80,6 +80,21 @@ object GraphQueries {
           GraphMeta(nV), numEdges = e.count())
         .select($"id", graft.Canon.sig6($"value").as("rank"))
     }),
+    // Weighted SSSP through the engine: true shortest paths (the reference
+    // forces unit weights, algorithms.h:17-18 — this is the generalization
+    // its API declares). Weights are a pure function of (src,dst) so the
+    // oracle computes the identical graph.
+    "g10_sssp_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.edges(s, dir)
+        .withColumn("weight",
+          (($"src" * 7 + $"dst" * 13) % 9 + 1).cast("double"))
+      val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+      GmrRunner.auto(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L),
+          numEdges = e.count())
+        .filter(!$"value".isin(Double.PositiveInfinity))
+        .select($"id", $"value".cast("long").as("dist"))
+    }),
     // SCC — the reference's stronglyConnectedComponents stub
     // (algorithms.h:214) done via GraphX's vertex-cut SCC; labels are the
     // smallest vertex id per component, matching the closure oracle.
@@ -165,6 +180,19 @@ object GraphQueries {
          |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
          |GROUP BY e1.a""".stripMargin,
     "g08_pagerank_engine" -> oraclePagerank2,
+    // Weighted walk: min over all path lengths; any reachable node's
+    // shortest distance is <= diameter(9) x max-weight(9) = 81, so the 150
+    // cap never truncates a true minimum.
+    "g10_sssp_weighted" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst, ((src*7 + dst*13) % 9) + 1 AS w FROM ($edgesSql)),
+         |walk AS (
+         |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+         |  UNION
+         |  SELECT e.dst, wk.d + e.w FROM walk wk JOIN e ON e.src = wk.id
+         |  WHERE wk.d < 150
+         |)
+         |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
     "g09_scc" ->
