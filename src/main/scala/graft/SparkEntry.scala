@@ -19,7 +19,8 @@ object SparkEntry {
       graphs.GraphQueries.queries ++
       streaming.EventQueries.queries ++
       multimodal.MultimodalOps.queries ++
-      algos.KMeans.queries
+      algos.KMeans.queries ++
+      graphs.Mst.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

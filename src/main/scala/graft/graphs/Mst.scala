@@ -1,0 +1,80 @@
+package graft.graphs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimum spanning forest via Borůvka rounds — the reference's `Prime`
+  * (Prim MST) stub (algorithms.h:218-221, which cites the GraphX programming
+  * guide) done with the scalable algorithm: Prim grows one tree serially,
+  * Borůvka lets every component pick its lightest outgoing edge in parallel
+  * (one join + one min_by aggregation per round) and halves the component
+  * count each round — O(log V) rounds of pure DataFrame ops.
+  *
+  * Requires distinct edge weights (caller tiebreaks); then the MSF is unique
+  * and no cycle can form.
+  */
+object Mst {
+
+  /** @param edges canonical undirected edges (a < b, distinct weights w)
+    * @return the forest's edges (a, b, w)
+    */
+  def boruvka(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edges.select($"a", $"b", $"w").cache()
+    var labels = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .distinct().select($"id", $"id".as("comp")).localCheckpoint()
+    var mst = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
+    var done = false
+    while (!done) {
+      val cross = e
+        .join(labels.as("la"), $"a" === $"la.id")
+        .join(labels.as("lb"), $"b" === $"lb.id")
+        .select($"a", $"b", $"w", $"la.comp".as("ca"), $"lb.comp".as("cb"))
+        .filter($"ca" =!= $"cb")
+        .localCheckpoint()
+      if (cross.isEmpty) done = true
+      else {
+        // Each component nominates its lightest outgoing edge (from either
+        // endpoint's perspective); a doubly-nominated edge dedupes.
+        val nominated = cross.select(
+            explode(array($"ca", $"cb")).as("c"), $"a", $"b", $"w", $"ca", $"cb")
+          .groupBy($"c")
+          .agg(min_by(struct($"a", $"b", $"w", $"ca", $"cb"), $"w").as("e"))
+          .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"),
+            $"e.ca".as("ca"), $"e.cb".as("cb"))
+          .distinct()
+          .localCheckpoint()
+        mst = mst.union(nominated.select($"a", $"b", $"w")).localCheckpoint()
+        // Contract: min-label closure over the component-merge graph.
+        val mergeEdges = nominated.select($"ca".as("src"), $"cb".as("dst"))
+        val mapping = GraphOps.wcc(s, mergeEdges)
+          .select($"id".as("old_comp"), $"comp".as("new_comp"))
+        labels = labels.join(mapping, labels("comp") === $"old_comp", "left")
+          .select(labels("id"),
+            coalesce($"new_comp", labels("comp")).as("comp"))
+          .localCheckpoint()
+      }
+    }
+    e.unpersist()
+    mst
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rows-only (MST is not single-statement SQL); uniqueness of the forest
+    // (distinct weights) makes the summary deterministic; MstSpec pins a
+    // hand golden.
+    "g11_mst" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.sparseEdges(s, dir)
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b").distinct()
+        // Distinct weights: base in [1,9] + a unique per-edge fraction.
+        .withColumn("w",
+          (($"a" * 7 + $"b" * 13) % 9 + 1).cast("double") +
+            ($"a" * 1000 + $"b").cast("double") / 1e9)
+      val mst = boruvka(s, e)
+      mst.agg(count(lit(1)).as("n_edges"),
+        graft.Canon.sig6(sum($"w")).as("total_w"))
+    }),
+  )
+}

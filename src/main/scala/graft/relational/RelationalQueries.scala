@@ -221,6 +221,21 @@ object RelationalQueries {
         get_json_object($"props", "$.k").cast("long").as("k"))
     }),
 
+    // Distributed matrix multiply — the reference's MatrixMultiply stub
+    // (algorithms.h:200) as the classic relational rendering: A(i,k,v) ⋈
+    // B(k,j,v) on the contraction index, groupBy(i,j) sum. Here: the Gram
+    // matrix of the first 20 embedding vectors.
+    "q25_matmul_gram" -> ((s, dir) => {
+      import s.implicits._
+      val m = t(s, dir, "embeddings").filter($"vec_id" < 20)
+        .select($"vec_id".as("i"),
+          posexplode(transform($"embedding", x => x.cast("double"))))
+        .select($"i", $"pos", $"col".as("v"))
+      m.as("x").join(m.as("y"), $"x.pos" === $"y.pos")
+        .groupBy($"x.i".as("i"), $"y.i".as("j"))
+        .agg(sig6(sum($"x.v" * $"y.v")).as("v"))
+    }),
+
     // Q14 — grouped string aggregation, canonicalized by in-group sort.
     "q22_string_agg" -> ((s, dir) => {
       import s.implicits._
@@ -346,5 +361,14 @@ object RelationalQueries {
     "q22_string_agg" ->
       """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q25_matmul_gram" ->
+      s"""WITH m AS (
+         |  SELECT vec_id AS i,
+         |         unnest(range(len(embedding))) AS pos,
+         |         unnest(embedding::DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 20)
+         |SELECT x.i AS i, y.i AS j, ${sig6Sql("sum(x.v * y.v)")} AS v
+         |FROM m x JOIN m y ON x.pos = y.pos
+         |GROUP BY x.i, y.i""".stripMargin,
   )
 }
