@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Co-located joins via bucketed tables: both sides bucketed on the join key
+  * join WITHOUT any shuffle exchange — the persistent form of the
+  * partitioning-reuse property (OperatorsSpec), and the posture for repeated
+  * 100 TB fact⋈fact joins: pay the shuffle once at write time.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed-bucketed join plans no exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // Disable broadcast so the planner exercises the bucketed path (at
+    // fact⋈fact scale neither side broadcasts and this is the real plan).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(joined.count() == 6000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
