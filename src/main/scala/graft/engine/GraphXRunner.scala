@@ -52,6 +52,12 @@ object GraphXRunner {
         val delta = math.abs(nv - attr.value)
         VAttr(nv, delta > alg.epsilon, attr.outdeg) // NaN (inf-inf) => false
       }.cache()
+      // Materialize BOTH views of the new graph before releasing the old
+      // one: counting only the vertices leaves the edge/replicated-vertex
+      // structures lazy, and unpersisting their parents then forces a full
+      // recursive recompute of every prior iteration on the next
+      // aggregateMessages — quadratic work that looks like a hang.
+      g.edges.foreachPartition(_ => ())
       changedCount = g.vertices.filter(_._2.changed).count()
       prev.unpersistVertices(blocking = false)
       prev.edges.unpersist(blocking = false)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algos.Algorithms
-import graft.engine.{GmrRunner, GraphMeta, SqlRunner}
+import graft.engine.{GmrRunner, GraphMeta, GraphXRunner, SqlRunner}
 import graft.sources.GraphSource
 
 /** Driver-facing graph query registry (SURVEY §2.4 G1–G4) over the derived
@@ -79,6 +79,17 @@ object GraphQueries {
       GmrRunner.auto(s, v, e, Algorithms.PageRank(0.85, fixedIters = Some(2)),
           GraphMeta(nV), numEdges = e.count())
         .select($"id", graft.Canon.sig6($"value").as("rank"))
+    }),
+    // The GraphX executor of the same algebra, gated by the same oracle as
+    // g04/g06 — all three runners of GmrAlgorithm are now in the gate.
+    "g12_wcc_graphx" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = GraphOps.sparseEdges(s, dir)
+      val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+        .withColumn("weight", lit(1.0))
+      val v = e.select($"src".as("id")).distinct()
+      GraphXRunner.run(s, v, e, Algorithms.Wcc, GraphMeta(v.count()))
+        .select($"id", $"value".cast("long").as("comp"))
     }),
     // Weighted SSSP through the engine: true shortest paths (the reference
     // forces unit weights, algorithms.h:17-18 — this is the generalization
@@ -170,6 +181,7 @@ object GraphQueries {
     // Engine-backed variants answer the same questions — identical oracles.
     "g05_sssp_engine" -> bfsOracle,
     "g06_wcc_engine" -> wccOracle,
+    "g12_wcc_graphx" -> wccOracle,
     "g07_triangles_pervertex" ->
       s"""WITH e0 AS ($edgesSql),
          |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst

@@ -236,6 +236,43 @@ object RelationalQueries {
         .agg(sig6(sum($"x.v" * $"y.v")).as("v"))
     }),
 
+    // Exact interpolated percentiles (same linear-interpolation definition
+    // as DuckDB's quantile_cont) + sketch-based approx (rows-only cousin in
+    // q12's spirit would not hash-match, so only the exact one is oracled).
+    "q26_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sig6(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+          sig6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+    }),
+
+    // Scalar subquery: price relative to the global mean.
+    "q27_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val mean = t(s, dir, "orders").agg(avg($"o_totalprice").as("m"))
+      t(s, dir, "orders").crossJoin(broadcast(mean))
+        .select($"o_orderkey", sig6($"o_totalprice" / $"m").as("rel_price"))
+    }),
+
+    // CUBE — all grouping-set combinations.
+    "q28_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
+    }),
+
+    // Pivot: event_type columns per user (fixed value list => stable schema).
+    "q29_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sig6(sum($"value")))
+    }),
+
     // Q14 — grouped string aggregation, canonicalized by in-group sort.
     "q22_string_agg" -> ((s, dir) => {
       import s.implicits._
@@ -361,6 +398,27 @@ object RelationalQueries {
     "q22_string_agg" ->
       """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q26_percentiles" ->
+      s"""SELECT l_returnflag,
+         |       ${sig6Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+         |       ${sig6Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_scalar_subquery" ->
+      s"""SELECT o_orderkey,
+         |       ${sig6Sql("o_totalprice / (SELECT avg(o_totalprice) FROM orders)")} AS rel_price
+         |FROM orders""".stripMargin,
+    "q28_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q29_pivot" ->
+      s"""SELECT user_id,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'click' THEN value END)")} AS click,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'error' THEN value END)")} AS error,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'purchase' THEN value END)")} AS purchase,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'signup' THEN value END)")} AS signup,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'view' THEN value END)")} AS view
+         |FROM events GROUP BY user_id""".stripMargin,
     "q25_matmul_gram" ->
       s"""WITH m AS (
          |  SELECT vec_id AS i,

@@ -87,6 +87,22 @@ class EngineSpec extends AnyFunSuite {
     sqlR.foreach { case (id, v) => assert(math.abs(v - gxR(id)) < 1e-9, s"vertex $id") }
   }
 
+  test("GraphXRunner survives deep iteration (100-node path WCC)") {
+    // Min-label on a path needs ~99 supersteps — catches lineage/persistence
+    // bugs where each iteration silently recomputes all prior ones.
+    import spark.implicits._
+    val n = 100
+    val edges = (1 until n).flatMap(i =>
+      Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("src", "dst").withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val t0 = System.nanoTime()
+    val got = toMap(GraphXRunner.run(spark, verts, edges, Algorithms.Wcc,
+      GraphMeta(n.toLong)))
+    info(f"path-WCC ${(System.nanoTime() - t0) / 1e9}%.1f s for ~$n supersteps")
+    assert(got.values.toSet == Set(1.0))
+  }
+
   test("WCC dual runners agree on small.graph") {
     import spark.implicits._
     val sym = small.edges
