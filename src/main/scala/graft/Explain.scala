@@ -22,13 +22,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (showPlan) df.explain("formatted")
+    // Construction is inside the timer: iterative queries (engine loops,
+    // Borůvka) run their supersteps while BUILDING the result DataFrame.
     val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, sfDir)
     val n = df.count()
     println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (showPlan) df.explain("formatted")
     val t1 = System.nanoTime()
-    val n2 = df.count()
+    val n2 = SparkEntry.queries(name)(spark, sfDir).count()
     println(f"[explain] $name (2nd run): $n2 rows in ${(System.nanoTime() - t1) / 1e9}%.2f s")
     spark.stop()
   }

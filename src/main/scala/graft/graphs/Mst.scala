@@ -45,11 +45,37 @@ object Mst {
           .distinct()
           .localCheckpoint()
         mst = mst.union(nominated.select($"a", $"b", $"w")).localCheckpoint()
-        // Contract: min-label closure over the component-merge graph.
-        val mergeEdges = nominated.select($"ca".as("src"), $"cb".as("dst"))
-        val mapping = GraphOps.wcc(s, mergeEdges)
-          .select($"id".as("old_comp"), $"comp".as("new_comp"))
-        labels = labels.join(mapping, labels("comp") === $"old_comp", "left")
+        // Contract over the component-merge graph. It has at most one edge
+        // per component (halving each round), so below a generous threshold
+        // a driver-side union-find replaces a whole distributed min-label
+        // fixpoint (the same stats-driven choice as GmrRunner.auto); the
+        // distributed closure remains the >threshold path.
+        val mergePairs = nominated.select($"ca", $"cb")
+        val mapping: DataFrame =
+          if (nominated.count() <= 1000000) {
+            val pairs = mergePairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            pairs.foreach { case (x, y) =>
+              val (rx, ry) = (find(x), find(y))
+              if (rx != ry) { // attach larger root under smaller => min wins
+                if (rx < ry) parent(ry) = rx else parent(rx) = ry
+              }
+            }
+            val resolved = pairs.flatMap { case (x, y) => Seq(x, y) }.distinct
+              .map(c => (c, find(c)))
+            resolved.toSeq.toDF("old_comp", "new_comp")
+          } else {
+            GraphOps.wcc(s, mergePairs.select($"ca".as("src"), $"cb".as("dst")))
+              .select($"id".as("old_comp"), $"comp".as("new_comp"))
+          }
+        labels = labels.join(broadcast(mapping), labels("comp") === $"old_comp", "left")
           .select(labels("id"),
             coalesce($"new_comp", labels("comp")).as("comp"))
           .localCheckpoint()
