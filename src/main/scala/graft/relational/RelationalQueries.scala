@@ -273,6 +273,22 @@ object RelationalQueries {
         .agg(sig6(sum($"value")))
     }),
 
+    // Null semantics: three-valued logic vs null-safe equality on a
+    // projection that manufactures NULLs deterministically.
+    "q30_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      val withNulls = t(s, dir, "orders").select(
+        $"o_orderkey",
+        when($"o_orderkey" % 5 === 0, $"o_orderstatus").as("s1"),
+        when($"o_orderkey" % 3 === 0, $"o_orderstatus").as("s2"))
+      withNulls.select(
+        $"o_orderkey",
+        ($"s1" === $"s2").as("eq3vl"),
+        ($"s1" <=> $"s2").as("eq_nullsafe"),
+        $"s1".isNull.as("s1_null"),
+        coalesce($"s1", $"s2", lit("none")).as("first_nonnull"))
+    }),
+
     // Q14 — grouped string aggregation, canonicalized by in-group sort.
     "q22_string_agg" -> ((s, dir) => {
       import s.implicits._
@@ -398,6 +414,18 @@ object RelationalQueries {
     "q22_string_agg" ->
       """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q30_null_semantics" ->
+      """WITH w AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus END AS s1,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS s2
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       (s1 = s2) AS eq3vl,
+        |       (s1 IS NOT DISTINCT FROM s2) AS eq_nullsafe,
+        |       (s1 IS NULL) AS s1_null,
+        |       coalesce(s1, s2, 'none') AS first_nonnull
+        |FROM w""".stripMargin,
     "q26_percentiles" ->
       s"""SELECT l_returnflag,
          |       ${sig6Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,

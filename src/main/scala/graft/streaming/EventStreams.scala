@@ -31,6 +31,34 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
         col("total"))
 
+  /** Streaming exact dedup: drop replayed event_ids, keeping state only
+    * within the watermark window (at-least-once source → exactly-once
+    * downstream; the streaming twin of the batch L1 dedup).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides watermarked so the join state
+    * is evictable — the streaming analogue of the as-of/interval join.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ev_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ev_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   final case class Ev(event_id: Long, ev_ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)

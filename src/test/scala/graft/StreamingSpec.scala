@@ -18,10 +18,10 @@ class StreamingSpec extends AnyFunSuite {
   private val evs = Seq(
     Ev(1, ts(5), 10, "click", 1.0),
     Ev(2, ts(20), 10, "click", 2.0),
-    Ev(3, ts(70), 10, "buy", 5.0),
+    Ev(3, ts(70), 10, "purchase", 5.0),
     Ev(4, ts(10), 11, "click", 3.0),
     Ev(5, ts(200), 10, "click", 7.0), // new session for user 10 (gap > 30m)
-    Ev(6, ts(65), 11, "buy", 4.0))
+    Ev(6, ts(65), 11, "purchase", 4.0))
 
   test("tumbling window agg: stream == batch") {
     import spark.implicits._
@@ -44,6 +44,41 @@ class StreamingSpec extends AnyFunSuite {
     val expected = batch.collect().map(_.toSeq).toSet
     assert(streamed == expected)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    mem.addData(evs.take(3): _*) // replay
+    q.processAllAvailable()
+    val ids = spark.table("dedup_test").select($"event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // each exactly once
+  }
+
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.purchaseAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val pairs = spark.table("attr_test")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // Purchase 3 (t=70, user 10): click 1 (t=5) is >1h before => excluded,
+    // click 2 (t=20) attributed; click 5 (t=200) is after => excluded.
+    // Purchase 6 (t=65, user 11): click 4 (t=10) within the hour.
+    assert(pairs == Set((3L, 2L), (6L, 4L)))
   }
 
   test("sessionization closes sessions on gap and final flush") {
