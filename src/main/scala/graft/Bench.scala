@@ -55,8 +55,13 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        false
+      }
+      // A throwing query reports -1, never a normal-looking duration.
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Queries are independent: drop cached relations and let the context
       // cleaner reclaim checkpoint/broadcast blocks so one query's residue
       // doesn't stall a later one's tasks.

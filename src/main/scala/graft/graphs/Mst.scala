@@ -51,9 +51,14 @@ object Mst {
         // fixpoint (the same stats-driven choice as GmrRunner.auto); the
         // distributed closure remains the >threshold path.
         val mergePairs = nominated.select($"ca", $"cb")
+        // One action decides the branch: pull up to threshold+1 pairs; an
+        // overflow row means "too big, go distributed" without a separate
+        // count() pass over `nominated`.
+        val threshold = 1000000
+        val sampled = mergePairs.limit(threshold + 1).collect()
         val mapping: DataFrame =
-          if (nominated.count() <= 1000000) {
-            val pairs = mergePairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          if (sampled.length <= threshold) {
+            val pairs = sampled.map(r => (r.getLong(0), r.getLong(1)))
             val parent = scala.collection.mutable.LongMap.empty[Long]
             def find(x: Long): Long = {
               var r = x
@@ -70,12 +75,16 @@ object Mst {
             }
             val resolved = pairs.flatMap { case (x, y) => Seq(x, y) }.distinct
               .map(c => (c, find(c)))
-            resolved.toSeq.toDF("old_comp", "new_comp")
+            // Collected on the driver and small by construction — broadcast.
+            broadcast(resolved.toSeq.toDF("old_comp", "new_comp"))
           } else {
+            // Distributed-WCC output can be multi-million rows: a forced
+            // driver-side broadcast would OOM exactly on the large-graph
+            // path this branch serves — plain shuffle join instead.
             GraphOps.wcc(s, mergePairs.select($"ca".as("src"), $"cb".as("dst")))
               .select($"id".as("old_comp"), $"comp".as("new_comp"))
           }
-        labels = labels.join(broadcast(mapping), labels("comp") === $"old_comp", "left")
+        labels = labels.join(mapping, labels("comp") === $"old_comp", "left")
           .select(labels("id"),
             coalesce($"new_comp", labels("comp")).as("comp"))
           .localCheckpoint()

@@ -83,7 +83,7 @@ object LlmQueries {
          |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
          |       CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
          |         / greatest(len(ws), 1) AS stop_ratio,
-         |       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |       CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
          |         / greatest(len(ws), 1) AS mean_tok_len
          |FROM t""".stripMargin,
     "l10_lang_dist" ->

@@ -28,26 +28,32 @@ object AsOfJoin {
                rightTieBreak: Column,
                rightCols: Seq[String]): DataFrame = {
     val leftOut = left.columns.toSeq
+    // The right payload travels as ONE struct with one last(ignoreNulls)
+    // carry. Carrying each right column independently would stitch values
+    // from different right rows whenever a carried column is legitimately
+    // NULL (the null gets skipped and an older row's value survives).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     // side 0 = right, 1 = left: a right row at time == left time sorts first,
     // giving `<=` semantics in one ordered pass.
     val l = left.select(
       (leftKey.as("_k") +: leftTime.as("_t") +: lit(1).as("_side") +:
         lit(null).cast("long").as("_tie") +:
-        leftOut.map(c => left(c)) ++:
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        lit(null).cast(payloadType).as("_payload") +:
+        leftOut.map(c => left(c))): _*)
     val r = right.select(
       (rightKey.as("_k") +: rightTime.as("_t") +: lit(0).as("_side") +:
         rightTieBreak.cast("long").as("_tie") +:
-        leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightCols.map(c => right(c))): _*)
+        struct(rightCols.map(c => right(c).as(c)): _*).as("_payload") +:
+        leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select((col("*") +: rightCols.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"_carry_$c"))): _*)
+      .withColumn("_carry", last(col("_payload"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .filter(rightCols.map(c => col(s"_carry_$c").isNotNull).reduce(_ && _))
-      .select((leftOut.map(col) ++ rightCols.map(c => col(s"_carry_$c").as(c))): _*)
+      .filter(col("_carry").isNotNull)
+      .select((leftOut.map(col) ++
+        rightCols.map(c => col("_carry").getField(c).as(c))): _*)
   }
 }

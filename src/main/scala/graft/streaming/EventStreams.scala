@@ -31,14 +31,17 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
         col("total"))
 
-  /** Streaming exact dedup: drop replayed event_ids, keeping state only
-    * within the watermark window (at-least-once source → exactly-once
-    * downstream; the streaming twin of the batch L1 dedup).
+  /** Streaming exact dedup: drop replayed event_ids (at-least-once source →
+    * exactly-once downstream; the streaming twin of the batch L1 dedup).
+    * `dropDuplicatesWithinWatermark` ties each key's dedup state to the
+    * watermark so it is actually evicted — plain `dropDuplicates("event_id")`
+    * (no event-time column in the key) would keep every id forever and grow
+    * state unboundedly in a long-running stream.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ev_ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides watermarked so the join state

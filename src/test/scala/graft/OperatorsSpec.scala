@@ -41,6 +41,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 60L, 2L -> 51L, 3L -> 70L))
   }
 
+  test("as-of join carries NULL right columns as-is (no stitching across rows)") {
+    import spark.implicits._
+    // Right rows: at rt=5 payload=(a, 1); at rt=9 payload=(NULL, 2). A left
+    // row at t=10 must carry (NULL, 2) — the matching row's actual values —
+    // not resurrect 'a' from the older row.
+    val left = Seq((1L, 100L, 10L)).toDF("eid", "k", "t")
+    val right = Seq((100L, 5L, Some("a"), 1L), (100L, 9L, None, 2L))
+      .toDF("rk", "rt", "tag", "seq")
+    val out = AsOfJoin.backward(left, right,
+        leftKey = left("k"), rightKey = right("rk"),
+        leftTime = left("t"), rightTime = right("rt"),
+        rightTieBreak = right("seq"), rightCols = Seq("tag", "seq"))
+      .select($"eid", $"tag", $"seq").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(1), "NULL tag from the matched row must survive")
+    assert(out(0).getLong(2) == 2L)
+  }
+
   test("pre-partitioned join reuses partitioning (no extra exchange)") {
     import spark.implicits._
     val a = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("x"))
