@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured FASTER than 32g for the full bench (83 s vs 217 s at
+  // sf0.1): the small heap keeps full-GC pauses short and block-manager
+  // residue small across 59 back-to-back queries. Override via
+  // SPARK_DRIVER_MEM only for memory-bound one-offs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -31,7 +31,12 @@ object SqlRunner {
           alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
     import spark.implicits._
 
-    val e = edges.select($"src", $"dst", $"weight").cache()
+    // Cached pre-partitioned on src: every superstep's senders⋈edges join
+    // finds the edge side already hash-partitioned on its key, so only the
+    // (active-set-sized) senders relation shuffles per round — the DataFrame
+    // form of the reference's precomputed adjloc routing table
+    // (partition.h:276-279).
+    val e = edges.select($"src", $"dst", $"weight").repartition($"src").cache()
     val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
     var verts = vertices.select($"id")
       .join(deg, $"id" === deg("src"), "left")
@@ -56,7 +61,9 @@ object SqlRunner {
         .select($"id", $"outdeg", $"value",
           // NaN-safe: |inf-inf| is NaN, which correctly compares false.
           (abs($"value" - $"old") > alg.epsilon).as("changed"))
-        .localCheckpoint()
+        // Lazy: the changed-count below materializes the checkpoint in the
+        // same job, halving the per-superstep job count.
+        .localCheckpoint(eager = false)
       val t0 = System.nanoTime()
       changedCount = next.filter($"changed").count()
       if (verbose)

@@ -50,7 +50,11 @@ object GraphOps {
   def bfs(s: SparkSession, edgeDf: DataFrame, source: Long = 1L,
           maxDepth: Int = 20): DataFrame = {
     import s.implicits._
-    val e = edgeDf.cache()
+    // Cache the edges ALREADY hash-partitioned on the join key: the cached
+    // partitioning satisfies each round's join requirement, so per round only
+    // the (small) frontier shuffles — the reference's precomputed `adjloc`
+    // routing table, expressed as partitioning reuse.
+    val e = edgeDf.repartition($"src").cache()
     var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint()
     var frontier = dist.select($"id")
@@ -65,7 +69,9 @@ object GraphOps {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        // Plain union of already-checkpointed pieces: lineage stays one
+        // level deep with no extra materialization job per round.
+        dist = dist.union(next)
         frontier = next.select($"id")
       }
     }
@@ -81,20 +87,24 @@ object GraphOps {
     import s.implicits._
     val ue = edgeDf
       .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().cache()
+      .distinct()
+      // Cache co-partitioned on the per-round join key (see bfs).
+      .repartition($"src").cache()
     var labels = ue.select($"src".as("id")).distinct()
       .select($"id", $"id".as("comp")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = labels.join(ue, $"id" === $"src")
-        .select($"dst".as("id"), $"comp")
-      val next = labels.union(prop)
-        .groupBy($"id").agg(min($"comp").as("comp"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), $"n.id" === $"o.id")
-        .filter($"n.comp" < $"o.comp").count()
-      labels = next
+        .select($"dst".as("id"), $"comp", lit(false).as("self"))
+      // Each vertex's own row is tagged; the aggregation then yields both the
+      // new min-label and the previous one, so convergence needs no join —
+      // and the lazy checkpoint makes materialize+changed-count ONE job.
+      val next = labels.select($"id", $"comp", lit(true).as("self")).union(prop)
+        .groupBy($"id").agg(min($"comp").as("comp"),
+          max(when($"self", $"comp")).as("old_comp"))
+        .localCheckpoint(eager = false)
+      changed = next.filter($"comp" < $"old_comp").count()
+      labels = next.select($"id", $"comp")
     }
     ue.unpersist()
     labels
