@@ -29,7 +29,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0))),
+    (FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (es: Seq[Expression]) => SimHashSig(es(0))))
 
   /** Register graft functions into an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -47,5 +53,17 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  /** MinHash signature aggregate over a bigint hash column (32 perms). */
+  def minhashSig(spark: SparkSession, h: Column): Column = {
+    ensureRegistered(spark)
+    call_function("minhash_sig", h)
+  }
+
+  /** SimHash signature aggregate over a bigint hash column (64 bits). */
+  def simhashSig(spark: SparkSession, h: Column): Column = {
+    ensureRegistered(spark)
+    call_function("simhash_sig", h)
   }
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Sketch aggregates as `TypedImperativeAggregate`s — the custom-aggregate
+  * path SURVEY §4 reserves for [EXT] sketches (the reference's `reduce` hook,
+  * gmr.h:104, generalized to a mergeable fixed-size state).
+  *
+  * Why not column-per-permutation `min()` aggregates: 32–64 independent agg
+  * columns build an expression tree wide enough to hurt Janino and carry a
+  * per-column update loop; the sketch buffer is ONE primitive array updated
+  * in a tight loop, shuffles as one compact binary blob, and partial-
+  * aggregates map-side — the constant-size-per-key property that matters at
+  * 100 TB (signature bytes per document, independent of document size).
+  */
+object MinHashSig {
+  /** 2^31 - 1 (prime); all permutation arithmetic is mod P. */
+  val P: Long = 2147483647L
+  val MaxPerm = 64
+
+  /** Fixed-seed universal-hash parameters h_i(x) = (a_i·x + b_i) mod P —
+    * deterministic across runs/sessions so results are reproducible.
+    */
+  val (permA, permB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(MaxPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+      Array.fill(MaxPerm)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+}
+
+/** MinHash signature of a group of 64-bit element hashes: for each of
+  * `numPerm` fixed permutations, the minimum permuted value over the group.
+  * Input rows are arbitrary longs (e.g. `xxhash64` of a shingle); they are
+  * folded into [0, P) internally. Empty groups yield the all-P signature.
+  */
+case class MinHashSig(
+    child: Expression,
+    numPerm: Int = 32,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  import MinHashSig._
+  require(numPerm > 0 && numPerm <= MaxPerm, s"numPerm must be in [1, $MaxPerm]")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(numPerm)(P)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = ((v.asInstanceOf[Long] % P) + P) % P
+      var i = 0
+      while (i < numPerm) {
+        val x = (permA(i) * h + permB(i)) % P // < 2^62, no overflow
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numPerm) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numPerm)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numPerm)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashSig =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashSig =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SimHash signature of a group of 64-bit element hashes: bit b of the
+  * result is set iff more elements have bit b set than clear. Same
+  * fixed-size-mergeable-state rationale as [[MinHashSig]] — the buffer is
+  * 64 signed counters, shuffled as one blob.
+  */
+case class SimHashSig(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) buf(b) += 1 else buf(b) -= 1
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var b = 0
+    while (b < 64) { buf(b) += other(b); b += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (buf(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * 64)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashSig =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashSig =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "simhash_sig"
+}

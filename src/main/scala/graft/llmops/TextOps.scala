@@ -70,17 +70,20 @@ object TextOps {
 object Dedup {
   import TextOps._
 
-  // MinHash permutation parameters: h_i(x) = (a_i*x + b_i) mod p over the
-  // 32-bit murmur3 shingle hash. Fixed seed => deterministic across runs.
-  private val P = 2147483647L // 2^31 - 1, prime
+  // LSH banding: 32 permutations in 8 bands of 4 rows (the signature itself
+  // comes from the MinHashSig TypedImperativeAggregate, graft.functions).
   private val NumPerm = 32
   private val Bands = 8
   private val Rows = NumPerm / Bands
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(NumPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
-      Array.fill(NumPerm)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+
+  /** All (a, b) pairs with a < b from a SORTED array — the posting-list /
+    * bucket pair expansion used by every near-dup path. Pure higher-order
+    * functions, so it stays inside whole-stage codegen.
+    */
+  private[llmops] def pairExpand(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("pa"), y.as("pb")))))
 
   /** L1a: duplicate groups — digest, member count, canonical survivor. */
   def exactDupGroups(s: SparkSession, dir: String): DataFrame = {
@@ -102,14 +105,30 @@ object Dedup {
 
   /** Exact Jaccard similarity for all pairs sharing >=1 shingle, thresholded.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Inverted-index rendering: ONE aggregation builds the posting list per
+    * shingle hash (collect_set dedups (doc, shingle) map-side), pairs come
+    * from in-row posting-list expansion — no self-join, so the shingle
+    * relation shuffles once instead of three times. `maxDf` is the scale
+    * knob: at corpus scale, shingles shared by thousands of documents are
+    * non-discriminative and make pair expansion quadratic — real pipelines
+    * cap document frequency. Left off (None) for oracle-exact semantics.
     */
-  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxDf: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val sh = docShingleHashes(s, dir).cache()
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val raw = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(shingles(tokens($"text"), 4)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val posts = raw.groupBy($"h")
+      .agg(sort_array(collect_set($"doc_id")).as("ds")).cache()
+    // Distinct-shingle count per doc, derived from the deduped posting lists.
+    val counts = posts.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairable = maxDf.fold(posts)(c => posts.filter(size($"ds") <= c))
+    val inter = pairable.filter(size($"ds") >= 2)
+      .select(explode(pairExpand($"ds")).as("p"))
+      .groupBy($"p.pa".as("doc_a"), $"p.pb".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
@@ -119,38 +138,42 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
-  /** MinHash signature per doc: one row, 32 min-aggregates (columnar, no UDF). */
+  /** MinHash signature per doc via the [[graft.functions.MinHashSig]]
+    * TypedImperativeAggregate: one narrow aggregation, constant 256-byte
+    * state per document, partial-aggregated map-side.
+    */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(s, dir)
-      .select($"doc_id", pmod(hash($"s").cast("long"), lit(P)).as("h"))
-    val mins = (0 until NumPerm).map(i =>
-      min(pmod(lit(permA(i)) * $"h" + lit(permB(i)), lit(P))).as(s"m$i"))
-    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    docShingleHashes(s, dir).groupBy($"doc_id")
+      .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"))
   }
 
   /** L2b: MinHash+LSH candidate pairs, exact-verified. Same output contract
     * as [[jaccardPairs]] but only pairs colliding in >=1 of 8 bands are
     * scored — the pair generation never goes quadratic. Pairs right at the
     * threshold can be missed (1-(1-j^4)^8 recall curve): that is inherent to
-    * LSH and is why the oracle-checked query is [[jaccardPairs]].
+    * LSH and is why the oracle-checked query is [[jaccardPairs]]. One
+    * tokenize+shingle pass feeds BOTH the signatures and the verification
+    * (the signature permutes the same xxhash64 shingle hashes).
     */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(s, dir)
-    val bandCols = (0 until Bands).map { b =>
+    val sh = docShingleHashes(s, dir).cache()
+    val sig = sh.groupBy($"doc_id")
+      .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"))
+    val bandCols = (0 until Bands).map(b =>
       struct(lit(b).as("band_id"),
-        hash((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*).as("band_key"))
-    }
+        xxhash64(slice($"sig", b * Rows + 1, Rows)).as("band_key")))
     val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band_id", $"bk.band_key")
-    val cand = banded.as("x").join(banded.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val cand = banded.groupBy($"band_id", $"band_key")
+      .agg(sort_array(collect_set($"doc_id")).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode(pairExpand($"ds")).as("p"))
+      .select($"p.pa".as("doc_a"), $"p.pb".as("doc_b"))
       .distinct()
-    // Exact verification on the candidate set only.
-    val sh = docShingleHashes(s, dir).cache()
+    // Exact verification on the candidate set only (cand is tiny relative to
+    // the corpus — AQE broadcasts it, so sh never shuffles here).
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     cand.join(sh.as("a"), $"doc_a" === $"a.doc_id")
       .join(sh.as("b"), $"doc_b" === $"b.doc_id" && $"a.h" === $"b.h")
@@ -163,33 +186,30 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature from token hashes, 4×16-bit
+  /** SimHash near-dup pairs: 64-bit signature via the
+    * [[graft.functions.SimHashSig]] TypedImperativeAggregate (64 signed
+    * counters as one mergeable blob instead of 64 agg columns), 4×16-bit
     * band blocking, hamming-distance verification via bit_count(xor).
-    * No SQL oracle (hash-function specific); ScalaTest asserts it recovers
-    * the Jaccard near-dup pairs on the test corpus.
+    * No SQL oracle (hash-function specific); ScalaTest pins behavior.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
     val toks = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .select($"doc_id", xxhash64($"tok").as("h"))
-    // For each of 64 bits: +1 if set else -1; sign of the sum is the bit.
-    val bitSums = (0 until 64).map(b =>
-      sum(when(($"h".bitwiseAND(lit(1L << b))) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
-    val sig = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id",
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("sig"))
+    val sig = toks.groupBy($"doc_id")
+      .agg(graft.functions.GraftFunctions.simhashSig(s, $"h").as("sig"))
     val banded = sig.select($"doc_id", $"sig",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
             shiftrightunsigned($"sig", b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key"))): _*)).as("bk"))
       .select($"doc_id", $"sig", $"bk.band_id", $"bk.band_key")
-    banded.as("x").join(banded.as("y"),
-        $"x.band_id" === $"y.band_id" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.sig".bitwiseXOR($"y.sig")).as("hamming"))
+    banded.groupBy($"band_id", $"band_key")
+      .agg(sort_array(collect_set(struct($"doc_id", $"sig"))).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode(pairExpand($"ds")).as("p"))
+      .select($"p.pa.doc_id".as("doc_a"), $"p.pb.doc_id".as("doc_b"),
+        bit_count($"p.pa.sig".bitwiseXOR($"p.pb.sig")).as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, MinHashSig}
+import graft.llmops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash_sig matches a driver-side reference computation") {
+    import spark.implicits._
+    val hs = Seq(3L, -17L, 123456789L, Long.MaxValue, 0L)
+    val got = hs.toDF("h").groupBy()
+      .agg(GraftFunctions.minhashSig(spark, $"h").as("sig"))
+      .head().getSeq[Long](0)
+    val P = MinHashSig.P
+    val expected = (0 until 32).map { i =>
+      hs.map { h0 =>
+        val h = ((h0 % P) + P) % P
+        (MinHashSig.permA(i) * h + MinHashSig.permB(i)) % P
+      }.min
+    }
+    assert(got == expected)
+  }
+
+  test("minhash_sig partial/final merge equals single-group computation") {
+    import spark.implicits._
+    // Many partitions force map-side partials + a merge path.
+    val df = spark.range(0, 1000, 1, 16)
+      .select((($"id" * 2654435761L) % 104729L).as("h"), lit(1).as("g"))
+    val merged = df.repartition(16).groupBy($"g")
+      .agg(GraftFunctions.minhashSig(spark, $"h").as("sig"))
+      .head().getSeq[Long](1)
+    val single = df.coalesce(1).groupBy($"g")
+      .agg(GraftFunctions.minhashSig(spark, $"h").as("sig"))
+      .head().getSeq[Long](1)
+    assert(merged == single)
+  }
+
+  test("simhash_sig equals the column-wise bit-majority formulation") {
+    import spark.implicits._
+    val toks = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"), (1L, "alpha"),
+      (2L, "delta"))
+      .toDF("doc_id", "tok")
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val viaAgg = toks.groupBy($"doc_id")
+      .agg(GraftFunctions.simhashSig(spark, $"h").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitSums = (0 until 64).map(b =>
+      sum(when(($"h".bitwiseAND(lit(1L << b))) =!= 0L, 1).otherwise(-1)).as(s"b$b"))
+    val viaCols = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaCols)
+  }
+
+  test("minhash+LSH recovers the exact jaccard pairs on the test corpus") {
+    import spark.implicits._
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is a subset (recall < 1 at the threshold boundary) and both
+    // are exact-verified, so lsh ⊆ exact; on this corpus the near-dups are
+    // far above threshold, so recall should be total.
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("jaccardPairs maxDf cap drops only capped-shingle evidence") {
+    // With a df cap of 1 no shingle can pair anything: empty result.
+    assert(Dedup.jaccardPairs(spark, sf, maxDf = Some(1)).isEmpty)
+  }
+}
