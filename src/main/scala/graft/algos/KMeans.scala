@@ -19,7 +19,15 @@ import graft.functions.GraftFunctions
 object KMeans {
 
   /** @return (vec_id, cluster) assignment after `iters` Lloyd rounds. */
-  def fit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame = {
+  def fit(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame =
+    fitWithCentroids(s, dir, k, iters)._2
+
+  /** Lloyd iterations returning BOTH the trained centroids `(cluster, c)`
+    * and the assignment `(vec_id, cluster)` — the coarse-quantizer API the
+    * IVF similarity index builds on.
+    */
+  def fitWithCentroids(s: SparkSession, dir: String, k: Int = 8,
+                       iters: Int = 5): (DataFrame, DataFrame) = {
     import s.implicits._
     val points = graft.Tables.load(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
@@ -53,7 +61,7 @@ object KMeans {
     }
     val out = assign(centroids)
     points.unpersist()
-    out
+    (centroids, out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

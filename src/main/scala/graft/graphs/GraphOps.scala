@@ -129,6 +129,37 @@ object GraphOps {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous label propagation (community detection) for a FIXED number
+    * of rounds with a deterministic tie-break: each round every vertex
+    * adopts the most frequent label among its neighbors, ties to the
+    * smallest label. The fixed round count + total tie order make the
+    * result reproducible (free-running LPA is famously order-dependent —
+    * this is the deterministic variant an oracle can replay). Two
+    * aggregations per round, both on the shuffled message relation; the
+    * edge cache is co-partitioned on the join key (see bfs).
+    */
+  def lpa(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val ue = edgeDf
+      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .repartition($"src").cache()
+    var labels = ue.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = labels.join(ue, $"id" === $"src")
+        .groupBy($"dst".as("nid"), $"label")
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (count, -label): max count, then smallest label.
+        .groupBy($"nid")
+        .agg(max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
+        .select($"nid".as("id"), (lit(0L) - $"m.nl").as("label"))
+        .localCheckpoint()
+    }
+    ue.unpersist()
+    labels
+  }
+
   /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform
     * init, no dangling redistribution) so the oracle stays plain SQL. The
     * open-ended iterative version lives in the engine runner.

@@ -118,6 +118,12 @@ object GraphQueries {
       g.stronglyConnectedComponents(numIter = 50)
         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "comp")
     }),
+    // Label propagation (community detection), 2 synchronous rounds with
+    // deterministic ties — the companion to WCC on the stub ledger
+    // (algorithms.h:210-214 declares component intent; LPA is the
+    // community-structure generalization GraphX also ships).
+    "g13_lpa2" -> ((s, dir) =>
+      GraphOps.lpa(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
     // BENCH anchor: SSSP on the reference's 4elt mesh through the auto
     // runner (stats pick the single-task local path) — directly comparable
     // to BASELINE.md's 0.28 s native run. Rows-only check (not table data).
@@ -205,6 +211,25 @@ object GraphQueries {
          |  WHERE wk.d < 150
          |)
          |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin,
+    // LPA, 2 unrolled synchronous rounds; per round each vertex takes the
+    // most frequent neighbor label, ties to the smallest label — the same
+    // (cnt DESC, label ASC) argmax as the Spark side.
+    "g13_lpa2" ->
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |ue AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ue),
+         |c1 AS (SELECT ue.dst AS id, l0.label, count(*) AS cnt
+         |       FROM ue JOIN l0 ON l0.id = ue.src GROUP BY 1, 2),
+         |l1 AS (SELECT id, label FROM (
+         |         SELECT id, label, row_number() OVER (
+         |           PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |         FROM c1) x WHERE rn = 1),
+         |c2 AS (SELECT ue.dst AS id, l1.label, count(*) AS cnt
+         |       FROM ue JOIN l1 ON l1.id = ue.src GROUP BY 1, 2)
+         |SELECT id, label FROM (
+         |  SELECT id, label, row_number() OVER (
+         |    PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM c2) x WHERE rn = 1""".stripMargin,
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
     "g09_scc" ->

@@ -25,6 +25,7 @@ object LlmQueries {
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
     "l12_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
     "l13_langid" -> ((s, dir) => TextStats.langIdHeuristic(s, dir)),
+    "l15_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
   )
 
   private val toksSql =
@@ -99,5 +100,24 @@ object LlmQueries {
       """SELECT DISTINCT doc_id, md5(substr(text, i, 8)) AS fp
         |FROM documents, unnest(range(1, length(text) - 6)) t(i)
         |WHERE substr(md5(substr(text, i, 8)), 32, 1) IN ('0', '1')""".stripMargin,
+    // Marker-scoring language ID: per candidate language, count of its
+    // marker tokens; argmax with the Spark side's exact tie order (score
+    // DESC, then candidate code DESC — the struct sort in langIdHeuristic).
+    "l13_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang, 'en' AS cand,
+         |         CAST(len(list_filter(ws, w -> w IN ('the','and','of'))) AS DOUBLE) AS score FROM t
+         |  UNION ALL SELECT doc_id, lang, 'es',
+         |         CAST(len(list_filter(ws, w -> w IN ('el','la','de'))) AS DOUBLE) FROM t
+         |  UNION ALL SELECT doc_id, lang, 'fr',
+         |         CAST(len(list_filter(ws, w -> w IN ('le','la','et'))) AS DOUBLE) FROM t
+         |  UNION ALL SELECT doc_id, lang, 'de',
+         |         CAST(len(list_filter(ws, w -> w IN ('der','die','und'))) AS DOUBLE) FROM t
+         |  UNION ALL SELECT doc_id, lang, 'zh', 0.0 FROM t)
+         |SELECT doc_id, lang, cand AS lang_pred FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc) x WHERE rn = 1""".stripMargin,
   )
 }

@@ -52,6 +52,46 @@ object Similarity {
       .select($"query_id", $"vec_id", $"sim")
   }
 
+  /** L3d: IVF (inverted-file) approximate top-k — the index-backed scale
+    * path of [[cosineTopK]]. A k-means coarse quantizer partitions the
+    * corpus into `kCentroids` inverted lists; each query probes only the
+    * `nProbe` nearest lists and brute-forces within them. At corpus scale
+    * the lists are the partitioning/bucketing key, so a probe touches
+    * nProbe/kCentroids of the data and the per-query work is a pruned
+    * partition scan, not a full pass. Recall < 1 by construction (a true
+    * neighbor can live in an unprobed list) — rows-only check; ScalaTest
+    * measures recall against the exact scan.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+              kCentroids: Int = 8, nProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    val (centroids, assigned) =
+      graft.algos.KMeans.fitWithCentroids(s, dir, kCentroids)
+    // Corpus keyed by inverted list. At 100 TB this relation is written
+    // bucketed by `cluster`; here the shuffle on cluster plays that role.
+    val lists = emb(s, dir).join(assigned, "vec_id")
+      .select($"cluster", $"vec_id", $"v", $"norm")
+    val q = emb(s, dir).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    // Rank centroids per query (tiny cross product, broadcast both ways).
+    val wProbe = Window.partitionBy($"query_id").orderBy($"d2".asc, $"cluster".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        GraftFunctions.arrayDot(s, $"c", $"c") -
+          lit(2.0) * GraftFunctions.arrayDot(s, $"qv", $"c"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nProbe)
+      .select($"query_id", $"qv", $"qnorm", $"cluster")
+    val sims = lists.join(broadcast(probes), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        sig6(GraftFunctions.arrayDot(s, $"qv", $"v") / ($"qnorm" * $"norm")).as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"query_id", $"vec_id", $"sim")
+  }
+
   /** L3b: embedding near-duplicate pairs (cosine >= threshold), blocked on
     * `label` so the pair space stays ~n²/|labels|. Oracle-checked.
     */

@@ -36,4 +36,30 @@ class GraphAlgoSpec extends AnyFunSuite {
       .vertices.collect().toMap
     assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
+
+  test("LPA 2 rounds: triangle converges to min label, pendant pair oscillates") {
+    import spark.implicits._
+    // Triangle {1,2,3} + disjoint edge {4,5}. Hand-traced synchronous
+    // rounds with (max count, min label) ties:
+    //   r1: 1→2 (nbr labels {2,3}), 2→1, 3→1, 4→5, 5→4
+    //   r2: 1→1 (both nbrs now 1), 2→1 (tie {2,1}), 3→1, 4→4, 5→5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.lpa(spark, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("IVF top-k: high recall vs the exact scan, exact sims, full rows") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.llmops.Similarity.cosineTopK(spark, sf)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.llmops.Similarity.ivfTopK(spark, sf)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 50, "k rows per query (lists hold enough candidates)")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f below floor")
+  }
 }
