@@ -26,6 +26,8 @@ object LlmQueries {
     "l12_fingerprints" -> ((s, dir) => TextStats.fingerprints(s, dir)),
     "l13_langid" -> ((s, dir) => TextStats.langIdHeuristic(s, dir)),
     "l15_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "l16_quality_filter" -> ((s, dir) => TextStats.qualityFilter(s, dir)),
+    "l17_top_ngrams" -> ((s, dir) => TextStats.topNgrams(s, dir)),
   )
 
   private val toksSql =
@@ -119,5 +121,30 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
          |  FROM sc) x WHERE rn = 1""".stripMargin,
+    "l16_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, chars, n_tokens,
+         |       CASE WHEN chars < 150 THEN 'too_short'
+         |            WHEN n_tokens < 20 THEN 'few_tokens'
+         |            WHEN stop_ratio > 0.45 THEN 'stopword_heavy'
+         |            ELSE 'ok' END AS reason,
+         |       (CASE WHEN chars < 150 THEN 'too_short'
+         |            WHEN n_tokens < 20 THEN 'few_tokens'
+         |            WHEN stop_ratio > 0.45 THEN 'stopword_heavy'
+         |            ELSE 'ok' END = 'ok') AS keep
+         |FROM t""".stripMargin,
+    "l17_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |ng AS (
+         |  SELECT ws[i] || ' ' || ws[i+1] AS ngram
+         |  FROM t, unnest(range(1, len(ws))) u(i))
+         |SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram
+         |ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
   )
 }

@@ -72,6 +72,43 @@ object TextStats {
         filter($"grams", m => substring(m, 32, 1).isin("0", "1")))).as("fp"))
   }
 
+  /** L4f: rule-based quality filter — the keep/drop decision stage of a
+    * training-data pipeline, with the FIRST failing rule as the recorded
+    * reason (auditable filtering, not just a boolean). Pure projection:
+    * embarrassingly parallel at corpus scale.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.load(s, dir, "documents")
+      .withColumn("ws", tokens($"text"))
+      .select($"doc_id",
+        length($"text").cast("long").as("chars"),
+        size($"ws").cast("long").as("n_tokens"),
+        (size(filter($"ws", w => array_contains(stopArr, w))).cast("double") /
+          greatest(size($"ws"), lit(1)).cast("double")).as("stop_ratio"))
+      .select($"doc_id", $"chars", $"n_tokens",
+        when($"chars" < 150, "too_short")
+          .when($"n_tokens" < 20, "few_tokens")
+          .when($"stop_ratio" > 0.45, "stopword_heavy")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", ($"reason" === "ok").cast("boolean"))
+  }
+
+  /** L4g: corpus-level top-k n-grams (k=20 bigrams) — vocabulary/frequency
+    * analysis. Map-side partial aggregation collapses the per-partition
+    * counts before the single low-cardinality shuffle; the global top-k is
+    * a TakeOrdered, not a full sort.
+    */
+  def topNgrams(s: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(TextOps.shingles(tokens($"text"), n)).as("ngram"))
+      .groupBy($"ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"ngram".asc)
+      .limit(k)
+  }
+
   /** L4e: n-gram/stopword language-ID heuristic. The synthetic corpus shares
     * one vocabulary across langs, so this demonstrates the mechanics (scored
     * evidence columns + argmax), not real accuracy. Rows-only check.
