@@ -34,13 +34,16 @@ object KMeans {
       .cache()
 
     // dist²(a,b) = |a|² - 2a·b + |b|²; only -2a·b + |b|² varies per centroid.
+    // The vector rides through the argmin aggregation so the centroid
+    // update needs no join back to the points.
     def assign(centroids: DataFrame): DataFrame =
       points.crossJoin(broadcast(centroids))
         .withColumn("d2",
           GraftFunctions.arrayDot(s, $"c", $"c") -
             lit(2.0) * GraftFunctions.arrayDot(s, $"v", $"c"))
         .groupBy($"vec_id")
-        .agg(min_by($"cluster", struct($"d2", $"cluster")).as("cluster"))
+        .agg(min_by($"cluster", struct($"d2", $"cluster")).as("cluster"),
+          first($"v").as("v"))
 
     var centroids = points.orderBy($"vec_id").limit(k)
       .select($"vec_id".cast("int").as("cluster"), $"v".as("c"))
@@ -49,17 +52,18 @@ object KMeans {
     var it = 0
     while (it < iters) {
       it += 1
-      val assigned = assign(centroids)
-      centroids = points.join(assigned, "vec_id")
-        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cluster", $"pos")
-        .agg(avg($"x").as("m"))
+      // Centroid update = ONE aggregation: the ArraySumAgg sketch sums
+      // vectors elementwise with map-side partials (k×dim doubles shuffled
+      // per partition), replacing the posexplode → per-dimension avg →
+      // re-assembly pipeline (rows×dim exploded rows, three shuffles).
+      centroids = assign(centroids)
         .groupBy($"cluster")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cluster", expr("transform(pm, p -> p.m)").as("c"))
+        .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"),
+          count(lit(1)).as("n"))
+        .select($"cluster", transform($"sv", x => x / $"n").as("c"))
         .localCheckpoint()
     }
-    val out = assign(centroids)
+    val out = assign(centroids).select($"vec_id", $"cluster")
     points.unpersist()
     (centroids, out)
   }

@@ -35,7 +35,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSig(es(0))),
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (es: Seq[Expression]) => SimHashSig(es(0))))
+      (es: Seq[Expression]) => SimHashSig(es(0))),
+    (FunctionIdentifier("array_sum_agg"),
+      new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
+      (es: Seq[Expression]) => ArraySumAgg(es(0))))
 
   /** Register graft functions into an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -65,5 +68,11 @@ object GraftFunctions {
   def simhashSig(spark: SparkSession, h: Column): Column = {
     ensureRegistered(spark)
     call_function("simhash_sig", h)
+  }
+
+  /** Elementwise-sum aggregate over an array<double> column. */
+  def arraySumAgg(spark: SparkSession, v: Column): Column = {
+    ensureRegistered(spark)
+    call_function("array_sum_agg", v)
   }
 }

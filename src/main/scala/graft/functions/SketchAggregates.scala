@@ -108,6 +108,75 @@ case class MinHashSig(
   override def prettyName: String = "minhash_sig"
 }
 
+/** Elementwise sum of array<double> rows — the vector-accumulation kernel
+  * (k-means centroid updates, mean embeddings). Buffer = one primitive
+  * double array sized to the first row's dimension; partial-aggregates
+  * map-side, so a groupBy ships k×dim doubles per partition instead of
+  * exploding rows×dim. Mismatched dims sum over the shorter prefix.
+  */
+case class ArraySumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_sum_agg requires array<double>, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  private def grow(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val out = grow(buf, arr.numElements())
+      var i = 0
+      while (i < arr.numElements()) { out(i) += arr.getDouble(i); i += 1 }
+      out
+    }
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    val out = grow(buf, other.length)
+    var i = 0
+    while (i < other.length) { out(i) += other(i); i += 1 }
+    out
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ArraySumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ArraySumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "array_sum_agg"
+}
+
 /** SimHash signature of a group of 64-bit element hashes: bit b of the
   * result is set iff more elements have bit b set than clear. Same
   * fixed-size-mergeable-state rationale as [[MinHashSig]] — the buffer is

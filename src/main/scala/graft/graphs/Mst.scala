@@ -20,18 +20,17 @@ object Mst {
     */
   def boruvka(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
-    val e = edges.select($"a", $"b", $"w").cache()
-    var labels = e.select($"a".as("id")).union(e.select($"b".as("id")))
-      .distinct().select($"id", $"id".as("comp")).localCheckpoint()
+    // The loop carries the RELABELED edge list itself (init: each endpoint
+    // is its own component, so no label join is needed at all) and contracts
+    // it in place each round. The working set shrinks geometrically with the
+    // component count, instead of re-joining the full edge list against a
+    // label table every round.
+    var cur = edges.select($"a", $"b", $"w", $"a".as("ca"), $"b".as("cb"))
+      .localCheckpoint()
     var mst = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
     var done = false
     while (!done) {
-      val cross = e
-        .join(labels.as("la"), $"a" === $"la.id")
-        .join(labels.as("lb"), $"b" === $"lb.id")
-        .select($"a", $"b", $"w", $"la.comp".as("ca"), $"lb.comp".as("cb"))
-        .filter($"ca" =!= $"cb")
-        .localCheckpoint()
+      val cross = cur.filter($"ca" =!= $"cb").localCheckpoint()
       if (cross.isEmpty) done = true
       else {
         // Each component nominates its lightest outgoing edge (from either
@@ -44,7 +43,8 @@ object Mst {
             $"e.ca".as("ca"), $"e.cb".as("cb"))
           .distinct()
           .localCheckpoint()
-        mst = mst.union(nominated.select($"a", $"b", $"w")).localCheckpoint()
+        // nominated is already checkpointed — the union is lineage-free.
+        mst = mst.union(nominated.select($"a", $"b", $"w"))
         // Contract over the component-merge graph. It has at most one edge
         // per component (halving each round), so below a generous threshold
         // a driver-side union-find replaces a whole distributed min-label
@@ -84,13 +84,16 @@ object Mst {
             GraphOps.wcc(s, mergePairs.select($"ca".as("src"), $"cb".as("dst")))
               .select($"id".as("old_comp"), $"comp".as("new_comp"))
           }
-        labels = labels.join(mapping, labels("comp") === $"old_comp", "left")
-          .select(labels("id"),
-            coalesce($"new_comp", labels("comp")).as("comp"))
+        // Contract: relabel both endpoints of the surviving cross edges.
+        cur = cross
+          .join(mapping.as("ma"), $"ca" === $"ma.old_comp", "left")
+          .join(mapping.as("mb"), $"cb" === $"mb.old_comp", "left")
+          .select($"a", $"b", $"w",
+            coalesce($"ma.new_comp", $"ca").as("ca"),
+            coalesce($"mb.new_comp", $"cb").as("cb"))
           .localCheckpoint()
       }
     }
-    e.unpersist()
     mst
   }
 

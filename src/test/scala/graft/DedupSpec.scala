@@ -59,6 +59,20 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaCols)
   }
 
+  test("array_sum_agg sums elementwise across partitions") {
+    import spark.implicits._
+    val df = spark.range(0, 100, 1, 8)
+      .select(($"id" % 4).as("g"),
+        array($"id".cast("double"), lit(1.0), ($"id" * 2).cast("double")).as("v"))
+    val got = df.groupBy($"g")
+      .agg(GraftFunctions.arraySumAgg(spark, $"v").as("sv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0L until 4L).foreach { g =>
+      val ids = (0 until 100).filter(_ % 4 == g)
+      assert(got(g) == Seq(ids.sum.toDouble, ids.size.toDouble, ids.sum * 2.0))
+    }
+  }
+
   test("minhash+LSH recovers the exact jaccard pairs on the test corpus") {
     import spark.implicits._
     val exact = Dedup.jaccardPairs(spark, sf)
