@@ -29,6 +29,11 @@ object LocalRunner {
     import spark.implicits._
 
     // One DF, one partition: kind 0 = vertex row, kind 1 = edge row.
+    // coalesce(1) deliberately collapses the upstream scan into the loop
+    // task: at the graph sizes that reach this runner (<= 5M edges) a
+    // single-task parse beats a repartition(1) exchange (measured 1.0 s vs
+    // 2.4 s warm on 4elt) — the exchange's 32-task scan + shuffle overhead
+    // exceeds the parse itself.
     val packed = vertices.select(lit(0).as("kind"), $"id".as("a"),
         lit(0L).as("b"), lit(0.0).as("w"))
       .union(edges.select(lit(1).as("kind"), $"src".as("a"), $"dst".as("b"),

@@ -32,10 +32,13 @@ object GraphSource {
     val header = meaningful.take(2).map(_.split("[^0-9]+").head.toLong)
     val (nV, nE) = (header(0), header(1))
 
+    // Cached: the zero-based probe below materializes the parse in parallel
+    // once; every downstream consumer (runner pack, counts) reads the
+    // cached rows instead of re-parsing the text.
     val pairs = meaningful.flatMap { l =>
       val ns = l.split("[^0-9]+").filter(_.nonEmpty)
       if (ns.length >= 2) Some((ns(0).toLong, ns(1).toLong)) else None
-    }.toDF("src", "dst")
+    }.toDF("src", "dst").cache()
 
     val zeroBased = pairs.agg(min(least($"src", $"dst")).as("m"))
       .first().getLong(0) == 0L
