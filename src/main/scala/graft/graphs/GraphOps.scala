@@ -57,22 +57,24 @@ object GraphOps {
     val e = edgeDf.repartition($"src").cache()
     var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    var frontier = dist.select($"id")
+    // The frontier CARRIES its distance (dist+1 per hop) instead of baking a
+    // per-round literal into the plan: every round then compiles to the
+    // identical generated code and hits the codegen cache after round 1.
+    var frontier = dist
     var depth = 0L
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
       val next = frontier.join(e, frontier("id") === e("src"))
-        .select(e("dst").as("id")).distinct()
+        .select(e("dst").as("id"), (frontier("dist") + 1L).as("dist")).distinct()
         .join(dist, Seq("id"), "left_anti")
-        .select($"id", lit(depth).as("dist"))
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
         // Plain union of already-checkpointed pieces: lineage stays one
         // level deep with no extra materialization job per round.
         dist = dist.union(next)
-        frontier = next.select($"id")
+        frontier = next
       }
     }
     e.unpersist()

@@ -61,7 +61,7 @@ object GraphSource {
       .flatMap { l =>
         val ns = l.split("[^0-9]+").filter(_.nonEmpty)
         if (ns.length >= 2) Some((ns(0).toLong, ns(1).toLong)) else None
-      }.toDF("src", "dst")
+      }.toDF("src", "dst").cache() // parse once: counts + consumers share it
     val edges = pairs.withColumn("weight", lit(1.0))
     val vertices = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct()
