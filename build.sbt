@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // residue small across 59 back-to-back queries. Override via
   // SPARK_DRIVER_MEM only for memory-bound one-offs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ benched queries generate thousands of Janino/JIT-compiled classes;
+  // the JDK default 240 MB code cache fills mid-run and later queries lose
+  // JIT compilation entirely.
+  "-XX:ReservedCodeCacheSize=512m",
 )
