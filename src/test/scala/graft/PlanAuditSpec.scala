@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties the 100 TB posture depends on,
+  * pinned as assertions so a regression in plan shape fails CI, not a
+  * cluster run. Each query is executed first so AQE's final plan (the one
+  * that actually ran) is inspected.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ranPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes both predicates and prunes columns at the parquet scan") {
+    val plan = ranPlan("q01_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("LessThan(l_shipdate"), plan)
+    assert(plan.contains("GreaterThan"), plan) // l_quantity > 24 (string may truncate)
+    // Pruned read schema: the 16-column lineitem scan reads only what the
+    // query needs (keys + filter + projection inputs) — audited via the
+    // FileScan output attribute list (the ReadSchema string truncates).
+    val scanCols = "FileScan parquet \\[[^\\]]+\\]".r.findFirstIn(plan).getOrElse("")
+    assert(scanCols.nonEmpty && !scanCols.contains("l_comment"), scanCols)
+  }
+
+  test("q04 dimension chain joins are broadcast, not shuffled") {
+    val plan = ranPlan("q04_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q06/q07 plan semi/anti joins (no materialized inner result)") {
+    assert(ranPlan("q06_semi_join").contains("LeftSemi"))
+    assert(ranPlan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("top-k queries use TakeOrdered, never a full global sort") {
+    assert(ranPlan("q08_topk").contains("TakeOrderedAndProject"))
+    assert(ranPlan("l17_top_ngrams").contains("TakeOrderedAndProject"))
+  }
+
+  test("q02 aggregates partially map-side before the shuffle") {
+    val plan = ranPlan("q02_group_agg")
+    assert(plan.contains("partial_sum") || plan.contains("partial_avg"), plan)
+  }
+
+  test("whole-stage codegen covers the q01 scan-filter-project pipeline") {
+    // In tree-string form codegen stages are the "*(n)" prefixes.
+    val plan = ranPlan("q01_filter_project")
+    assert(plan.contains("*(1)"), plan)
+  }
+}
