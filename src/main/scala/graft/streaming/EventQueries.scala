@@ -45,6 +45,28 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
     }),
+
+    // Gap-based sessionization in batch: a session breaks when >30 min of
+    // event time passes between a user's consecutive events. lag → running
+    // sum of session starts → group; the exact batch twin of the
+    // flatMapGroupsWithState streaming sessionizer (EventStreams.sessionize),
+    // putting those semantics behind the SQL oracle gate.
+    "q31_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gapMs = 30 * 60 * 1000L
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"), $"value")
+        .withColumn("new_sess",
+          when(lag($"ms", 1).over(w).isNull ||
+            ($"ms" - lag($"ms", 1).over(w)) > gapMs, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum($"new_sess").over(wRun))
+        .groupBy($"user_id", $"sess_idx")
+        .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+          count(lit(1)).as("n_events"), sig6(sum($"value")).as("total_value"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +85,18 @@ object EventQueries {
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
          |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q31_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+         |                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |x AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS sess_idx
+         |  FROM m)
+         |SELECT user_id, sess_idx, min(ms) AS start_ms, max(ms) AS end_ms,
+         |       count(*) AS n_events, ${sig6Sql("sum(value)")} AS total_value
+         |FROM x GROUP BY user_id, sess_idx""".stripMargin,
   )
 }
