@@ -73,10 +73,13 @@ object Bench {
       }
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // Queries are independent: drop cached relations and let the context
-      // cleaner reclaim checkpoint/broadcast blocks so one query's residue
-      // doesn't stall a later one's tasks.
+      // Queries are independent: drop cached relations AND the persisted
+      // RDDs that back localCheckpoints (clearCache does not touch those —
+      // iterative queries leave one block set per superstep), then let the
+      // context cleaner reclaim broadcast residue.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       name -> dt
     }
