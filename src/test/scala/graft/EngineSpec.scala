@@ -103,6 +103,28 @@ class EngineSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1.0))
   }
 
+  test("mid-size stress: tri-runner SSSP equality on a 200k-edge random graph") {
+    // Beyond the toy fixtures: a deterministic pseudo-random graph big
+    // enough that the distributed runners do real multi-partition work, and
+    // all three physical executors must still agree bit-for-bit.
+    import spark.implicits._
+    val nV = 20000L
+    val edges = spark.range(0, 200000)
+      .select((pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+      .cache()
+    val verts = spark.range(1, nV + 1).select($"id")
+    val meta = GraphMeta(nV, source = 1L)
+    val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+    val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+    assert(sqlR == localR)
+    val reached = sqlR.count(!_._2.isInfinite)
+    assert(reached > 10000, s"unexpectedly sparse reachability: $reached")
+    edges.unpersist()
+  }
+
   test("WCC dual runners agree on small.graph") {
     import spark.implicits._
     val sym = small.edges
