@@ -28,5 +28,6 @@ object SparkEntry {
     relational.RelationalQueries.oracles ++
       llmops.LlmQueries.oracles ++
       graphs.GraphQueries.oracles ++
-      streaming.EventQueries.oracles
+      streaming.EventQueries.oracles ++
+      multimodal.MultimodalOps.oracles
 }

@@ -104,5 +104,27 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n_frames"),
           sum(length($"frame_bytes")).as("total_bytes"))
     }),
+    // Metadata-only stats: kind/width/height are deterministic arithmetic
+    // over (doc_id, n_chars), so this one IS SQL-expressible and puts the
+    // media-table schema + typed pipeline behind the hash-checked gate.
+    "m03_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      mediaTable(s, dir).toDF()
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"),
+          graft.Canon.sig6(avg($"width")).as("avg_w"),
+          graft.Canon.sig6(avg($"height")).as("avg_h"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m03_media_meta" ->
+      s"""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |            WHEN doc_id % 3 = 1 THEN 'audio'
+         |            ELSE 'video' END AS kind,
+         |       count(*) AS n,
+         |       ${graft.Canon.sig6Sql("avg(64 + n_chars % 64)")} AS avg_w,
+         |       ${graft.Canon.sig6Sql("avg(64 + doc_id % 64)")} AS avg_h
+         |FROM documents GROUP BY 1""".stripMargin,
   )
 }
