@@ -85,9 +85,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failures carry the -1 sentinel per-query but must not subtract from
+    // the headline total; a non-zero "failed" count flags them.
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val mb = 1024.0 * 1024.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -11,8 +11,9 @@ import graft.functions.GraftFunctions
   *
   *   assign: cross join points × broadcast(centroids), argmin distance
   *           (min_by over a tiny broadcast side — no shuffle of the points)
-  *   update: groupBy cluster, per-dimension mean via posexplode + pivot-free
-  *           aggregation (shuffles only k×dim partial sums per partition)
+  *   update: ONE groupBy(cluster) with the ArraySumAgg elementwise-sum
+  *           sketch (k×dim partial sums shuffled per partition), then a
+  *           per-element divide by the cluster size
   *
   * Deterministic: seeds = the k lowest vec_ids, fixed iteration count.
   */

@@ -22,23 +22,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$name takes exactly $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   private[functions] val specs: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
+      arity("array_dot", 2)(es => ArrayDot(es(0), es(1)))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+      arity("cosine_sim", 2)(es => CosineSim(es(0), es(1)))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (es: Seq[Expression]) => MinHashSig(es(0))),
+      arity("minhash_sig", 1)(es => MinHashSig(es(0)))),
     (FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (es: Seq[Expression]) => SimHashSig(es(0))),
+      arity("simhash_sig", 1)(es => SimHashSig(es(0)))),
     (FunctionIdentifier("array_sum_agg"),
       new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
-      (es: Seq[Expression]) => ArraySumAgg(es(0))))
+      arity("array_sum_agg", 1)(es => ArraySumAgg(es(0)))))
 
   /** Register graft functions into an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

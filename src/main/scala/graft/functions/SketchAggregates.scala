@@ -110,9 +110,10 @@ case class MinHashSig(
 
 /** Elementwise sum of array<double> rows — the vector-accumulation kernel
   * (k-means centroid updates, mean embeddings). Buffer = one primitive
-  * double array sized to the first row's dimension; partial-aggregates
-  * map-side, so a groupBy ships k×dim doubles per partition instead of
-  * exploding rows×dim. Mismatched dims sum over the shorter prefix.
+  * double array that zero-extends to the longest row seen; partial-
+  * aggregates map-side, so a groupBy ships k×dim doubles per partition
+  * instead of exploding rows×dim. Ragged inputs therefore sum over the
+  * LONGEST dimension with absent entries contributing 0.
   */
 case class ArraySumAgg(
     child: Expression,

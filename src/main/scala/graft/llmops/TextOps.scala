@@ -121,10 +121,10 @@ object Dedup {
       .select($"doc_id", explode(shingles(tokens($"text"), 4)).as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
     val posts = raw.groupBy($"h")
-      .agg(sort_array(collect_set($"doc_id")).as("ds")).cache()
-    // Distinct-shingle count per doc, derived from the deduped posting lists.
-    val counts = posts.select(explode($"ds").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_set($"doc_id")).as("ds"))
+    // Distinct-shingle count per doc straight off the raw relation — no
+    // cache of the posting lists needed (nothing consumes them twice).
+    val counts = raw.groupBy($"doc_id").agg(count_distinct($"h").as("n"))
     val pairable = maxDf.fold(posts)(c => posts.filter(size($"ds") <= c))
     val inter = pairable.filter(size($"ds") >= 2)
       .select(explode(pairExpand($"ds")).as("p"))

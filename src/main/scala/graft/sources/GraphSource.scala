@@ -34,7 +34,10 @@ object GraphSource {
 
     // Cached: the zero-based probe below materializes the parse in parallel
     // once; every downstream consumer (runner pack, counts) reads the
-    // cached rows instead of re-parsing the text.
+    // cached rows instead of re-parsing the text. The cache intentionally
+    // lives for the session (consumers are lazy, so there is no safe point
+    // to unpersist here); footprint is one parsed edge list per distinct
+    // graph file, and batch drivers (Bench) clear caches between queries.
     val pairs = meaningful.flatMap { l =>
       val ns = l.split("[^0-9]+").filter(_.nonEmpty)
       if (ns.length >= 2) Some((ns(0).toLong, ns(1).toLong)) else None

@@ -31,12 +31,14 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
         col("total"))
 
-  /** Streaming exact dedup: drop replayed event_ids (at-least-once source →
-    * exactly-once downstream; the streaming twin of the batch L1 dedup).
-    * `dropDuplicatesWithinWatermark` ties each key's dedup state to the
-    * watermark so it is actually evicted — plain `dropDuplicates("event_id")`
-    * (no event-time column in the key) would keep every id forever and grow
-    * state unboundedly in a long-running stream.
+  /** Streaming dedup of replayed event_ids (the streaming twin of the batch
+    * L1 dedup). `dropDuplicatesWithinWatermark` ties each key's dedup state
+    * to the watermark so it is actually evicted — plain
+    * `dropDuplicates("event_id")` (no event-time column in the key) would
+    * keep every id forever and grow state unboundedly. The dedup guarantee
+    * is correspondingly bounded: a replay arriving within the watermark
+    * delay of the first copy is dropped; a replay arriving after that
+    * state was evicted is emitted again (at-least-once, not exactly-once).
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events

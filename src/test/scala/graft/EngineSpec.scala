@@ -119,7 +119,9 @@ class EngineSpec extends AnyFunSuite {
     val meta = GraphMeta(nV, source = 1L)
     val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
     val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+    val gxR = toMap(GraphXRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
     assert(sqlR == localR)
+    assert(sqlR == gxR)
     val reached = sqlR.count(!_._2.isInfinite)
     assert(reached > 10000, s"unexpectedly sparse reachability: $reached")
     edges.unpersist()
