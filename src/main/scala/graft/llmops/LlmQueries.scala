@@ -28,6 +28,7 @@ object LlmQueries {
     "l15_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "l16_quality_filter" -> ((s, dir) => TextStats.qualityFilter(s, dir)),
     "l17_top_ngrams" -> ((s, dir) => TextStats.topNgrams(s, dir)),
+    "l18_mean_embedding" -> ((s, dir) => Similarity.meanEmbeddings(s, dir)),
   )
 
   private val toksSql =
@@ -146,5 +147,12 @@ object LlmQueries {
          |  FROM t, unnest(range(1, len(ws))) u(i))
          |SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram
          |ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+    "l18_mean_embedding" ->
+      s"""WITH d AS (
+         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+         |  GROUP BY 1, 2)
+         |SELECT label, list(${graft.Canon.sig6Sql("m")} ORDER BY i) AS mean_vec
+         |FROM d GROUP BY label""".stripMargin,
   )
 }

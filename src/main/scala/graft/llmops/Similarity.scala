@@ -92,6 +92,20 @@ object Similarity {
       .select($"query_id", $"vec_id", $"sim")
   }
 
+  /** L3e: per-label mean embedding (class centroids) via the ArraySumAgg
+    * elementwise-sum sketch — one aggregation, k×dim doubles shuffled per
+    * partition. Oracle-checked elementwise, which puts the custom aggregate
+    * itself behind the DuckDB gate.
+    */
+  def meanEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"label", transform($"embedding", x => x.cast("double")).as("v"))
+      .groupBy($"label")
+      .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"), count(lit(1)).as("n"))
+      .select($"label", transform($"sv", x => sig6(x / $"n")).as("mean_vec"))
+  }
+
   /** L3b: embedding near-duplicate pairs (cosine >= threshold), blocked on
     * `label` so the pair space stays ~n²/|labels|. Oracle-checked.
     */
