@@ -31,11 +31,19 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** documents with a distinct (doc_id, shingle) relation. */
+  /** documents with a distinct (doc_id, shingle) relation.
+    *
+    * The token array is materialized into its own column FIRST: `shingles`
+    * references its input inside higher-order-function lambdas, and HOFs
+    * neither codegen nor common-subexpression-eliminate across the lambda
+    * boundary — feeding `tokens(text)` in directly re-runs the regex
+    * tokenization once PER SHINGLE (measured 2-3× on the whole query).
+    */
   def docShingles(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(shingles(tokens($"text"), n)).as("s"))
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(shingles($"ws", n)).as("s"))
       .distinct()
   }
 
@@ -47,7 +55,8 @@ object TextOps {
   def docShingleHashes(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(shingles(tokens($"text"), n)).as("s"))
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(shingles($"ws", n)).as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
       .distinct()
   }
@@ -117,13 +126,17 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
                    maxDf: Option[Int] = None): DataFrame = {
     import s.implicits._
+    // Cached: both the posting lists and the per-doc counts aggregate this
+    // relation; without the cache the tokenize+shingle pipeline runs twice
+    // (measured 2×). Footprint is 16 bytes/shingle for the query's
+    // lifetime; Bench clears caches between queries.
     val raw = Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(shingles(tokens($"text"), 4)).as("s"))
+      .select($"doc_id", tokens($"text").as("ws")) // see docShingles note
+      .select($"doc_id", explode(shingles($"ws", 4)).as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
+      .cache()
     val posts = raw.groupBy($"h")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
-    // Distinct-shingle count per doc straight off the raw relation — no
-    // cache of the posting lists needed (nothing consumes them twice).
     val counts = raw.groupBy($"doc_id").agg(count_distinct($"h").as("n"))
     val pairable = maxDf.fold(posts)(c => posts.filter(size($"ds") <= c))
     val inter = pairable.filter(size($"ds") >= 2)

@@ -103,7 +103,8 @@ object TextStats {
   def topNgrams(s: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(explode(TextOps.shingles(tokens($"text"), n)).as("ngram"))
+      .select(tokens($"text").as("ws")) // materialized first; see docShingles
+      .select(explode(TextOps.shingles($"ws", n)).as("ngram"))
       .groupBy($"ngram").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"ngram".asc)
       .limit(k)
