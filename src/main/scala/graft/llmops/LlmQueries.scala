@@ -29,6 +29,23 @@ object LlmQueries {
     "l16_quality_filter" -> ((s, dir) => TextStats.qualityFilter(s, dir)),
     "l17_top_ngrams" -> ((s, dir) => TextStats.topNgrams(s, dir)),
     "l18_mean_embedding" -> ((s, dir) => Similarity.meanEmbeddings(s, dir)),
+    // End-to-end cleaning pipeline in ONE plan: quality filter → exact-dup
+    // survivor selection → per-language corpus stats. The composition is
+    // the point — each stage is a first-class operator above, and chaining
+    // them stays a single Catalyst plan (filter pushes under the window).
+    "l19_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val kept = TextStats.qualityFilter(s, dir).filter($"keep")
+        .select($"doc_id", $"n_tokens")
+      val docs = graft.Tables.load(s, dir, "documents")
+        .join(kept, "doc_id")
+      val w = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+      docs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+    }),
   )
 
   private val toksSql =
@@ -154,5 +171,23 @@ object LlmQueries {
          |  GROUP BY 1, 2)
          |SELECT label, list(${graft.Canon.sig6Sql("m")} ORDER BY i) AS mean_vec
          |FROM d GROUP BY label""".stripMargin,
+    "l19_clean_corpus" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, n_tokens FROM t
+         |  WHERE chars >= 150 AND n_tokens >= 20 AND stop_ratio <= 0.45),
+         |dedup AS (
+         |  SELECT d.doc_id, d.lang, kept.n_tokens,
+         |         row_number() OVER (PARTITION BY md5(d.text)
+         |                            ORDER BY d.doc_id) AS rn
+         |  FROM documents d JOIN kept ON kept.doc_id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |FROM dedup WHERE rn = 1 GROUP BY lang""".stripMargin,
   )
 }

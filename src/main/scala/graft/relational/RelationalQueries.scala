@@ -296,6 +296,16 @@ object RelationalQueries {
         .groupBy($"c_nationkey")
         .agg(array_join(array_sort(collect_list($"c_name")), "|").as("names"))
     }),
+
+    // Explicit GROUPING SETS (the general form behind rollup/cube): two
+    // independent summaries in one aggregation pass over the fact table.
+    "q32_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
   )
 
   /** Shared inputs for the set-operation queries: two overlapping custkey sets. */
@@ -456,5 +466,9 @@ object RelationalQueries {
          |SELECT x.i AS i, y.i AS j, ${sig6Sql("sum(x.v * y.v)")} AS v
          |FROM m x JOIN m y ON x.pos = y.pos
          |GROUP BY x.i, y.i""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
   )
 }
