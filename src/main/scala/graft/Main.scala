@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.Algorithms
+import graft.engine.{GmrRunner, GraphMeta}
+import graft.graphs.GraphOps
+import graft.sources.GraphSource
+
+/** CLI mirroring the reference's entry point (`igmr [algorithm] [partitions]
+  * [graphfile]`, igmr.cpp:89-102 via startgmr.sh:14): a user of the
+  * reference runs the same three algorithms by name on the same graph
+  * files. Output follows the reference's printResult shapes (O14):
+  * SSSP prints `path_len(<src>, <v>):<d>` per reached vertex
+  * (algorithms.h:62-67), TriangleCount prints the global count
+  * (algorithms.h:189-194), PageRank prints a completion summary (the
+  * reference's PageRank has no result printer, algorithms.h:111).
+  */
+object Main {
+
+  /** Run one named algorithm; returns the result frame (also printed). */
+  def run(spark: SparkSession, algo: String, graphFile: String): DataFrame = {
+    import spark.implicits._
+    val g = GraphSource.readGmrText(spark, graphFile)
+    algo.toLowerCase match {
+      case "sssp" =>
+        GmrRunner.auto(spark, g.vertices, g.edges, Algorithms.Sssp,
+          GraphMeta(g.numVertices, source = 1L), numEdges = g.numEdges)
+          .filter(!$"value".isin(Double.PositiveInfinity))
+          .select($"id", $"value".cast("long").as("dist"))
+      case "trianglecount" =>
+        GraphOps.triangleCount(spark, g.edges.select($"src", $"dst"))
+      case "pagerank" =>
+        // Reference-parity constants: d = 0.5 (README.md:112-113); global-N
+        // damping (the reference's per-partition n is a documented artifact
+        // of its partitioning, SURVEY §2.2).
+        GmrRunner.auto(spark, g.vertices, g.edges,
+          Algorithms.PageRank(0.5), GraphMeta(g.numVertices),
+          numEdges = g.numEdges)
+          .select($"id", $"value".as("rank"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown algorithm '$other' (expected pagerank|trianglecount|sssp)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // Arg order mirrors the reference CLI; the partition-count argument is
+    // accepted for compatibility but Spark's planner sizes partitions.
+    val algo = args.headOption.getOrElse("trianglecount")
+    val graphFile = args.lift(2).orElse(args.lift(1))
+      .filter(a => !a.forall(_.isDigit))
+      .getOrElse("/root/reference/graph/small.graph")
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val out = run(spark, algo, graphFile)
+    algo.toLowerCase match {
+      case "sssp" =>
+        out.orderBy("id").collect()
+          .foreach(r => println(s"path_len(1, ${r.getLong(0)}):${r.getLong(1)}"))
+      case "trianglecount" =>
+        println(s"triangles: ${out.head().getLong(0)}")
+      case _ =>
+        println(s"pagerank: ${out.count()} vertices converged")
+    }
+    println(f"total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    spark.stop()
+  }
+}

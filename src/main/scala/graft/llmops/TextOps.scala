@@ -163,7 +163,10 @@ object Dedup {
 
   /** L2b: MinHash+LSH candidate pairs, exact-verified. Same output contract
     * as [[jaccardPairs]] but only pairs colliding in >=1 of 8 bands are
-    * scored — the pair generation never goes quadratic. Pairs right at the
+    * scored, so pair generation is quadratic only within a band bucket —
+    * bounded in practice by near-dup cluster size (run exact dedup FIRST:
+    * a corpus of thousands of identical docs puts them all in one bucket
+    * of every band). Pairs right at the
     * threshold can be missed (1-(1-j^4)^8 recall curve): that is inherent to
     * LSH and is why the oracle-checked query is [[jaccardPairs]]. One
     * tokenize+shingle pass feeds BOTH the signatures and the verification
