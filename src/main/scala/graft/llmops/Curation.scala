@@ -1,0 +1,112 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline needs between cleaning
+  * and training: deterministic splits, stratified downsampling, sequence
+  * packing, PII redaction, and mixture-rate planning.
+  *
+  * Everything here is a pure map/filter or a partitioned window/aggregate —
+  * no driver-side state, no global ordering, no RNG. Determinism comes from
+  * md5 bucketing (stable across engines, runs, and cluster sizes), which is
+  * what makes a 100 TB split reproducible: re-running the pipeline after
+  * appending data never reassigns an existing document.
+  */
+object Curation {
+
+  /** First 8 hex digits of md5(salt || key) as a 0..99 bucket — the portable
+    * deterministic "RNG". Identical formula in the DuckDB oracles.
+    */
+  private def hashBucket(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** L20: deterministic train/validation/test assignment (90/5/5).
+    * Pure projection: no shuffle, fully pushdown-friendly, and stable under
+    * corpus growth — a document's split never changes when other rows are
+    * added, unlike `randomSplit` or any count-based scheme.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", hashBucket("split:", $"doc_id").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "validation")
+          .otherwise("test"))
+  }
+
+  /** L21: stratified downsampling — per-language keep rates applied via a
+    * salted hash threshold. A map-side filter (no shuffle, no sampling
+    * state); the salt decorrelates it from the split buckets so sampling
+    * composes with [[splitAssign]] without bias.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 40L)
+      .when($"lang" === "es", 60L)
+      .when($"lang" === "fr", 80L)
+      .otherwise(100L)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", hashBucket("smp:", $"doc_id").as("bucket"))
+      .filter($"bucket" < rate)
+  }
+
+  /** L22: sequence packing — concat-then-chunk into fixed token budgets.
+    * Documents are streamed per language in doc_id order; each doc's start
+    * offset is a running token sum, and its chunk is `offset / budget`
+    * (doc-level first-fit: the training-batch packing layout). One shuffle
+    * (the per-language window partition); at scale the stream key would be
+    * (lang, shard) to bound partition size — the layout is unchanged.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("off", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("chunk_id", floor($"off" / budget))
+      .groupBy($"lang", $"chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("chunk_tokens"))
+  }
+
+  /** L23: PII redaction — emails then standalone digit runs replaced with
+    * typed placeholders; the pre-redaction count is kept for auditing.
+    * Patterns are deliberately in the regex subset where Java regex and RE2
+    * agree (character classes + greedy quantifiers, no alternation or
+    * backtracking-dependent constructs), so the oracle is exact.
+    */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val num = "[0-9]+"
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"text", email, "<EMAIL>"), num, "<NUM>")
+          .as("clean_text"),
+        regexp_count($"text", lit(num)).as("n_nums"))
+  }
+
+  /** L24: mixture-rate planning — the per-source sampling rate that flattens
+    * the corpus to a uniform source mix. Input to [[stratifiedSample]]-style
+    * filters when rebalancing a crawl. The corpus-wide totals are a one-row
+    * aggregate broadcast back over the per-source counts (not an
+    * unpartitioned window, which would single-partition the relation).
+    */
+  def mixRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum($"n").as("total"), count(lit(1)).as("n_sources"))
+    counts.crossJoin(broadcast(totals))
+      .select($"source", $"n",
+        graft.Canon.sig6(
+          least(lit(1.0), $"total" / ($"n_sources" * $"n"))).as("rate"))
+  }
+}

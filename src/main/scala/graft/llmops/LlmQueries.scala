@@ -33,6 +33,11 @@ object LlmQueries {
     // survivor selection → per-language corpus stats. The composition is
     // the point — each stage is a first-class operator above, and chaining
     // them stays a single Catalyst plan (filter pushes under the window).
+    "l20_split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
+    "l21_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    "l22_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
+    "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
+    "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
     "l19_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -171,6 +176,50 @@ object LlmQueries {
          |  GROUP BY 1, 2)
          |SELECT label, list(${graft.Canon.sig6Sql("m")} ORDER BY i) AS mean_vec
          |FROM d GROUP BY label""".stripMargin,
+    // The portable deterministic bucket: first 8 md5 hex digits as an int,
+    // mod 100 — byte-identical in Spark (conv) and DuckDB (0x cast).
+    "l20_split_assign" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents) t""".stripMargin,
+    "l21_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents) t
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 60
+        |                          WHEN 'fr' THEN 80 ELSE 100 END)""".stripMargin,
+    "l22_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+         |           - n_tokens AS off
+         |  FROM t)
+         |SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS chunk_id,
+         |       count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+         |FROM o GROUP BY 1, 2""".stripMargin,
+    "l23_redact_pii" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+',
+        |           '<EMAIL>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums
+        |FROM documents""".stripMargin,
+    "l24_mix_rates" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+         |SELECT source, n,
+         |       ${sig6Sql("least(1.0::DOUBLE, (sum(n) OVER ()) / ((count(*) OVER ()) * n))")} AS rate
+         |FROM c""".stripMargin,
     "l19_clean_corpus" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

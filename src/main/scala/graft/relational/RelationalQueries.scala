@@ -306,6 +306,24 @@ object RelationalQueries {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
     }),
+
+    // ntile quantile bucketing — per-priority order-value quartiles. The
+    // window is PARTITIONED (never a global single-partition ntile: at scale
+    // that serializes the table through one task; per-key quartiles shuffle
+    // on the partition key like any other window).
+    "q33_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy($"o_orderpriority", $"quartile")
+        .agg(count(lit(1)).as("cnt"),
+          sig6(min($"o_totalprice")).as("lo"),
+          sig6(max($"o_totalprice")).as("hi"))
+    }),
   )
 
   /** Shared inputs for the set-operation queries: two overlapping custkey sets. */
@@ -470,5 +488,15 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q33_ntile" ->
+      s"""WITH q AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |         ntile(4) OVER (PARTITION BY o_orderpriority
+         |                        ORDER BY o_totalprice, o_orderkey) AS quartile
+         |  FROM orders)
+         |SELECT o_orderpriority, quartile, count(*) AS cnt,
+         |       ${sig6Sql("min(o_totalprice)")} AS lo,
+         |       ${sig6Sql("max(o_totalprice)")} AS hi
+         |FROM q GROUP BY 1, 2""".stripMargin,
   )
 }
