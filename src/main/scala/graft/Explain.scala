@@ -22,6 +22,21 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--jobs")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = starts.remove(j.jobId)
+            println(f"[job] ${j.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+          }
+        })
+    }
     // Construction is inside the timer: iterative queries (engine loops,
     // Borůvka) run their supersteps while BUILDING the result DataFrame.
     val t0 = System.nanoTime()

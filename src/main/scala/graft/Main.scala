@@ -22,22 +22,21 @@ object Main {
   /** Run one named algorithm; returns the result frame (also printed). */
   def run(spark: SparkSession, algo: String, graphFile: String): DataFrame = {
     import spark.implicits._
-    val g = GraphSource.readGmrText(spark, graphFile)
     algo.toLowerCase match {
       case "sssp" =>
-        GmrRunner.auto(spark, g.vertices, g.edges, Algorithms.Sssp,
-          GraphMeta(g.numVertices, source = 1L), numEdges = g.numEdges)
+        GmrRunner.autoFile(spark, graphFile, Algorithms.Sssp,
+            n => GraphMeta(n, source = 1L))
           .filter(!$"value".isin(Double.PositiveInfinity))
           .select($"id", $"value".cast("long").as("dist"))
       case "trianglecount" =>
+        val g = GraphSource.readGmrText(spark, graphFile)
         GraphOps.triangleCount(spark, g.edges.select($"src", $"dst"))
       case "pagerank" =>
         // Reference-parity constants: d = 0.5 (README.md:112-113); global-N
         // damping (the reference's per-partition n is a documented artifact
         // of its partitioning, SURVEY §2.2).
-        GmrRunner.auto(spark, g.vertices, g.edges,
-          Algorithms.PageRank(0.5), GraphMeta(g.numVertices),
-          numEdges = g.numEdges)
+        GmrRunner.autoFile(spark, graphFile, Algorithms.PageRank(0.5),
+            n => GraphMeta(n))
           .select($"id", $"value".as("rank"))
       case other =>
         throw new IllegalArgumentException(

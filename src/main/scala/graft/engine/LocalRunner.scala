@@ -49,69 +49,79 @@ object LocalRunner {
         if (r.getInt(0) == 0) vertIds += r.getLong(1)
         else { srcs += r.getLong(1); dsts += r.getLong(2); wgts += r.getDouble(3) }
       }
-      val n = vertIds.length
-      val idx = new mutable.LongMap[Int](n * 2)
-      var i = 0
-      while (i < n) { idx(vertIds(i)) = i; i += 1 }
-
-      // CSR over local indices.
-      val outdeg = new Array[Int](n)
-      val m = srcs.length
-      i = 0
-      while (i < m) { outdeg(idx(srcs(i))) += 1; i += 1 }
-      val xadj = new Array[Int](n + 1)
-      i = 0
-      while (i < n) { xadj(i + 1) = xadj(i) + outdeg(i); i += 1 }
-      val adj = new Array[Int](m)
-      val w = new Array[Double](m)
-      val fill = xadj.clone()
-      i = 0
-      while (i < m) {
-        val s = idx(srcs(i))
-        adj(fill(s)) = idx(dsts(i)); w(fill(s)) = wgts(i); fill(s) += 1
-        i += 1
-      }
-
-      // Superstep loop with the scalar algebra — same semantics as the
-      // distributed runners (active-set send, merge, update, |Δ|>ε).
-      val value = Array.tabulate(n)(j => alg.initFn(vertIds(j), meta))
-      var changed = Array.fill(n)(true)
-      val msg = new Array[Double](n)
-      val hasMsg = new Array[Boolean](n)
-      var iter = 0
-      var changedCount = n.toLong
-      while (iter < alg.maxIter && changedCount > 0) {
-        iter += 1
-        java.util.Arrays.fill(hasMsg, false)
-        var u = 0
-        while (u < n) {
-          if ((!alg.activeMessaging || changed(u)) && alg.sendCondFn(value(u))) {
-            var e = xadj(u)
-            val end = xadj(u + 1)
-            while (e < end) {
-              val v = adj(e)
-              val mv = alg.msgFn(value(u), w(e), outdeg(u))
-              if (hasMsg(v)) msg(v) = alg.mergeFn(msg(v), mv)
-              else { msg(v) = mv; hasMsg(v) = true }
-              e += 1
-            }
-          }
-          u += 1
-        }
-        val nextChanged = new Array[Boolean](n)
-        changedCount = 0
-        u = 0
-        while (u < n) {
-          val nv = alg.updateFn(value(u), if (hasMsg(u)) Some(msg(u)) else None, meta)
-          val delta = math.abs(nv - value(u))
-          if (delta > alg.epsilon) { nextChanged(u) = true; changedCount += 1 }
-          value(u) = nv
-          u += 1
-        }
-        changed = nextChanged
-      }
-      (0 until n).iterator.map(j => (vertIds(j), value(j)))
+      csrLoop(vertIds.toArray, srcs.toArray, dsts.toArray, wgts.toArray,
+        alg, meta)
     }.toDF("id", "value")
+  }
+
+  /** The CSR build + superstep loop — same scalar algebra as the distributed
+    * runners (active-set send, merge, update, |Δ|>ε), shared by the
+    * single-task path above and the driver-side file path below.
+    */
+  private[engine] def csrLoop(vertIds: Array[Long], srcs: Array[Long],
+                              dsts: Array[Long], wgts: Array[Double],
+                              alg: GmrAlgorithm, meta: GraphMeta)
+      : Iterator[(Long, Double)] = {
+    val n = vertIds.length
+    val idx = new mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx(vertIds(i)) = i; i += 1 }
+
+    // CSR over local indices.
+    val outdeg = new Array[Int](n)
+    val m = srcs.length
+    i = 0
+    while (i < m) { outdeg(idx(srcs(i))) += 1; i += 1 }
+    val xadj = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { xadj(i + 1) = xadj(i) + outdeg(i); i += 1 }
+    val adj = new Array[Int](m)
+    val w = new Array[Double](m)
+    val fill = xadj.clone()
+    i = 0
+    while (i < m) {
+      val s = idx(srcs(i))
+      adj(fill(s)) = idx(dsts(i)); w(fill(s)) = wgts(i); fill(s) += 1
+      i += 1
+    }
+
+    val value = Array.tabulate(n)(j => alg.initFn(vertIds(j), meta))
+    var changed = Array.fill(n)(true)
+    val msg = new Array[Double](n)
+    val hasMsg = new Array[Boolean](n)
+    var iter = 0
+    var changedCount = n.toLong
+    while (iter < alg.maxIter && changedCount > 0) {
+      iter += 1
+      java.util.Arrays.fill(hasMsg, false)
+      var u = 0
+      while (u < n) {
+        if ((!alg.activeMessaging || changed(u)) && alg.sendCondFn(value(u))) {
+          var e = xadj(u)
+          val end = xadj(u + 1)
+          while (e < end) {
+            val v = adj(e)
+            val mv = alg.msgFn(value(u), w(e), outdeg(u))
+            if (hasMsg(v)) msg(v) = alg.mergeFn(msg(v), mv)
+            else { msg(v) = mv; hasMsg(v) = true }
+            e += 1
+          }
+        }
+        u += 1
+      }
+      val nextChanged = new Array[Boolean](n)
+      changedCount = 0
+      var u2 = 0
+      while (u2 < n) {
+        val nv = alg.updateFn(value(u2), if (hasMsg(u2)) Some(msg(u2)) else None, meta)
+        val delta = math.abs(nv - value(u2))
+        if (delta > alg.epsilon) { nextChanged(u2) = true; changedCount += 1 }
+        value(u2) = nv
+        u2 += 1
+      }
+      changed = nextChanged
+    }
+    (0 until n).iterator.map(j => (vertIds(j), value(j)))
   }
 }
 
@@ -120,10 +130,88 @@ object GmrRunner {
   /** Below this many edges the single-task local loop wins on latency. */
   val LocalEdgeThreshold: Long = 5_000_000L
 
+  /** Below this file size a LOCAL graph file never touches the cluster:
+    * parse and loop on the driver (one tiny job materializes the result).
+    * The reference baseline is itself a single-node run — this tier is what
+    * makes the latency comparison apples-to-apples, and it's the same
+    * statistics-driven physical choice as broadcast-join selection.
+    */
+  val DriverFileBytesThreshold: Long = 64L * 1024 * 1024
+
   def auto(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
            alg: GmrAlgorithm, meta: GraphMeta, numEdges: Long): DataFrame =
     if (numEdges <= LocalEdgeThreshold)
       LocalRunner.run(spark, vertices, edges, alg, meta)
     else
       SqlRunner.run(spark, vertices, edges, alg, meta)
+
+  /** File-backed auto-dispatch: a small local file runs wholly driver-side
+    * (GMR text semantics: header, comments, 0-based shift, gap-fill — same
+    * contract as [[graft.sources.GraphSource.readGmrText]], pinned equal by
+    * FourEltSpec); anything larger or remote takes the distributed read +
+    * [[auto]]. `metaFor` receives |V| from the header.
+    */
+  def autoFile(spark: SparkSession, path: String, alg: GmrAlgorithm,
+               metaFor: Long => GraphMeta): DataFrame = {
+    import spark.implicits._
+    val p = if (path.startsWith("file:")) path.stripPrefix("file:") else path
+    val f = new java.io.File(p)
+    if (!p.contains("://") && f.isFile && f.length() <= DriverFileBytesThreshold) {
+      // Hand-rolled scanner (the reference's parser is one too,
+      // partition.h:81-153): first two integers per meaningful line, no
+      // regex, no per-line String allocations beyond the reader's.
+      val rd = new java.io.BufferedReader(new java.io.FileReader(f), 1 << 16)
+      try {
+        val srcs = new mutable.ArrayBuffer[Long](1 << 16)
+        val dsts = new mutable.ArrayBuffer[Long](1 << 16)
+        var minId = Long.MaxValue
+        var nV = -1L
+        var headerSeen = 0
+        var line = rd.readLine()
+        while (line != null) {
+          val len = line.length
+          var i = 0
+          while (i < len && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+          if (i < len && line.charAt(i) != '#') {
+            // first two unsigned ints on the line
+            var a = -1L; var b = -1L; var cur = -1L
+            while (i < len && b < 0) {
+              val c = line.charAt(i)
+              if (c >= '0' && c <= '9')
+                cur = (if (cur < 0) 0L else cur) * 10 + (c - '0')
+              else if (cur >= 0) {
+                if (a < 0) a = cur else b = cur
+                cur = -1L
+              }
+              i += 1
+            }
+            if (cur >= 0) { if (a < 0) a = cur else if (b < 0) b = cur }
+            if (a >= 0) {
+              if (headerSeen == 0) { nV = a; headerSeen = 1 }        // |V|
+              else if (headerSeen == 1) headerSeen = 2                // |E|
+              else if (b >= 0) {
+                srcs += a; dsts += b
+                if (a < minId) minId = a
+                if (b < minId) minId = b
+              }
+            }
+          }
+          line = rd.readLine()
+        }
+        val shift = if (minId == 0L) 1L else 0L
+        val m = srcs.length
+        val sArr = new Array[Long](m); val dArr = new Array[Long](m)
+        var i = 0
+        while (i < m) { sArr(i) = srcs(i) + shift; dArr(i) = dsts(i) + shift; i += 1 }
+        val verts = Array.tabulate(nV.toInt)(j => j + 1L) // gap-fill: 1..|V|
+        val res = LocalRunner.csrLoop(verts, sArr, dArr,
+          Array.fill(m)(1.0), alg, metaFor(nV)).toSeq
+        spark.createDataset(res).toDF("id", "value")
+      } finally rd.close()
+    } else {
+      val g = graft.sources.GraphSource.readGmrText(spark, path)
+      auto(spark, g.vertices, g.edges, alg, metaFor(g.numVertices),
+        numEdges = g.numEdges)
+    }
+  }
 }

@@ -124,14 +124,14 @@ object GraphQueries {
     // community-structure generalization GraphX also ships).
     "g13_lpa2" -> ((s, dir) =>
       GraphOps.lpa(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
-    // BENCH anchor: SSSP on the reference's 4elt mesh through the auto
-    // runner (stats pick the single-task local path) — directly comparable
-    // to BASELINE.md's 0.28 s native run. Rows-only check (not table data).
+    // BENCH anchor: SSSP on the reference's 4elt mesh through the
+    // file-backed auto runner (a sub-MB local file parses and loops wholly
+    // driver-side — the native baseline is also a single-node run) —
+    // directly comparable to BASELINE.md's 0.28 s. Rows-only check.
     "b01_sssp_4elt" -> ((s, dir) => {
       import s.implicits._
-      val g = GraphSource.readGmrText(s, "/root/reference/graph/4elt.graph")
-      GmrRunner.auto(s, g.vertices, g.edges, Algorithms.Sssp,
-          GraphMeta(g.numVertices, source = 1L), numEdges = g.numEdges)
+      GmrRunner.autoFile(s, "/root/reference/graph/4elt.graph",
+          Algorithms.Sssp, n => GraphMeta(n, source = 1L))
         .select($"id", $"value".cast("long").as("dist"))
     }),
   )

@@ -49,4 +49,21 @@ class FourEltSpec extends AnyFunSuite {
       "(BASELINE native: 0.28 s)")
     checkHistogram(hist)
   }
+
+  test("driver-side file tier (autoFile) equals the distributed parse+run") {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val viaFile = graft.engine.GmrRunner
+      .autoFile(spark, "/root/reference/graph/4elt.graph", Algorithms.Sssp,
+        n => GraphMeta(n, source = 1L))
+    checkHistogram(histOf(viaFile))
+    info(f"autoFile 4elt SSSP wall: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      "(BASELINE native: 0.28 s)")
+    // Row-for-row equality against the cluster path, not just the histogram.
+    val g = GraphSource.readGmrText(spark, "/root/reference/graph/4elt.graph")
+    val viaCluster = LocalRunner.run(spark, g.vertices, g.edges,
+      Algorithms.Sssp, GraphMeta(g.numVertices, source = 1L))
+    assert(viaFile.as("a").join(viaCluster.as("b"), "id")
+      .filter($"a.value" =!= $"b.value").count() == 0)
+  }
 }
