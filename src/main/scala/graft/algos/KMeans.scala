@@ -33,6 +33,9 @@ object KMeans {
     val points = graft.Tables.load(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .cache()
+    // Size the per-round argmin shuffle to the data (a 64-dim double vector
+    // row is ~0.5 KB on the wire); the count also materializes the cache.
+    val nPoints = points.count()
 
     // dist²(a,b) = |a|² - 2a·b + |b|²; only -2a·b + |b|² varies per centroid.
     // The vector rides through the argmin aggregation so the centroid
@@ -46,27 +49,30 @@ object KMeans {
         .agg(min_by($"cluster", struct($"d2", $"cluster")).as("cluster"),
           first($"v").as("v"))
 
-    var centroids = points.orderBy($"vec_id").limit(k)
-      .select($"vec_id".cast("int").as("cluster"), $"v".as("c"))
-      .localCheckpoint()
-
-    var it = 0
-    while (it < iters) {
-      it += 1
-      // Centroid update = ONE aggregation: the ArraySumAgg sketch sums
-      // vectors elementwise with map-side partials (k×dim doubles shuffled
-      // per partition), replacing the posexplode → per-dimension avg →
-      // re-assembly pipeline (rows×dim exploded rows, three shuffles).
-      centroids = assign(centroids)
-        .groupBy($"cluster")
-        .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"),
-          count(lit(1)).as("n"))
-        .select($"cluster", transform($"sv", x => x / $"n").as("c"))
+    graft.engine.LoopConf.withShuffleParts(s,
+        graft.engine.LoopConf.sizedParallelism(s, nPoints, 520)) {
+      var centroids = points.orderBy($"vec_id").limit(k)
+        .select($"vec_id".cast("int").as("cluster"), $"v".as("c"))
         .localCheckpoint()
+
+      var it = 0
+      while (it < iters) {
+        it += 1
+        // Centroid update = ONE aggregation: the ArraySumAgg sketch sums
+        // vectors elementwise with map-side partials (k×dim doubles shuffled
+        // per partition), replacing the posexplode → per-dimension avg →
+        // re-assembly pipeline (rows×dim exploded rows, three shuffles).
+        centroids = assign(centroids)
+          .groupBy($"cluster")
+          .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"),
+            count(lit(1)).as("n"))
+          .select($"cluster", transform($"sv", x => x / $"n").as("c"))
+          .localCheckpoint()
+      }
+      val out = assign(centroids).select($"vec_id", $"cluster")
+      points.unpersist()
+      (centroids, out)
     }
-    val out = assign(centroids).select($"vec_id", $"cluster")
-    points.unpersist()
-    (centroids, out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

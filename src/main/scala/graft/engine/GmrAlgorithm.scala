@@ -53,3 +53,39 @@ trait GmrAlgorithm extends Serializable {
   def mergeFn(a: Double, b: Double): Double
   def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double
 }
+
+/** Stats-driven sizing for iterative-loop shuffles.
+  *
+  * An iterative round over a few-thousand-edge graph scheduled at the
+  * session's full shuffle width pays ~10× more in task dispatch than in
+  * work; a 100 TB graph takes the session cap, which a real deployment
+  * sizes to the cluster. One partition per ~1M edges, floor 1.
+  */
+object LoopConf {
+  /** Partitions for ~64 MB of shuffled loop state each, floor 1, capped at
+    * the session setting.
+    */
+  def sizedParallelism(s: org.apache.spark.sql.SparkSession,
+                       numRows: Long, rowBytes: Long): Int = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = 64L * 1024 * 1024
+    math.max(1, math.min(cap.toLong,
+      (numRows * rowBytes + target - 1) / target).toInt)
+  }
+
+  /** Edge-relation convenience: a (src, dst, weight) row is ~16-24 B on the
+    * wire — one partition per ~1-4M edges.
+    */
+  def loopParallelism(s: org.apache.spark.sql.SparkSession, numEdges: Long): Int =
+    sizedParallelism(s, numEdges, 24)
+
+  /** Run `body` with shuffle partitions temporarily set to `n`; the loops
+    * materialize every round eagerly, so the setting is in force for
+    * exactly the loop's own shuffles.
+    */
+  def withShuffleParts[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

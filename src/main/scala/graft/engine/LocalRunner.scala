@@ -143,7 +143,7 @@ object GmrRunner {
     if (numEdges <= LocalEdgeThreshold)
       LocalRunner.run(spark, vertices, edges, alg, meta)
     else
-      SqlRunner.run(spark, vertices, edges, alg, meta)
+      SqlRunner.run(spark, vertices, edges, alg, meta, numEdges)
 
   /** File-backed auto-dispatch: a small local file runs wholly driver-side
     * (GMR text semantics: header, comments, 0-based shift, gap-fill — same

@@ -26,52 +26,63 @@ object SqlRunner {
     */
   private val verbose = sys.props.get("graft.engine.verbose").contains("true")
 
-  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value). */
+  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value).
+    * `numEdges` < 0 means unknown — one counting pass sizes the loop.
+    */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
+          alg: GmrAlgorithm, meta: GraphMeta, numEdges: Long = -1L): DataFrame = {
     import spark.implicits._
 
-    // Cached pre-partitioned on src: every superstep's senders⋈edges join
-    // finds the edge side already hash-partitioned on its key, so only the
-    // (active-set-sized) senders relation shuffles per round — the DataFrame
-    // form of the reference's precomputed adjloc routing table
-    // (partition.h:276-279).
-    val e = edges.select($"src", $"dst", $"weight").repartition($"src").cache()
-    val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
-    var verts = vertices.select($"id")
-      .join(deg, $"id" === deg("src"), "left")
-      .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
-        alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
-      .localCheckpoint()
+    val sel0 = edges.select($"src", $"dst", $"weight")
+    // Unknown size: cache BEFORE counting so the sizing pass and the
+    // partitioned cache below share one computation of the edge derivation.
+    val needCount = numEdges < 0
+    val sel = if (needCount) sel0.cache() else sel0
+    val m = if (needCount) sel.count() else numEdges
+    LoopConf.withShuffleParts(spark, LoopConf.loopParallelism(spark, m)) {
+      // Cached pre-partitioned on src: every superstep's senders⋈edges join
+      // finds the edge side already hash-partitioned on its key, so only the
+      // (active-set-sized) senders relation shuffles per round — the DataFrame
+      // form of the reference's precomputed adjloc routing table
+      // (partition.h:276-279).
+      val e = sel.repartition($"src").cache()
+      val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
+      var verts = vertices.select($"id")
+        .join(deg, $"id" === deg("src"), "left")
+        .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
+          alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
+        .localCheckpoint()
 
-    var iter = 0
-    var changedCount = 1L
-    while (iter < alg.maxIter && changedCount > 0) {
-      iter += 1
-      val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
-      val senders = senders0.filter(alg.sendCondCol($"value"))
-      val aggs = senders.join(e, senders("id") === e("src"))
-        .select(e("dst").as("mdst"),
-          alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
-        .groupBy($"mdst")
-        .agg(alg.reduceAgg($"msg").as("agg"))
-      val next = verts.join(aggs, verts("id") === aggs("mdst"), "left")
-        .select(verts("id"), verts("outdeg"), verts("value").as("old"),
-          alg.updateCol(verts("value"), $"agg", meta).as("value"))
-        .select($"id", $"outdeg", $"value",
-          // NaN-safe: |inf-inf| is NaN, which correctly compares false.
-          (abs($"value" - $"old") > alg.epsilon).as("changed"))
-        // Lazy: the changed-count below materializes the checkpoint in the
-        // same job, halving the per-superstep job count.
-        .localCheckpoint(eager = false)
-      val t0 = System.nanoTime()
-      changedCount = next.filter($"changed").count()
-      if (verbose)
-        println(f"[${alg.name}] iter $iter: changed=$changedCount " +
-          f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
-      verts = next
+      var iter = 0
+      var changedCount = 1L
+      while (iter < alg.maxIter && changedCount > 0) {
+        iter += 1
+        val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
+        val senders = senders0.filter(alg.sendCondCol($"value"))
+        val aggs = senders.join(e, senders("id") === e("src"))
+          .select(e("dst").as("mdst"),
+            alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
+          .groupBy($"mdst")
+          .agg(alg.reduceAgg($"msg").as("agg"))
+        val next = verts.join(aggs, verts("id") === aggs("mdst"), "left")
+          .select(verts("id"), verts("outdeg"), verts("value").as("old"),
+            alg.updateCol(verts("value"), $"agg", meta).as("value"))
+          .select($"id", $"outdeg", $"value",
+            // NaN-safe: |inf-inf| is NaN, which correctly compares false.
+            (abs($"value" - $"old") > alg.epsilon).as("changed"))
+          // Lazy: the changed-count below materializes the checkpoint in the
+          // same job, halving the per-superstep job count.
+          .localCheckpoint(eager = false)
+        val t0 = System.nanoTime()
+        changedCount = next.filter($"changed").count()
+        if (verbose)
+          println(f"[${alg.name}] iter $iter: changed=$changedCount " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+        verts = next
+      }
+      e.unpersist()
+      if (needCount) sel.unpersist()
+      verts.select($"id", $"value")
     }
-    e.unpersist()
-    verts.select($"id", $"value")
   }
 }

@@ -22,6 +22,8 @@ import graft.Tables
   */
 object GraphOps {
 
+  import graft.engine.LoopConf.{loopParallelism, withShuffleParts}
+
   /** Directed derived edges. Kept in sync with [[GraphQueries.edgesSql]]. */
   def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -50,35 +52,41 @@ object GraphOps {
   def bfs(s: SparkSession, edgeDf: DataFrame, source: Long = 1L,
           maxDepth: Int = 20): DataFrame = {
     import s.implicits._
-    // Cache the edges ALREADY hash-partitioned on the join key: the cached
-    // partitioning satisfies each round's join requirement, so per round only
-    // the (small) frontier shuffles — the reference's precomputed `adjloc`
-    // routing table, expressed as partitioning reuse.
-    val e = edgeDf.repartition($"src").cache()
-    var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
-      .localCheckpoint()
-    // The frontier CARRIES its distance (dist+1 per hop) instead of baking a
-    // per-round literal into the plan: every round then compiles to the
-    // identical generated code and hits the codegen cache after round 1.
-    var frontier = dist
-    var depth = 0L
-    var done = false
-    while (!done && depth < maxDepth) {
-      depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(e("dst").as("id"), (frontier("dist") + 1L).as("dist")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+    // Size the loop's shuffles to the graph, then cache the edges ALREADY
+    // hash-partitioned on the join key: the cached partitioning satisfies
+    // each round's join requirement, so per round only the (small) frontier
+    // shuffles — the reference's precomputed `adjloc` routing table,
+    // expressed as partitioning reuse.
+    val e0 = edgeDf.cache() // the sizing count and the partitioned cache share one parse
+    val m = e0.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      val e = e0.repartition($"src").cache()
+      var dist = s.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
         .localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        // Plain union of already-checkpointed pieces: lineage stays one
-        // level deep with no extra materialization job per round.
-        dist = dist.union(next)
-        frontier = next
+      // The frontier CARRIES its distance (dist+1 per hop) instead of baking a
+      // per-round literal into the plan: every round then compiles to the
+      // identical generated code and hits the codegen cache after round 1.
+      var frontier = dist
+      var depth = 0L
+      var done = false
+      while (!done && depth < maxDepth) {
+        depth += 1
+        val next = frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id"), (frontier("dist") + 1L).as("dist")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          // Plain union of already-checkpointed pieces: lineage stays one
+          // level deep with no extra materialization job per round.
+          dist = dist.union(next)
+          frontier = next
+        }
       }
+      e.unpersist()
+      e0.unpersist()
+      dist
     }
-    e.unpersist()
-    dist
   }
 
   /** G4 — weakly connected components by iterated min-label propagation to a
@@ -87,29 +95,35 @@ object GraphOps {
     */
   def wcc(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
-    val ue = edgeDf
+    val sym = edgeDf
       .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      // Cache co-partitioned on the per-round join key (see bfs).
-      .repartition($"src").cache()
-    var labels = ue.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("comp")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = labels.join(ue, $"id" === $"src")
-        .select($"dst".as("id"), $"comp", lit(false).as("self"))
-      // Each vertex's own row is tagged; the aggregation then yields both the
-      // new min-label and the previous one, so convergence needs no join —
-      // and the lazy checkpoint makes materialize+changed-count ONE job.
-      val next = labels.select($"id", $"comp", lit(true).as("self")).union(prop)
-        .groupBy($"id").agg(min($"comp").as("comp"),
-          max(when($"self", $"comp")).as("old_comp"))
-        .localCheckpoint(eager = false)
-      changed = next.filter($"comp" < $"old_comp").count()
-      labels = next.select($"id", $"comp")
+      .cache() // sizing count + partitioned cache share one computation
+    // Size the loop's shuffles to the graph, then cache co-partitioned on
+    // the per-round join key (see bfs).
+    val m = sym.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      val ue = sym.repartition($"src").cache()
+      var labels = ue.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("comp")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = labels.join(ue, $"id" === $"src")
+          .select($"dst".as("id"), $"comp", lit(false).as("self"))
+        // Each vertex's own row is tagged; the aggregation then yields both the
+        // new min-label and the previous one, so convergence needs no join —
+        // and the lazy checkpoint makes materialize+changed-count ONE job.
+        val next = labels.select($"id", $"comp", lit(true).as("self")).union(prop)
+          .groupBy($"id").agg(min($"comp").as("comp"),
+            max(when($"self", $"comp")).as("old_comp"))
+          .localCheckpoint(eager = false)
+        changed = next.filter($"comp" < $"old_comp").count()
+        labels = next.select($"id", $"comp")
+      }
+      ue.unpersist()
+      sym.unpersist()
+      labels
     }
-    ue.unpersist()
-    labels
   }
 
   /** G2 — global triangle count (reference semantics: each triangle a<b<c
@@ -142,24 +156,29 @@ object GraphOps {
     */
   def lpa(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
     import s.implicits._
-    val ue = edgeDf
+    val sym = edgeDf
       .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      .repartition($"src").cache()
-    var labels = ue.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      labels = labels.join(ue, $"id" === $"src")
-        .groupBy($"dst".as("nid"), $"label")
-        .agg(count(lit(1)).as("cnt"))
-        // argmax by (count, -label): max count, then smallest label.
-        .groupBy($"nid")
-        .agg(max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
-        .select($"nid".as("id"), (lit(0L) - $"m.nl").as("label"))
-        .localCheckpoint()
+      .cache() // sizing count + partitioned cache share one computation
+    val m = sym.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      val ue = sym.repartition($"src").cache()
+      var labels = ue.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("label")).localCheckpoint()
+      (1 to rounds).foreach { _ =>
+        labels = labels.join(ue, $"id" === $"src")
+          .groupBy($"dst".as("nid"), $"label")
+          .agg(count(lit(1)).as("cnt"))
+          // argmax by (count, -label): max count, then smallest label.
+          .groupBy($"nid")
+          .agg(max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
+          .select($"nid".as("id"), (lit(0L) - $"m.nl").as("label"))
+          .localCheckpoint()
+      }
+      ue.unpersist()
+      sym.unpersist()
+      labels
     }
-    ue.unpersist()
-    labels
   }
 
   /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform

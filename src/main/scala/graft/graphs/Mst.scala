@@ -20,13 +20,20 @@ object Mst {
     */
   def boruvka(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
+    import graft.engine.LoopConf
+    // Size the loop's shuffles to the graph (the working set only shrinks
+    // from here, so the initial |E| is the right bound for every round).
+    val e0 = edges.cache()
+    val m = e0.count()
+    LoopConf.withShuffleParts(s, LoopConf.loopParallelism(s, m)) {
     // The loop carries the RELABELED edge list itself (init: each endpoint
     // is its own component, so no label join is needed at all) and contracts
     // it in place each round. The working set shrinks geometrically with the
     // component count, instead of re-joining the full edge list against a
     // label table every round.
-    var cur = edges.select($"a", $"b", $"w", $"a".as("ca"), $"b".as("cb"))
+    var cur = e0.select($"a", $"b", $"w", $"a".as("ca"), $"b".as("cb"))
       .localCheckpoint()
+    e0.unpersist()
     var mst = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
     var done = false
     while (!done) {
@@ -95,6 +102,7 @@ object Mst {
       }
     }
     mst
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,6 +64,17 @@ object EventStreams {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Stream-static enrichment: events joined to a static dimension (e.g.
+    * the customer table). Stateless — the static side is re-planned per
+    * micro-batch and broadcast (the streaming twin of q04's broadcast dim
+    * join), so no watermark and no state store are involved; at scale the
+    * dimension refreshes by re-reading its source per batch.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("dim_key"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        events("value"), dim("dim_label"))
+
   final case class Ev(event_id: Long, ev_ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, total: Double)

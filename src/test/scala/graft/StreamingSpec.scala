@@ -102,4 +102,23 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.Session(10, 70 * 60000L, 70 * 60000L, 1, 5.0),
       EventStreams.Session(11, 10 * 60000L, 10 * 60000L, 1, 3.0)))
   }
+
+  test("stream-static enrichment: stream == batch, left-join semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 11 is missing from the dimension → null label (left join).
+    val dim = Seq((10L, "gold")).toDF("dim_key", "dim_label")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = EventStreams.enrich(evs.toDF(), dim).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(r => r.last == "gold"))
+    assert(streamed.exists(r => r.last == null)) // user 11 rows survive
+  }
 }
