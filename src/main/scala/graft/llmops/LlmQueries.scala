@@ -38,6 +38,20 @@ object LlmQueries {
     "l22_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
+    // The canonical near-dup pipeline ENDING: similarity pairs are only
+    // candidates — transitive duplicates (A~B, B~C) must land in one
+    // cluster, so the pair graph goes through connected components and each
+    // cluster keeps min(doc_id) as survivor. Composes the llmops pair
+    // generation with the graph engine's WCC in one plan.
+    "l25_neardup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup.jaccardPairs(s, dir)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      graft.graphs.GraphOps.wcc(s, pairs)
+        .groupBy($"comp".as("cluster"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "l19_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -220,6 +234,35 @@ object LlmQueries {
          |SELECT source, n,
          |       ${sig6Sql("least(1.0::DOUBLE, (sum(n) OVER ()) / ((count(*) OVER ()) * n))")} AS rate
          |FROM c""".stripMargin,
+    // l03's pair relation fed through the same min-label-closure CTE as the
+    // g04 WCC oracle, grouped into clusters.
+    "l25_neardup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $toksSql AS ws FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)
+         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |ue AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |       UNION SELECT doc_b, doc_a FROM pr),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM ue
+         |  UNION
+         |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
+         |  WHERE cc.comp < ue.dst
+         |),
+         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+         |SELECT comp AS cluster, count(*) AS n_docs FROM lab GROUP BY comp""".stripMargin,
     "l19_clean_corpus" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
