@@ -54,4 +54,38 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = ranPlan("q01_filter_project")
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("l20 split assignment is a pure projection — zero exchanges") {
+    val plan = ranPlan("l20_split_assign")
+    assert(!plan.contains("Exchange"), plan)
+    // And it stays one codegen stage over the scan.
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("l21 stratified sampling filters map-side — zero exchanges") {
+    val plan = ranPlan("l21_stratified_sample")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("l22 sequence packing: per-language window, bounded shuffles") {
+    val plan = ranPlan("l22_pack_sequences")
+    // One exchange for the per-language window, at most one more for the
+    // (lang, chunk_id) aggregation (chunk_id is window-derived, so the
+    // window partitioning can't serve the agg); never a global
+    // single-partition window.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q33 ntile windows are partitioned, never global") {
+    val plan = ranPlan("q33_ntile")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("l24 mix rates broadcasts the one-row totals") {
+    val plan = ranPlan("l24_mix_rates")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
