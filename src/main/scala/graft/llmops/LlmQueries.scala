@@ -38,6 +38,10 @@ object LlmQueries {
     "l22_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
+    // Benchmark decontamination: the train/test-overlap scan (see
+    // Dedup.decontaminate — benchmark shingles broadcast, corpus never
+    // shuffles).
+    "l26_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
     // The canonical near-dup pipeline ENDING: similarity pairs are only
     // candidates — transitive duplicates (A~B, B~C) must land in one
     // cluster, so the pair graph goes through connected components and each
@@ -234,6 +238,28 @@ object LlmQueries {
          |SELECT source, n,
          |       ${sig6Sql("least(1.0::DOUBLE, (sum(n) OVER ()) / ((count(*) OVER ()) * n))")} AS rate
          |FROM c""".stripMargin,
+    // 8-gram overlap between the corpus slice and the benchmark slice;
+    // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
+    "l26_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |           || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+         |           || ' ' || ws[i+7] AS s
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |j AS (
+         |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |  FROM sh c JOIN sh b ON c.s = b.s
+         |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, shared AS n_shared, bench_id,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY shared DESC, bench_id ASC) AS rn
+         |  FROM j)
+         |SELECT doc_id, n_shared, bench_id FROM best
+         |WHERE rn = 1 AND n_shared >= 2""".stripMargin,
     // l03's pair relation fed through the same min-label-closure CTE as the
     // g04 WCC oracle, grouped into clusters.
     "l25_neardup_clusters" ->

@@ -202,6 +202,46 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Benchmark decontamination — the train/test-overlap scan every LLM
+    * pipeline runs before training: corpus documents sharing at least
+    * `minShared` word-`n`-gram shingles with ANY benchmark document are
+    * flagged (with the strongest-overlap benchmark doc as evidence).
+    *
+    * The benchmark side is tiny by construction, so its shingle relation
+    * broadcasts and the corpus scans once with a map-side hash join — at
+    * 100 TB the corpus never shuffles. Here the "benchmark set" is the
+    * deterministic doc_id % 10 == 0 slice standing in for an external
+    * eval-set table; the operator takes any (doc_id, text) benchmark frame.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
+                    minShared: Int = 2): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    decontaminateAgainst(s, docs.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0), n, minShared)
+  }
+
+  /** General form: flag `corpus` docs overlapping `benchmark` docs. */
+  def decontaminateAgainst(s: SparkSession, corpus: DataFrame,
+                           benchmark: DataFrame, n: Int,
+                           minShared: Int): DataFrame = {
+    import s.implicits._
+    def sh(df: DataFrame): DataFrame = df
+      .select($"doc_id", tokens($"text").as("ws")) // HOF boundary: see docShingles
+      .select($"doc_id", explode(shingles($"ws", n)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .distinct()
+    sh(corpus).as("c")
+      .join(broadcast(sh(benchmark).as("b")), $"c.h" === $"b.h")
+      .groupBy($"c.doc_id".as("doc_id"), $"b.doc_id".as("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      // Strongest-overlap benchmark doc per corpus doc; ties → smallest id.
+      .groupBy($"doc_id")
+      .agg(max(struct($"shared".as("s"), (lit(0L) - $"bench_id").as("nb"))).as("m"))
+      .select($"doc_id", $"m.s".as("n_shared"), (lit(0L) - $"m.nb").as("bench_id"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature via the
     * [[graft.functions.SimHashSig]] TypedImperativeAggregate (64 signed
     * counters as one mergeable blob instead of 64 agg columns), 4×16-bit
