@@ -37,7 +37,8 @@ object Mst {
     var mst = Seq.empty[(Long, Long, Double)].toDF("a", "b", "w")
     var done = false
     while (!done) {
-      val cross = cur.filter($"ca" =!= $"cb").localCheckpoint()
+      // Lazy: the isEmpty below materializes the checkpoint in its own job.
+      val cross = cur.filter($"ca" =!= $"cb").localCheckpoint(eager = false)
       if (cross.isEmpty) done = true
       else {
         // Each component nominates its lightest outgoing edge (from either
@@ -49,7 +50,8 @@ object Mst {
           .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"),
             $"e.ca".as("ca"), $"e.cb".as("cb"))
           .distinct()
-          .localCheckpoint()
+          // Lazy: the branch-deciding limit+collect materializes it.
+          .localCheckpoint(eager = false)
         // nominated is already checkpointed — the union is lineage-free.
         mst = mst.union(nominated.select($"a", $"b", $"w"))
         // Contract over the component-merge graph. It has at most one edge

@@ -221,7 +221,14 @@ object Dedup {
       docs.filter($"doc_id" % 10 === 0), n, minShared)
   }
 
-  /** General form: flag `corpus` docs overlapping `benchmark` docs. */
+  /** General form: flag `corpus` docs overlapping `benchmark` docs.
+    *
+    * The corpus side is deliberately NOT distinct()ed — that would shuffle
+    * the whole corpus shingle relation. Repeated shingles ride through the
+    * broadcast join and are deduplicated by `count_distinct` in the
+    * aggregation, so the only shuffled rows are the MATCHED ones (tiny:
+    * bounded by benchmark size × overlap).
+    */
   def decontaminateAgainst(s: SparkSession, corpus: DataFrame,
                            benchmark: DataFrame, n: Int,
                            minShared: Int): DataFrame = {
@@ -230,11 +237,10 @@ object Dedup {
       .select($"doc_id", tokens($"text").as("ws")) // HOF boundary: see docShingles
       .select($"doc_id", explode(shingles($"ws", n)).as("s"))
       .select($"doc_id", xxhash64($"s").as("h"))
-      .distinct()
     sh(corpus).as("c")
-      .join(broadcast(sh(benchmark).as("b")), $"c.h" === $"b.h")
+      .join(broadcast(sh(benchmark).distinct().as("b")), $"c.h" === $"b.h")
       .groupBy($"c.doc_id".as("doc_id"), $"b.doc_id".as("bench_id"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count_distinct($"c.h").as("shared"))
       // Strongest-overlap benchmark doc per corpus doc; ties → smallest id.
       .groupBy($"doc_id")
       .agg(max(struct($"shared".as("s"), (lit(0L) - $"bench_id").as("nb"))).as("m"))
