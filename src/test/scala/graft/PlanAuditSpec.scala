@@ -88,4 +88,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("l26 decontamination: corpus probes the broadcast join unshuffled") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps executed stages in QueryStageExec nodes that plain collect()
+    // does not descend into — expand them manually.
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
+    df.collect()
+    val all = expand(df.queryExecution.executedPlan)
+    val bhj = all.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isDefined, all.head.toString)
+    // The corpus (probe/left) subtree must reach the scan with no shuffle:
+    // scan → project/explode → join. Dedup happens AFTER the join, so only
+    // matched shingles shuffle; the benchmark side broadcasts.
+    val probeShuffles = expand(bhj.get.left).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(probeShuffles.isEmpty, bhj.get.left.toString)
+  }
 }
