@@ -30,18 +30,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      GraftSession.defaultCores.toString).toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       // The sf0.1 parquet files are 10-60 MB: at the default 128 MB split
       // size every scan is ONE task and local[32] idles. 8 MB splits fan the
       // scans out; on a real cluster with 100 TB inputs the default is right,
       // this knob is per-deployment input sizing.
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

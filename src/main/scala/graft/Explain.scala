@@ -12,14 +12,9 @@ object Explain {
       else "/root/testdata/sf0.1"
     val showPlan = args.contains("--plan")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      GraftSession.defaultCores.toString).toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("--jobs")) {

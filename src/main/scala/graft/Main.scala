@@ -51,12 +51,7 @@ object Main {
     val graphFile = args.lift(2).orElse(args.lift(1))
       .filter(a => !a.forall(_.isDigit))
       .getOrElse("/root/reference/graph/small.graph")
-    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val out = run(spark, algo, graphFile)
