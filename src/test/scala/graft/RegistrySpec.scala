@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene: the correctness gate compares by NAME, so a
+  * key drift between `queries` and `oracleSql` silently downgrades a query
+  * to rows-only (or orphans an oracle entirely). Pinned here instead of
+  * discovered in a round report.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle has a query; no orphaned oracle keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("query names follow the prefix_name convention") {
+    val bad = SparkEntry.queries.keySet.filterNot(
+      _.matches("^[bglmq][0-9]{2}_[a-z0-9_]+$"))
+    assert(bad.isEmpty, s"nonconforming names: $bad")
+  }
+
+  test("no duplicate query ids across modules") {
+    val ids = SparkEntry.queries.keySet.toSeq.map(_.take(3))
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate ids: $dups")
+  }
+
+  test("deliberately oracle-less queries are a closed, documented set") {
+    // Anything new without an oracle must be added here CONSCIOUSLY (the
+    // driver records only a weak rows-only check for these).
+    val expectedRowsOnly = Set(
+      "b01_sssp_4elt",      // reference graph, not table data
+      "g11_mst",            // not single-statement SQL (MstSpec golden)
+      "l04_minhash_pairs",  // hash-function specific (DedupSpec vs l03)
+      "l05_simhash_pairs",  // hash-function specific (DedupSpec)
+      "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
+      "l14_kmeans",         // iterative float fixpoint (KMeansSpec)
+      "l15_ivf_topk",       // approximate by design (recall spec vs l06)
+      "m01_media_features", // stubbed codec path (MultimodalSpec)
+      "m02_frame_sample",   // stubbed codec path (MultimodalSpec)
+      "q12_approx_distinct" // approximate by design
+    )
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == expectedRowsOnly,
+      s"unexpected rows-only: ${actual -- expectedRowsOnly}; " +
+        s"now oracle-checked (remove from list): ${expectedRowsOnly -- actual}")
+  }
+}
