@@ -127,6 +127,36 @@ class EngineSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("mid-size stress: tri-runner PageRank agreement on the 200k graph") {
+    // Sum-merge aggregation order differs across physical executors, so
+    // agreement is to relative tolerance rather than bit-equality (the min
+    // merges of SSSP/WCC are exact; PageRank's float sums are not) —
+    // 3 fixed iterations, every vertex messaging (activeMessaging=false
+    // exercises the non-frontier path at multi-partition scale).
+    import spark.implicits._
+    val nV = 20000L
+    val edges = spark.range(0, 200000)
+      .select((pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+      .cache()
+    val verts = spark.range(1, nV + 1).select($"id")
+    val alg = Algorithms.PageRank(0.85, fixedIters = Some(3))
+    val meta = GraphMeta(nV)
+    val sqlR = toMap(SqlRunner.run(spark, verts, edges, alg, meta))
+    val localR = toMap(LocalRunner.run(spark, verts, edges, alg, meta))
+    val gxR = toMap(GraphXRunner.run(spark, verts, edges, alg, meta))
+    def close(a: Map[Long, Double], b: Map[Long, Double]): Boolean =
+      a.keySet == b.keySet && a.forall { case (k, v) =>
+        math.abs(v - b(k)) <= 1e-10 * math.max(math.abs(v), math.abs(b(k)))
+      }
+    assert(close(sqlR, localR))
+    assert(close(sqlR, gxR))
+    assert(math.abs(sqlR.values.sum - 1.0) < 0.2) // mass ~conserved (dangling loss)
+    edges.unpersist()
+  }
+
   test("WCC dual runners agree on small.graph") {
     import spark.implicits._
     val sym = small.edges
