@@ -38,6 +38,7 @@ object LlmQueries {
     "l22_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
+    "l27_unigram_logprob" -> ((s, dir) => TextStats.unigramLogProb(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -238,6 +239,17 @@ object LlmQueries {
          |SELECT source, n,
          |       ${sig6Sql("least(1.0::DOUBLE, (sum(n) OVER ()) / ((count(*) OVER ()) * n))")} AS rate
          |FROM c""".stripMargin,
+    // Mean unigram log10-probability per doc under the corpus's own
+    // unigram model (CCNet-style statistical quality score).
+    "l27_unigram_logprob" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
+         |FROM tk JOIN freq USING (tok), n
+         |GROUP BY doc_id""".stripMargin,
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
     "l26_decontaminate" ->

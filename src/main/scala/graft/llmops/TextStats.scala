@@ -132,4 +132,29 @@ object TextStats {
     scored.select($"doc_id", $"lang",
       sort_array(array(scoreCols: _*), asc = false)(0).getField("lang").as("lang_pred"))
   }
+
+  /** L4f: statistical LM quality scoring — per-document mean unigram
+    * log-probability under the corpus's own unigram model (the CCNet-style
+    * perplexity filter, with the corpus standing in for the reference LM).
+    * Gibberish/rare-token documents score low; stopword soup scores high —
+    * the complement of the rule-based [[qualityFilter]].
+    *
+    * One tokenized relation (cached) feeds both the frequency model and the
+    * scoring join; the vocabulary join shuffles on the token (AQE broadcasts
+    * it when the vocab is small); the grand total rides in as a broadcast
+    * one-row frame.
+    */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .cache()
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").cast("double").as("n"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.Canon.sig6(avg(log10($"cnt" / $"n"))).as("logprob"))
+  }
 }

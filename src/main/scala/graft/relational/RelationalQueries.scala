@@ -307,6 +307,23 @@ object RelationalQueries {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
     }),
 
+    // FULL OUTER join — the one outer-join shape not yet certified (q05
+    // covers left outer): per-customer order totals full-outer against a
+    // filtered customer slice, so both null sides occur.
+    "q34_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val totals = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(sum($"o_totalprice").as("total"))
+        .filter($"o_custkey" % 3 === 0)
+      val custs = t(s, dir, "customer")
+        .filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey", $"c_nationkey")
+      custs.join(totals, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("k"),
+          $"c_nationkey", sig6($"total").as("total"),
+          $"c_custkey".isNull.as("no_cust"), $"o_custkey".isNull.as("no_orders"))
+    }),
+
     // ntile quantile bucketing — per-priority order-value quartiles. The
     // window is PARTITIONED (never a global single-partition ntile: at scale
     // that serializes the table through one task; per-key quartiles shuffle
@@ -488,6 +505,17 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q34_full_outer" ->
+      s"""WITH totals AS (
+         |  SELECT o_custkey, sum(o_totalprice) AS t0 FROM orders
+         |  GROUP BY o_custkey HAVING o_custkey % 3 = 0),
+         |custs AS (
+         |  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0)
+         |SELECT coalesce(c_custkey, o_custkey) AS k, c_nationkey,
+         |       ${sig6Sql("t0")} AS total,
+         |       (c_custkey IS NULL) AS no_cust,
+         |       (o_custkey IS NULL) AS no_orders
+         |FROM custs FULL OUTER JOIN totals ON c_custkey = o_custkey""".stripMargin,
     "q33_ntile" ->
       s"""WITH q AS (
          |  SELECT o_orderpriority, o_totalprice,
