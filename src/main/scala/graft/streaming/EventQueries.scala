@@ -46,6 +46,33 @@ object EventQueries {
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
     }),
 
+    // Bucketed range join: each purchase joined to the same user's clicks
+    // in the preceding hour — the batch twin of the streaming interval
+    // join (EventStreams.purchaseAttribution). A bare range predicate
+    // would plan a nested loop over every same-user pair; bucketing time
+    // into hours and equi-joining on (user, bucket) — with each purchase
+    // exploded into its two candidate buckets — makes it a hash join whose
+    // work is proportional to matches. The oracle states the plain range
+    // join; equality of results IS the correctness of the bucketing.
+    "q35_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val hourMs = 3600000L
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), expr("ts div 1000000").as("c_ms"))
+        .withColumn("bucket", expr(s"c_ms div $hourMs"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id".as("p_user"),
+          expr("ts div 1000000").as("p_ms"))
+      val pb = purchases.withColumn("bucket",
+        explode(array(expr(s"p_ms div $hourMs"), expr(s"p_ms div $hourMs") - 1L)))
+      pb.join(clicks,
+          pb("p_user") === clicks("c_user") && pb("bucket") === clicks("bucket") &&
+            clicks("c_ms") <= pb("p_ms") && clicks("c_ms") >= pb("p_ms") - hourMs)
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_clicks"), min($"c_ms").as("first_ms"))
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -85,6 +112,15 @@ object EventQueries {
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
          |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q35_range_join" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, count(*) AS n_clicks, min(c.c_ms) AS first_ms
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
+        |GROUP BY p.event_id""".stripMargin,
     "q31_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
          |m AS (
