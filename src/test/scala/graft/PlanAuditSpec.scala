@@ -14,7 +14,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private def ranPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
-    df.queryExecution.executedPlan.toString
+    // AQE prints the final plan followed by "== Initial Plan ==" — audit
+    // only what actually ran, or every node double-counts.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   test("q01 pushes both predicates and prunes columns at the parquet scan") {
@@ -87,6 +89,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = ranPlan("l24_mix_rates")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q23 as-of join is single-shuffle (the union+window formulation)") {
+    // The whole point of the union+window as-of rendering: both sides
+    // shuffle ONCE on the key, versus the join+filter+argmax rendering's
+    // two join shuffles plus a window shuffle.
+    val plan = ranPlan("q23_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
   }
 
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
