@@ -103,6 +103,35 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.Session(11, 10 * 60000L, 10 * 60000L, 1, 3.0)))
   }
 
+  test("checkpointed restart: file source → file sink is exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, value DOUBLE")
+        .parquet(inDir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // Batch 1 → run → stop; batch 2 → RESTART from the same checkpoint.
+    Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "value")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    Seq((3L, 3.0), (4L, 4.0)).toDF("event_id", "value")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    // The restarted query must pick up ONLY the new files (checkpointed
+    // source offsets) and the sink must not duplicate batch 1 (sink log).
+    val ids = spark.read.parquet(outDir)
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("stream-static enrichment: stream == batch, left-join semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
