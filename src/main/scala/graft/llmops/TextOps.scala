@@ -172,7 +172,8 @@ object Dedup {
     * tokenize+shingle pass feeds BOTH the signatures and the verification
     * (the signature permutes the same xxhash64 shingle hashes).
     */
-  def minhashPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxBucket: Option[Int] = None): DataFrame = {
     import s.implicits._
     val sh = docShingleHashes(s, dir).cache()
     val sig = sh.groupBy($"doc_id")
@@ -182,9 +183,15 @@ object Dedup {
         xxhash64(slice($"sig", b * Rows + 1, Rows)).as("band_key")))
     val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band_id", $"bk.band_key")
-    val cand = banded.groupBy($"band_id", $"band_key")
+    val buckets = banded.groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
       .filter(size($"ds") >= 2)
+    // `maxBucket` is the quadratic-expansion guard (jaccardPairs' maxDf
+    // analogue): a band bucket holding thousands of near-identical docs
+    // expands O(k²) — at corpus scale cap it and let the exact-dedup pass
+    // that SHOULD precede LSH own those clusters. None = expand everything.
+    val capped = maxBucket.fold(buckets)(c => buckets.filter(size($"ds") <= c))
+    val cand = capped
       .select(explode(pairExpand($"ds")).as("p"))
       .select($"p.pa".as("doc_a"), $"p.pb".as("doc_b"))
       .distinct()
