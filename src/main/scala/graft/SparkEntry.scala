@@ -20,7 +20,8 @@ object SparkEntry {
       streaming.EventQueries.queries ++
       multimodal.MultimodalOps.queries ++
       algos.KMeans.queries ++
-      graphs.Mst.queries
+      graphs.Mst.queries ++
+      sources.FormatRoundtrip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       llmops.LlmQueries.oracles ++
       graphs.GraphQueries.oracles ++
       streaming.EventQueries.oracles ++
-      multimodal.MultimodalOps.oracles
+      multimodal.MultimodalOps.oracles ++
+      sources.FormatRoundtrip.oracles
 }

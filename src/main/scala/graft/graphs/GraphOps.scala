@@ -181,6 +181,45 @@ object GraphOps {
     }
   }
 
+  /** k-core decomposition by iterative peeling: drop every vertex with
+    * degree < k, recompute degrees, repeat to the fixpoint. The classic
+    * iterated-aggregate shape no single SQL statement can express (the
+    * oracle gap is documented in RegistrySpec; the spec pins hand goldens
+    * and the membership invariant). The working set only shrinks, and each
+    * round is one aggregation + two anti joins on the shrinking edge list.
+    *
+    * @param edgeDf directed edges; treated as undirected (symmetrized).
+    * @return surviving vertices with their within-core degree.
+    */
+  def kcore(s: SparkSession, edgeDf: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val sym = edgeDf
+      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst")
+      .distinct()
+      .cache()
+    val m = sym.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      var ue = sym.localCheckpoint()
+      sym.unpersist()
+      var done = false
+      while (!done) {
+        val deg = ue.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        // Lazy: the branch-deciding isEmpty materializes it in one job.
+        val bad = deg.filter($"deg" < k).select($"id")
+          .localCheckpoint(eager = false)
+        if (bad.isEmpty) done = true
+        else {
+          ue = ue
+            .join(bad, ue("src") === bad("id"), "left_anti")
+            .join(bad, ue("dst") === bad("id"), "left_anti")
+            .localCheckpoint()
+        }
+      }
+      ue.groupBy($"src".as("id")).agg(count(lit(1)).as("core_deg"))
+    }
+  }
+
   /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform
     * init, no dangling redistribution) so the oracle stays plain SQL. The
     * open-ended iterative version lives in the engine runner.

@@ -124,6 +124,43 @@ object GraphQueries {
     // community-structure generalization GraphX also ships).
     "g13_lpa2" -> ((s, dir) =>
       GraphOps.lpa(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+    // Degree distribution — the reference ships a dedicated degree-analysis
+    // artifact (实验数据.xlsx sheet5: the soc-LiveJournal1 in-degree
+    // histogram that motivated its skew posture); this is that analysis as
+    // a first-class query: per-vertex in/out degree, then the histogram.
+    "g14_degree_hist" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.edges(s, dir)
+      val outDeg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        .withColumn("side", lit("out"))
+      val inDeg = e.groupBy($"dst".as("id")).agg(count(lit(1)).as("deg"))
+        .withColumn("side", lit("in"))
+      outDeg.union(inDeg)
+        .groupBy($"side", $"deg")
+        .agg(count(lit(1)).as("n_vertices"))
+    }),
+    // k-core decomposition (iterative peeling — not single-statement SQL;
+    // GraphAlgoSpec pins hand goldens + the membership invariant). Runs on
+    // the dense view: its 3-core is non-trivial at every scale factor
+    // (sf0.001 peels 1000 vertices down to 120; the sparse view is a forest
+    // below sf0.1 and would peel to nothing).
+    "g15_kcore3" -> ((s, dir) =>
+      GraphOps.kcore(s, GraphOps.edges(s, dir), k = 3)),
+    // Link prediction by common-neighbor count: top-20 vertex pairs sharing
+    // the most neighbors (deterministic tiebreak on the pair itself). The
+    // wedge join runs on the sparse view; top-k plans as TakeOrdered.
+    "g16_common_neighbors" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = GraphOps.sparseEdges(s, dir)
+      val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+        .filter($"src" =!= $"dst").distinct()
+      sym.as("x").join(sym.as("y"),
+          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+        .groupBy($"x.src".as("a"), $"y.src".as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .orderBy($"cn".desc, $"a".asc, $"b".asc)
+        .limit(20)
+    }),
     // BENCH anchor: SSSP on the reference's 4elt mesh through the
     // file-backed auto runner (a sub-MB local file parses and loops wholly
     // driver-side — the native baseline is also a single-node run) —
@@ -230,6 +267,22 @@ object GraphQueries {
          |  SELECT id, label, row_number() OVER (
          |    PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
          |  FROM c2) x WHERE rn = 1""".stripMargin,
+    "g14_degree_hist" ->
+      s"""WITH e AS ($edgesSql),
+         |d AS (
+         |  SELECT src AS id, count(*) AS deg, 'out' AS side FROM e GROUP BY src
+         |  UNION ALL
+         |  SELECT dst, count(*), 'in' FROM e GROUP BY dst)
+         |SELECT side, deg, count(*) AS n_vertices
+         |FROM d GROUP BY side, deg""".stripMargin,
+    "g16_common_neighbors" ->
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |s2 AS (SELECT src, dst FROM sym WHERE src <> dst)
+         |SELECT x.src AS a, y.src AS b, count(*) AS cn
+         |FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
+         |GROUP BY x.src, y.src
+         |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
     "g09_scc" ->

@@ -39,6 +39,8 @@ object LlmQueries {
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
     "l27_unigram_logprob" -> ((s, dir) => TextStats.unigramLogProb(s, dir)),
+    "l28_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+    "l29_tfidf_top" -> ((s, dir) => TextStats.tfidfTop(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -250,6 +252,37 @@ object LlmQueries {
          |       ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
          |FROM tk JOIN freq USING (tok), n
          |GROUP BY doc_id""".stripMargin,
+    // Int8 scalar quantization: identical IEEE double arithmetic on both
+    // sides; round() ties differ only at exact .5 (HALF_UP vs away-from-
+    // zero), which agree for the non-negative arguments here.
+    "l28_quantize_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         |             (list_max(v) - list_min(v)) / 255.0 AS scale
+         |      FROM e)
+         |SELECT vec_id, mn, mx,
+         |       CASE WHEN scale = 0 THEN 0.0 ELSE ${sig6Sql(
+             "list_sum(list_transform(v, x -> " +
+               "(mn + round((x - mn)/scale)*scale - x) * " +
+               "(mn + round((x - mn)/scale)*scale - x))) / len(v)")} END AS mse
+         |FROM b""".stripMargin,
+    // Top TF-IDF term per doc: integer-only argmax (tf DESC, df ASC, term
+    // ASC) so libm ln() differences can't flip the selection; the reported
+    // score is rounded afterwards.
+    "l29_tfidf_top" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |r AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |                            ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rn
+         |  FROM tf JOIN df USING (tok))
+         |SELECT doc_id, tok AS top_term, tf, df,
+         |       ${sig6Sql("tf * ln(nd.nd / df)")} AS tfidf
+         |FROM r, nd WHERE rn = 1""".stripMargin,
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
     "l26_decontaminate" ->

@@ -34,6 +34,29 @@ object Similarity {
       .withColumn("norm", sqrt(GraftFunctions.arrayDot(s, $"v", $"v")))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage-side
+    * companion to similarity search (a 100 TB embedding store keeps int8
+    * codes + per-vector (min, scale), 4× smaller than float32). Per vector:
+    * scale = (max−min)/255, code = round((x−min)/scale), and the reported
+    * reconstruction MSE quantifies the loss. Pure projection — no shuffle,
+    * embarrassingly parallel; the arithmetic is identical IEEE double ops
+    * on both engines, so the oracle hash-checks it.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("mn", array_min($"v"))
+      .withColumn("mx", array_max($"v"))
+      .withColumn("scale", ($"mx" - $"mn") / lit(255.0))
+      .select($"vec_id", $"mn", $"mx",
+        when($"scale" === 0.0, lit(0.0)).otherwise(sig6(
+          aggregate($"v", lit(0.0), (acc, x) => {
+            val deq = $"mn" + round((x - $"mn") / $"scale") * $"scale"
+            acc + (deq - x) * (deq - x)
+          }) / size($"v"))).as("mse"))
+  }
+
   /** L3a: brute-force cosine top-k of the corpus against query vectors
     * (vec_id < nQueries). Deterministic tiebreak on vec_id.
     */

@@ -133,6 +133,33 @@ object TextStats {
       sort_array(array(scoreCols: _*), asc = false)(0).getField("lang").as("lang_pred"))
   }
 
+  /** L4h: per-document top term with its TF-IDF score. Selection order is
+    * deliberately integer-only — (tf DESC, df ASC, term ASC): most frequent
+    * term, rarest on ties, then alphabetic — so no engine's libm rounding
+    * can flip the argmax; the float tf·idf score is only REPORTED (rounded),
+    * never ordered on. One tokenized relation feeds both tf and df; the df
+    * join shuffles on the term (AQE broadcasts small vocabularies).
+    */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .cache()
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"tok".asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"tok".as("top_term"), $"tf", $"df",
+        graft.Canon.sig6($"tf" * log($"nd" / $"df")).as("tfidf"))
+  }
+
   /** L4f: statistical LM quality scoring — per-document mean unigram
     * log-probability under the corpus's own unigram model (the CCNet-style
     * perplexity filter, with the corpus standing in for the reference LM).

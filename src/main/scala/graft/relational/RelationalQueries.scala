@@ -341,6 +341,137 @@ object RelationalQueries {
           sig6(min($"o_totalprice")).as("lo"),
           sig6(max($"o_totalprice")).as("hi"))
     }),
+
+    // Navigation window functions: lag/lead plus first/last over the full
+    // partition frame (the default frame stops at CURRENT ROW — last() under
+    // it would just echo the current row).
+    "q36_lead_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        $"o_custkey", $"o_orderkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        first($"o_orderkey").over(wFull).as("first_key"),
+        last($"o_orderkey").over(wFull).as("last_key"))
+    }),
+
+    // Correlated-subquery shape: orders above their own customer's average.
+    // The oracle states the literal correlated scalar subquery; the Spark
+    // plan is its decorrelated form — one window pass, no per-row re-scan
+    // (the only rendering that survives at scale).
+    "q37_above_cust_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cavg", avg($"o_totalprice").over(w))
+        .filter($"o_totalprice" > $"cavg")
+        .select($"o_orderkey", $"o_custkey",
+          sig6($"o_totalprice" - $"cavg").as("above_by"))
+    }),
+
+    // RANGE frame with a time offset: per-user trailing-hour sum/count at
+    // every event. Unlike a ROWS frame, peers (equal keys) enter the frame
+    // together, so the result is order-independent under ties.
+    "q38_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms")
+        .rangeBetween(-3600000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", expr("ts div 1000000").as("ms"), $"value")
+        .select($"event_id", $"user_id", $"ms",
+          sig6(sum($"value").over(w)).as("hr_sum"),
+          count(lit(1)).over(w).as("hr_cnt"))
+    }),
+
+    // Statistical aggregates: correlation, covariance, dispersion. All are
+    // single-pass co-moment aggregates with map-side partials — the same
+    // shuffle profile as sum/avg.
+    "q39_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sig6(corr($"l_quantity", $"l_extendedprice")).as("qp_corr"),
+          sig6(covar_samp($"l_quantity", $"l_extendedprice")).as("qp_covar"),
+          sig6(covar_pop($"l_quantity", $"l_extendedprice")).as("qp_covarp"),
+          sig6(stddev_samp($"l_extendedprice")).as("price_sd"),
+          sig6(var_pop($"l_quantity")).as("qty_varp"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Conditional / ordered-argument aggregation: count_if, filtered sum,
+    // bool_or/bool_and, and a deterministic arg-max via max(struct) — the
+    // (price, key) struct is unique per group, so ties can't make the
+    // answer engine-dependent.
+    "q40_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("count_if(o_totalprice > 300000.0)").as("n_big"),
+          sig6(sum(when($"o_orderstatus" === "F", $"o_totalprice"))).as("rev_f"),
+          expr("bool_or(o_totalprice > 500000.0)").as("any_huge"),
+          expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+          max(struct($"o_totalprice".as("p"), $"o_orderkey".as("k")))
+            .getField("k").as("best_key"))
+    }),
+
+    // Higher-order array functions over the embedding column — filter,
+    // fold, exists, array_max — all codegen'd lambda expressions, no UDF.
+    "q41_hof_arrays" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings").select(
+        $"vec_id",
+        size(filter($"embedding", x => x > 0.0f)).as("n_pos"),
+        sig6(aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("ssq"),
+        exists($"embedding", x => x > 0.5f).as("has_big"),
+        sig6(array_max($"embedding").cast("double")).as("mx"))
+    }),
+
+    // Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): multiplicity
+    // arithmetic, not membership — both inputs carry duplicate keys.
+    "q42_except_all" -> ((s, dir) => bagOpInputs(s, dir) match {
+      case (a, b) => a.exceptAll(b)
+    }),
+    "q43_intersect_all" -> ((s, dir) => bagOpInputs(s, dir) match {
+      case (a, b) => a.intersectAll(b)
+    }),
+
+    // Date/time function gauntlet: day arithmetic, calendar parts, epoch
+    // extraction, formatting. Row-wise hash-checked like q18.
+    "q44_datetime" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .as("days_to_98"),
+        date_add($"o_orderdate".cast("date"), 30).as("d30"),
+        quarter($"o_orderdate").as("qtr"),
+        dayofweek($"o_orderdate").as("dow"),
+        dayofyear($"o_orderdate").as("doy"),
+        last_day($"o_orderdate".cast("date")).as("eom"),
+        unix_millis($"o_orderdate".cast("timestamp")).as("o_ms"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"))
+    }),
+
+    // Regex + string function gauntlet: extract/replace/match, split,
+    // padding, translate, edit distance.
+    "q45_regex_strings" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select(
+        $"c_custkey",
+        regexp_extract($"c_name", "([0-9]+)$", 1).as("name_num"),
+        regexp_replace($"c_mktsegment", "[AEIOU]", "_").as("seg_masked"),
+        $"c_name".rlike("[0-9]{3}").as("has3digits"),
+        length(split($"c_name", "#")(0)).as("stem_len"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+        translate($"c_mktsegment", "ABC", "abc").as("xlat"),
+        levenshtein($"c_mktsegment", lit("BUILDING")).as("lev"))
+    }),
   )
 
   /** Shared inputs for the set-operation queries: two overlapping custkey sets. */
@@ -353,8 +484,23 @@ object RelationalQueries {
     (a, b)
   }
 
+  /** Inputs for the bag-semantics set ops: both sides keep duplicate keys
+    * (orders repeats custkeys), so EXCEPT/INTERSECT ALL exercise multiplicity
+    * subtraction rather than degenerate to the DISTINCT forms.
+    */
+  private def bagOpInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val a = t(s, dir, "orders").filter($"o_totalprice" > 100000.0)
+      .select($"o_custkey".as("k"))
+    val b = t(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+      .select($"o_custkey".as("k"))
+    (a, b)
+  }
+
   private val setA = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000.0"
   private val setB = "SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0"
+  private val bagA = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0"
+  private val bagB = "SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0"
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -526,5 +672,77 @@ object RelationalQueries {
          |       ${sig6Sql("min(o_totalprice)")} AS lo,
          |       ${sig6Sql("max(o_totalprice)")} AS hi
          |FROM q GROUP BY 1, 2""".stripMargin,
+    "q36_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |       lead(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |       first_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |       last_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders""".stripMargin,
+    "q37_above_cust_avg" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       ${sig6Sql("o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")} AS above_by
+         |FROM orders o
+         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q38_range_frame" ->
+      s"""SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         |       ${sig6Sql("sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)")} AS hr_sum,
+         |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+         |                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS hr_cnt
+         |FROM events""".stripMargin,
+    "q39_stats_agg" ->
+      s"""SELECT l_returnflag,
+         |       ${sig6Sql("corr(l_quantity, l_extendedprice)")} AS qp_corr,
+         |       ${sig6Sql("covar_samp(l_quantity, l_extendedprice)")} AS qp_covar,
+         |       ${sig6Sql("covar_pop(l_quantity, l_extendedprice)")} AS qp_covarp,
+         |       ${sig6Sql("stddev_samp(l_extendedprice)")} AS price_sd,
+         |       ${sig6Sql("var_pop(l_quantity)")} AS qty_varp,
+         |       count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_conditional_agg" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_big,
+         |       ${sig6Sql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")} AS rev_f,
+         |       bool_or(o_totalprice > 500000.0) AS any_huge,
+         |       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+         |       struct_extract(max({'p': o_totalprice, 'k': o_orderkey}), 'k') AS best_key
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q41_hof_arrays" ->
+      s"""SELECT vec_id,
+         |       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+         |       ${sig6Sql("list_sum(list_transform(embedding::DOUBLE[], x -> x*x))")} AS ssq,
+         |       len(list_filter(embedding, x -> x > 0.5)) > 0 AS has_big,
+         |       ${sig6Sql("list_max(embedding)::DOUBLE")} AS mx
+         |FROM embeddings""".stripMargin,
+    "q42_except_all" -> s"$bagA EXCEPT ALL $bagB",
+    "q43_intersect_all" -> s"$bagA INTERSECT ALL $bagB",
+    "q44_datetime" ->
+      """SELECT o_orderkey,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |       CAST(o_orderdate AS DATE) + 30 AS d30,
+        |       quarter(o_orderdate) AS qtr,
+        |       dayofweek(o_orderdate) + 1 AS dow,
+        |       dayofyear(o_orderdate) AS doy,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       epoch_ms(o_orderdate) AS o_ms,
+        |       strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders""".stripMargin,
+    "q45_regex_strings" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+        |       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+        |       regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+        |       len(string_split(c_name, '#')[1]) AS stem_len,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       translate(c_mktsegment, 'ABC', 'abc') AS xlat,
+        |       levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |FROM customer""".stripMargin,
   )
 }

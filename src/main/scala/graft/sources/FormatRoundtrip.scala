@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Canon.{sig6, sig6Sql}
+import graft.Tables
+
+/** Source/sink certification beyond parquet: each query writes a projection
+  * of `lineitem` out in a text or columnar format, reads it back through the
+  * corresponding Spark source, and aggregates. The oracle computes the same
+  * aggregate straight from the parquet table — hash equality proves the
+  * round trip was lossless (CSV/JSON double round-trips are exact because
+  * Spark renders doubles with the shortest-round-trip representation).
+  *
+  * The reference's only format is its text graph file (partition.h:183-513,
+  * covered by GraphSource); these cover the formats a 100 TB lakehouse
+  * deployment actually ingests. Reads use an explicit schema — schema
+  * inference is an extra full scan that is never acceptable at scale.
+  */
+object FormatRoundtrip {
+
+  /** Per-sfDir scratch dir: Verify and Bench may run against different scale
+    * factors in one JVM; keyed by sf name so runs never collide.
+    */
+  private def scratch(sfDir: String, fmt: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$sf/$fmt"
+  }
+
+  private def projection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" > 45)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag")
+  }
+
+  private def summarize(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sig6(sum($"l_extendedprice")).as("rev"),
+        sig6(sum($"l_quantity")).as("qty"),
+        max($"l_orderkey").as("max_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_csv_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "csv")
+      val proj = projection(s, dir)
+      proj.write.mode("overwrite").option("header", "true").csv(out)
+      summarize(s.read.schema(proj.schema).option("header", "true").csv(out))
+    }),
+    "q47_json_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "json")
+      val proj = projection(s, dir)
+      proj.write.mode("overwrite").json(out)
+      summarize(s.read.schema(proj.schema).json(out))
+    }),
+    "q48_orc_roundtrip" -> ((s, dir) => {
+      val out = scratch(dir, "orc")
+      val proj = projection(s, dir)
+      proj.write.mode("overwrite").orc(out)
+      summarize(s.read.orc(out))
+    }),
+  )
+
+  /** One oracle body: the formats must all reproduce the parquet truth. */
+  private val oracle =
+    s"""SELECT l_returnflag, count(*) AS cnt,
+       |       ${sig6Sql("sum(l_extendedprice)")} AS rev,
+       |       ${sig6Sql("sum(l_quantity)")} AS qty,
+       |       max(l_orderkey) AS max_key
+       |FROM lineitem WHERE l_quantity > 45
+       |GROUP BY l_returnflag""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q46_csv_roundtrip" -> oracle,
+    "q47_json_roundtrip" -> oracle,
+    "q48_orc_roundtrip" -> oracle,
+  )
+}

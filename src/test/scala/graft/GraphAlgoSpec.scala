@@ -49,6 +49,32 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("k-core: peeling strips the tail, keeps the clique; empty core at high k") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + a path 4-5-6 hanging off it. The 3-core is exactly the
+    // K4 (every tail vertex dies with degree < 3, and removing 5 cannot
+    // lower any K4 degree below 3); the 4-core is empty.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = GraphOps.kcore(spark, edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(GraphOps.kcore(spark, edges, k = 4).isEmpty)
+  }
+
+  test("k-core membership invariant on the derived graph: all core degrees >= k") {
+    import spark.implicits._
+    // Self-validating on real data: by definition every surviving vertex
+    // has >= k neighbors inside the core.
+    val e = GraphOps.edges(spark, "/root/testdata/sf0.001")
+    val core = GraphOps.kcore(spark, e, k = 3)
+    assert(core.filter($"core_deg" < 3).isEmpty)
+    // Non-degenerate AND non-trivial: peeling actually removed vertices.
+    val n = core.count()
+    assert(n == 120, s"3-core size drifted: $n")
+  }
+
   test("IVF top-k: high recall vs the exact scan, exact sims, full rows") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

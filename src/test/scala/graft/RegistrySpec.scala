@@ -32,6 +32,8 @@ class RegistrySpec extends AnyFunSuite {
     val expectedRowsOnly = Set(
       "b01_sssp_4elt",      // reference graph, not table data
       "g11_mst",            // not single-statement SQL (MstSpec golden)
+      "g15_kcore3",         // iterated-aggregate peeling, not single-statement SQL
+                            // (GraphAlgoSpec golden + membership invariant)
       "l04_minhash_pairs",  // hash-function specific (DedupSpec vs l03)
       "l05_simhash_pairs",  // hash-function specific (DedupSpec)
       "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
