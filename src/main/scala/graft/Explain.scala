@@ -32,6 +32,15 @@ object Explain {
           }
         })
     }
+    // Optional untimed warmup on another scale factor (--warm <dir>):
+    // isolates codegen/JIT compilation cost from data cost.
+    val warmIdx = args.indexOf("--warm")
+    if (warmIdx >= 0) {
+      SparkEntry.queries(name)(spark, args(warmIdx + 1)).count()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
     // Construction is inside the timer: iterative queries (engine loops,
     // Borůvka) run their supersteps while BUILDING the result DataFrame.
     val t0 = System.nanoTime()

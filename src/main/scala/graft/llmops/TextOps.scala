@@ -176,8 +176,14 @@ object Dedup {
                    maxBucket: Option[Int] = None): DataFrame = {
     import s.implicits._
     val sh = docShingleHashes(s, dir).cache()
+    // ONE aggregation yields both the signature and the per-doc shingle
+    // count (sh is distinct per (doc, h), so count(1) = |shingle set|) —
+    // a separate counts groupBy would re-shuffle the full shingle relation
+    // a second time just to produce a number this pass already knows.
     val sig = sh.groupBy($"doc_id")
-      .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"))
+      .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"),
+        count(lit(1)).as("n"))
+      .cache()
     val bandCols = (0 until Bands).map(b =>
       struct(lit(b).as("band_id"),
         xxhash64(slice($"sig", b * Rows + 1, Rows)).as("band_key")))
@@ -197,7 +203,7 @@ object Dedup {
       .distinct()
     // Exact verification on the candidate set only (cand is tiny relative to
     // the corpus — AQE broadcasts it, so sh never shuffles here).
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = sig.select($"doc_id", $"n")
     cand.join(sh.as("a"), $"doc_a" === $"a.doc_id")
       .join(sh.as("b"), $"doc_b" === $"b.doc_id" && $"a.h" === $"b.h")
       .groupBy($"doc_a", $"doc_b")
