@@ -458,6 +458,30 @@ object RelationalQueries {
         date_format($"o_orderdate", "yyyy-MM").as("ym"))
     }),
 
+    // The SQL-text front door: the same engine through spark.sql() instead
+    // of the DataFrame DSL — CTE, join, HAVING (not otherwise certified),
+    // ORDER BY + LIMIT, all parsed. The oracle is the IDENTICAL text modulo
+    // nothing: it runs as-is in DuckDB.
+    "q49_sql_text" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(sqlTextQuery)
+    }),
+
+    // Extension functions through the SQL parser: `array_dot`/`cosine_sim`
+    // are graft's native Catalyst expressions, injected by GraftExtensions —
+    // this certifies they resolve from SQL TEXT (the path a BI tool or SQL
+    // notebook takes), not just the Scala DSL.
+    "q50_sql_vector_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""SELECT vec_id,
+           |  ${sig6Sql("array_dot(transform(embedding, x -> CAST(x AS DOUBLE)), transform(embedding, x -> CAST(x AS DOUBLE)))")} AS self_dot,
+           |  ${sig6Sql("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), reverse(transform(embedding, x -> CAST(x AS DOUBLE))))")} AS rev_cos
+           |FROM embeddings""".stripMargin)
+    }),
+
     // Regex + string function gauntlet: extract/replace/match, split,
     // padding, translate, edit distance.
     "q45_regex_strings" -> ((s, dir) => {
@@ -496,6 +520,21 @@ object RelationalQueries {
       .select($"o_custkey".as("k"))
     (a, b)
   }
+
+  /** q49's text — one string, two engines: Spark parses and executes it via
+    * spark.sql(); DuckDB runs it verbatim as the oracle.
+    */
+  private val sqlTextQuery: String =
+    s"""WITH big AS (
+       |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 50000.0)
+       |SELECT n_name, count(*) AS cnt, ${sig6Sql("sum(o_totalprice)")} AS rev
+       |FROM big
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |HAVING count(*) > 10
+       |ORDER BY rev DESC, n_name
+       |LIMIT 15""".stripMargin
 
   private val setA = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000.0"
   private val setB = "SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0"
@@ -734,6 +773,12 @@ object RelationalQueries {
         |       epoch_ms(o_orderdate) AS o_ms,
         |       strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders""".stripMargin,
+    "q49_sql_text" -> sqlTextQuery,
+    "q50_sql_vector_funcs" ->
+      s"""SELECT vec_id,
+         |  ${sig6Sql("list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])")} AS self_dot,
+         |  ${sig6Sql("list_cosine_similarity(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[]))")} AS rev_cos
+         |FROM embeddings""".stripMargin,
     "q45_regex_strings" ->
       """SELECT c_custkey,
         |       regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,

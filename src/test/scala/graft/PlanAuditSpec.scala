@@ -100,6 +100,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
   }
 
+  test("g16 common-neighbor top-k is a TakeOrdered, never a global sort") {
+    assert(ranPlan("g16_common_neighbors").contains("TakeOrderedAndProject"))
+  }
+
+  test("q37 decorrelates to ONE window shuffle (no per-row re-scan)") {
+    // The oracle states a correlated scalar subquery; the Spark plan must be
+    // its decorrelated window form: exactly one exchange (on o_custkey),
+    // shared by the avg window and the filter.
+    val plan = ranPlan("q37_above_cust_avg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+  }
+
+  test("q38 interval RANGE frame runs in one partitioned window pass") {
+    val plan = ranPlan("q38_range_frame")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q39 co-moment statistics aggregate partially map-side") {
+    val plan = ranPlan("q39_stats_agg")
+    assert(plan.contains("partial_corr") || plan.contains("partial_"), plan)
+  }
+
+  test("q41 higher-order array functions stay inside codegen") {
+    val plan = ranPlan("q41_hof_arrays")
+    assert(plan.contains("*(1)"), plan)
+    assert(!plan.contains("Exchange"), plan) // pure projection
+  }
+
+  test("l28 int8 quantization is a pure projection — zero exchanges") {
+    val plan = ranPlan("l28_quantize_int8")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
