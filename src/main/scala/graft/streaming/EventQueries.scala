@@ -46,6 +46,20 @@ object EventQueries {
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
     }),
 
+    // Sliding 1-hour windows every 15 minutes (the batch twin of
+    // EventStreams.slidingAgg): each event belongs to 4 overlapping
+    // windows. Spark's window() generates the assignment; the oracle
+    // enumerates the 4 candidate starts explicitly.
+    "q51_sliding_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"event_type", $"value")
+        .groupBy(window($"ev_ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
+        .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
+    }),
+
     // Bucketed range join: each purchase joined to the same user's clicks
     // in the preceding hour — the batch twin of the streaming interval
     // join (EventStreams.purchaseAttribution). A bare range predicate
@@ -112,6 +126,12 @@ object EventQueries {
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
          |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q51_sliding_window" ->
+      s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         |         - k * INTERVAL '15 minutes' AS wstart,
+         |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
+         |FROM events, unnest([0, 1, 2, 3]) t(k)
+         |GROUP BY 1, 2""".stripMargin,
     "q35_range_join" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
         |           WHERE event_type = 'click'),

@@ -31,6 +31,20 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
         col("total"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type — the
+    * overlapping-window twin of [[tumblingAgg]] (each event lands in 4
+    * windows; state is still watermark-bounded: 4× the tumbling state, not
+    * history-proportional). Batch twin: q51_sliding_window.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_ts", "10 minutes")
+      .groupBy(window(col("ev_ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
+        col("total"))
+
   /** Streaming dedup of replayed event_ids (the streaming twin of the batch
     * L1 dedup). `dropDuplicatesWithinWatermark` ties each key's dedup state
     * to the watermark so it is actually evicted — plain

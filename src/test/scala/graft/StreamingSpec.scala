@@ -46,6 +46,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("sliding window agg: stream == batch, 4 windows per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.slidingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding_test")
+      .select($"wstart", $"event_type", $"cnt", $"total")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val expected = EventStreams.slidingAgg(evs.toDF()).collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    // Every event lands in exactly 4 overlapping windows.
+    val totalCnt = spark.table("sliding_test")
+      .agg(sum($"cnt")).collect()(0).getLong(0)
+    assert(totalCnt == 4L * evs.size)
+  }
+
   test("streaming dedup drops replayed event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
