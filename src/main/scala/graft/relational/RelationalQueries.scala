@@ -248,6 +248,20 @@ object RelationalQueries {
           sig6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
     }),
 
+    // Sketch-based percentiles — the KLL-style counterpart of q26's exact
+    // interpolated percentiles (as q12 is to q11 for distinct counts): one
+    // mergeable sketch per group, constant state, map-side partials. No SQL
+    // oracle (algorithm-specific estimate); OperatorsSpec pins the error
+    // bound against the exact q26 values.
+    "q52_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"))
+    }),
+
     // Scalar subquery: price relative to the global mean.
     "q27_scalar_subquery" -> ((s, dir) => {
       import s.implicits._

@@ -73,4 +73,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, plan:\n$plan")
     assert(joined.count() == 1000)
   }
+
+  test("q52 approx percentiles land within the sketch's rank tolerance") {
+    // approx_percentile(accuracy=1000) guarantees a rank error <= n/1000;
+    // check against q26's exact interpolated values with a generous value
+    // tolerance derived from the data's spread.
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q26_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q52_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (p50, p90)) =>
+      val (e50, e90) = exact(flag)
+      assert(math.abs(p50 - e50) <= math.max(1.0, 0.02 * math.abs(e50)),
+        s"$flag p50: approx $p50 vs exact $e50")
+      assert(math.abs(p90 - e90) <= math.max(1.0, 0.02 * math.abs(e90)),
+        s"$flag p90: approx $p90 vs exact $e90")
+    }
+  }
 }

@@ -41,7 +41,8 @@ class RegistrySpec extends AnyFunSuite {
       "l15_ivf_topk",       // approximate by design (recall spec vs l06)
       "m01_media_features", // stubbed codec path (MultimodalSpec)
       "m02_frame_sample",   // stubbed codec path (MultimodalSpec)
-      "q12_approx_distinct" // approximate by design
+      "q12_approx_distinct", // approximate by design
+      "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
     )
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expectedRowsOnly,
