@@ -62,13 +62,17 @@ trait GmrAlgorithm extends Serializable {
   * sizes to the cluster. One partition per ~1M edges, floor 1.
   */
 object LoopConf {
-  /** Partitions for ~64 MB of shuffled loop state each, floor 1, capped at
-    * the session setting.
+  /** Partitions for ~8 MB of shuffled loop state each, floor 1, capped at
+    * the session setting. 8 MB, not the 64 MB AQE coalesce target: loop
+    * rounds are join/agg CPU work, not scan IO — at 64 MB an 8M-edge graph
+    * collapsed to 3 partitions and ran one superstep on 3 of 32 cores
+    * (measured 2.5× slower end-to-end on the b02 anchor), while every
+    * few-thousand-edge graph still maps to 1 partition either way.
     */
   def sizedParallelism(s: org.apache.spark.sql.SparkSession,
                        numRows: Long, rowBytes: Long): Int = {
     val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val target = 64L * 1024 * 1024
+    val target = 8L * 1024 * 1024
     math.max(1, math.min(cap.toLong,
       (numRows * rowBytes + target - 1) / target).toInt)
   }

@@ -30,10 +30,10 @@ object LocalRunner {
 
     // One DF, one partition: kind 0 = vertex row, kind 1 = edge row.
     // coalesce(1) deliberately collapses the upstream scan into the loop
-    // task: at the graph sizes that reach this runner (<= 5M edges) a
-    // single-task parse beats a repartition(1) exchange (measured 1.0 s vs
-    // 2.4 s warm on 4elt) — the exchange's 32-task scan + shuffle overhead
-    // exceeds the parse itself.
+    // task: at the graph sizes that reach this runner a single-task parse
+    // beats a repartition(1) exchange (measured 1.0 s vs 2.4 s warm on
+    // 4elt) — the exchange's 32-task scan + shuffle overhead exceeds the
+    // parse itself.
     val packed = vertices.select(lit(0).as("kind"), $"id".as("a"),
         lit(0L).as("b"), lit(0.0).as("w"))
       .union(edges.select(lit(1).as("kind"), $"src".as("a"), $"dst".as("b"),
@@ -127,8 +127,16 @@ object LocalRunner {
 
 /** Facade that picks the physical runner from graph statistics. */
 object GmrRunner {
-  /** Below this many edges the single-task local loop wins on latency. */
-  val LocalEdgeThreshold: Long = 5_000_000L
+  /** Below this many edges the single-task local loop wins on latency AND
+    * throughput: at 8M edges the measured gap is 3.4 s local vs 35 s
+    * distributed (11-round SSSP, warm) — superstep shuffles only pay once
+    * the CSR stops fitting one executor. 32M edges ≈ 512 MB of CSR +
+    * build buffers, comfortable in an 8 GB executor; the reference itself
+    * holds ~23M edges RAM-resident per MPI process on its largest graph
+    * (log.txt:2-6). A deployment with bigger executors raises this the way
+    * it raises the broadcast-join threshold.
+    */
+  val LocalEdgeThreshold: Long = 32_000_000L
 
   /** Below this file size a LOCAL graph file never touches the cluster:
     * parse and loop on the driver (one tiny job materializes the result).

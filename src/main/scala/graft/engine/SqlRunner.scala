@@ -68,8 +68,13 @@ object SqlRunner {
           .select(verts("id"), verts("outdeg"), verts("value").as("old"),
             alg.updateCol(verts("value"), $"agg", meta).as("value"))
           .select($"id", $"outdeg", $"value",
-            // NaN-safe: |inf-inf| is NaN, which correctly compares false.
-            (abs($"value" - $"old") > alg.epsilon).as("changed"))
+            // NaN-safe the SQL way: |inf-inf| is NaN, and Spark SQL orders
+            // NaN GREATER than every value (unlike Java, where NaN
+            // comparisons are false) — without the isnan guard every
+            // unreachable vertex counts as changed forever and the loop
+            // burns all 120 rounds instead of converging.
+            (!isnan($"value" - $"old") &&
+              abs($"value" - $"old") > alg.epsilon).as("changed"))
           // Lazy: the changed-count below materializes the checkpoint in the
           // same job, halving the per-superstep job count.
           .localCheckpoint(eager = false)

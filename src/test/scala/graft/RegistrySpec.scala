@@ -31,6 +31,8 @@ class RegistrySpec extends AnyFunSuite {
     // driver records only a weak rows-only check for these).
     val expectedRowsOnly = Set(
       "b01_sssp_4elt",      // reference graph, not table data
+      "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
+                            // EngineSpec pins runner equality at 200k)
       "g11_mst",            // not single-statement SQL (MstSpec golden)
       "g15_kcore3",         // iterated-aggregate peeling, not single-statement SQL
                             // (GraphAlgoSpec golden + membership invariant)
