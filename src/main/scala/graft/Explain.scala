@@ -36,6 +36,8 @@ object Explain {
     // isolates codegen/JIT compilation cost from data cost.
     val warmIdx = args.indexOf("--warm")
     if (warmIdx >= 0) {
+      require(warmIdx + 1 < args.length && !args(warmIdx + 1).startsWith("--"),
+        "--warm requires a directory operand")
       SparkEntry.queries(name)(spark, args(warmIdx + 1)).count()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator

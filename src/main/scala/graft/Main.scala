@@ -26,7 +26,7 @@ object Main {
       case "sssp" =>
         GmrRunner.autoFile(spark, graphFile, Algorithms.Sssp,
             n => GraphMeta(n, source = 1L))
-          .filter(!$"value".isin(Double.PositiveInfinity))
+          .filter($"value" =!= Double.PositiveInfinity)
           .select($"id", $"value".cast("long").as("dist"))
       case "trianglecount" =>
         val g = GraphSource.readGmrText(spark, graphFile)

@@ -26,6 +26,15 @@ object SqlRunner {
     */
   private val verbose = sys.props.get("graft.engine.verbose").contains("true")
 
+  /** Superstep count of the most recent run — observability for tests and
+    * the O17-style instrumentation (the reference logs per-iteration lines).
+    * A convergence regression (e.g. the NaN-ordering hazard in the changed
+    * test) shows up here as maxIter instead of ~diameter rounds.
+    * Last-writer-wins under concurrent runs (Verify's thread pool): only
+    * meaningful where runs are sequential, as in the test suites.
+    */
+  @volatile var lastIterations: Int = 0
+
   /** Run `alg` over `edges(src, dst, weight)`; returns (id, value).
     * `numEdges` < 0 means unknown — one counting pass sizes the loop.
     */
@@ -87,6 +96,7 @@ object SqlRunner {
       }
       e.unpersist()
       if (needCount) sel.unpersist()
+      lastIterations = iter
       verts.select($"id", $"value")
     }
   }

@@ -95,9 +95,7 @@ object GraphOps {
     */
   def wcc(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
-    val sym = edgeDf
-      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
+    val sym = symmetrize(s, edgeDf)
       .cache() // sizing count + partitioned cache share one computation
     // Size the loop's shuffles to the graph, then cache co-partitioned on
     // the per-round join key (see bfs).
@@ -156,9 +154,7 @@ object GraphOps {
     */
   def lpa(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
     import s.implicits._
-    val sym = edgeDf
-      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
+    val sym = symmetrize(s, edgeDf)
       .cache() // sizing count + partitioned cache share one computation
     val m = sym.count()
     withShuffleParts(s, loopParallelism(s, m)) {
@@ -193,11 +189,7 @@ object GraphOps {
     */
   def kcore(s: SparkSession, edgeDf: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val sym = edgeDf
-      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
-      .filter($"src" =!= $"dst")
-      .distinct()
-      .cache()
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
     val m = sym.count()
     withShuffleParts(s, loopParallelism(s, m)) {
       var ue = sym.localCheckpoint()
@@ -216,8 +208,25 @@ object GraphOps {
             .localCheckpoint()
         }
       }
+      // Eager checkpoint: the closing aggregation must run INSIDE this
+      // block or the caller's action would replay it at the restored
+      // session-wide partition cap (32 near-empty tasks for a tiny core).
       ue.groupBy($"src".as("id")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint()
     }
+  }
+
+  /** Undirected view of a directed edge list: both orientations, dedup'd.
+    * One definition for every operator that symmetrizes (wcc, lpa, kcore,
+    * common-neighbors) so the semantics can't drift between them.
+    */
+  def symmetrize(s: SparkSession, edgeDf: DataFrame,
+                 dropSelfLoops: Boolean = false): DataFrame = {
+    import s.implicits._
+    val sym = edgeDf.select($"src", $"dst")
+      .union(edgeDf.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    if (dropSelfLoops) sym.filter($"src" =!= $"dst") else sym
   }
 
   /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform

@@ -44,7 +44,7 @@ object GraphQueries {
       val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
       GmrRunner.auto(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L),
           numEdges = e.count())
-        .filter(!$"value".isin(Double.PositiveInfinity))
+        .filter($"value" =!= Double.PositiveInfinity)
         .select($"id", $"value".cast("long").as("dist"))
     }),
     "g06_wcc_engine" -> ((s, dir) => {
@@ -103,7 +103,7 @@ object GraphQueries {
       val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
       GmrRunner.auto(s, v, e, Algorithms.Sssp, GraphMeta(v.count(), source = 1L),
           numEdges = e.count())
-        .filter(!$"value".isin(Double.PositiveInfinity))
+        .filter($"value" =!= Double.PositiveInfinity)
         .select($"id", $"value".cast("long").as("dist"))
     }),
     // SCC — the reference's stronglyConnectedComponents stub
@@ -151,9 +151,8 @@ object GraphQueries {
     // wedge join runs on the sparse view; top-k plans as TakeOrdered.
     "g16_common_neighbors" -> ((s, dir) => {
       import s.implicits._
-      val e0 = GraphOps.sparseEdges(s, dir)
-      val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
-        .filter($"src" =!= $"dst").distinct()
+      val sym = GraphOps.symmetrize(s, GraphOps.sparseEdges(s, dir),
+        dropSelfLoops = true)
       sym.as("x").join(sym.as("y"),
           $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
         .groupBy($"x.src".as("a"), $"y.src".as("b"))
@@ -194,7 +193,7 @@ object GraphQueries {
       val v = s.range(nV).select($"id")
       GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(nV, source = 1L), numEdges = 8L * nV)
-        .filter(!$"value".isin(Double.PositiveInfinity))
+        .filter($"value" =!= Double.PositiveInfinity)
         .select($"id", $"value".cast("long").as("dist"))
     }),
   )

@@ -20,12 +20,15 @@ import graft.Tables
   */
 object FormatRoundtrip {
 
-  /** Per-sfDir scratch dir: Verify and Bench may run against different scale
-    * factors in one JVM; keyed by sf name so runs never collide.
+  /** Scratch dir keyed by (process, sf name, format): the pid segment keeps
+    * concurrent JVMs (a Verify and a Bench run, say) from overwriting each
+    * other's round-trip data mid-read; the sf segment isolates scale
+    * factors within one JVM.
     */
   private def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/$sf/$fmt"
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/p$pid/$sf/$fmt"
   }
 
   private def projection(s: SparkSession, dir: String): DataFrame = {

@@ -57,6 +57,12 @@ class EngineSpec extends AnyFunSuite {
     val meta = GraphMeta(threeLine.numVertices, source = 1L)
     val got = toMap(SqlRunner.run(spark, threeLine.vertices, threeLine.edges, Algorithms.Sssp, meta))
     assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> Double.PositiveInfinity))
+    // Convergence regression pin: the unreachable vertex's |inf - inf| = NaN
+    // must NOT count as changed (Spark SQL orders NaN above everything, the
+    // opposite of Java) — with the hazard present this loop runs the full
+    // 120-round cap instead of ~diameter rounds.
+    assert(SqlRunner.lastIterations <= 4,
+      s"SqlRunner took ${SqlRunner.lastIterations} supersteps on a diameter-2 graph")
   }
 
   test("WCC on symmetrized 3line: {1,2,3} and isolated {4}") {

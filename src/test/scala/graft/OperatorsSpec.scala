@@ -74,22 +74,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.count() == 1000)
   }
 
-  test("q52 approx percentiles land within the sketch's rank tolerance") {
-    // approx_percentile(accuracy=1000) guarantees a rank error <= n/1000;
-    // check against q26's exact interpolated values with a generous value
-    // tolerance derived from the data's spread.
+  test("q52 approx percentiles land within the sketch's RANK tolerance") {
+    // approx_percentile guarantees a rank error, not a value error: assert
+    // each estimate sits between generous exact quantile brackets (±5% in
+    // rank, far wider than the sketch's 1/1000 bound) so value gaps in the
+    // data and partition-dependent merge order can't flake the test.
+    import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
-    val exact = SparkEntry.queries("q26_percentiles")(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val brackets = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.45)").as("q_lo"),
+        expr("percentile(l_quantity, 0.55)").as("q_hi"),
+        expr("percentile(l_extendedprice, 0.85)").as("p_lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("p_hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     val approx = SparkEntry.queries("q52_approx_percentile")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(approx.keySet == brackets.keySet)
     approx.foreach { case (flag, (p50, p90)) =>
-      val (e50, e90) = exact(flag)
-      assert(math.abs(p50 - e50) <= math.max(1.0, 0.02 * math.abs(e50)),
-        s"$flag p50: approx $p50 vs exact $e50")
-      assert(math.abs(p90 - e90) <= math.max(1.0, 0.02 * math.abs(e90)),
-        s"$flag p90: approx $p90 vs exact $e90")
+      val (qLo, qHi, pLo, pHi) = brackets(flag)
+      assert(p50 >= qLo && p50 <= qHi, s"$flag p50 $p50 outside [$qLo, $qHi]")
+      assert(p90 >= pLo && p90 <= pHi, s"$flag p90 $p90 outside [$pLo, $pHi]")
     }
   }
 }
