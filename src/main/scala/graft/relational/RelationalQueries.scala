@@ -483,6 +483,27 @@ object RelationalQueries {
       s.sql(sqlTextQuery)
     }),
 
+    // Recursive CTE through Spark's UnionLoop operator (new in Spark 4):
+    // the classic hierarchy walk — custkeys form a binary tree under
+    // parent = id div 2; the recursion assigns each node its depth from
+    // root 1 and aggregates per level. UNION ALL recursion only (Spark
+    // does not yet support UNION-distinct in recursive CTEs), so the
+    // shape is deliberately acyclic — cyclic-graph fixpoints belong to
+    // the iterative operators (GraphOps/engine), not the SQL recursion.
+    "q53_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """WITH RECURSIVE tree AS (
+          |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+          |  UNION ALL
+          |  SELECT c.c_custkey, t.depth + 1
+          |  FROM customer c JOIN tree t ON (c.c_custkey div 2) = t.id
+          |  WHERE c.c_custkey > 1
+          |)
+          |SELECT depth, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+          |FROM tree GROUP BY depth""".stripMargin)
+    }),
+
     // Extension functions through the SQL parser: `array_dot`/`cosine_sim`
     // are graft's native Catalyst expressions, injected by GraftExtensions —
     // this certifies they resolve from SQL TEXT (the path a BI tool or SQL
@@ -788,6 +809,16 @@ object RelationalQueries {
         |       strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders""".stripMargin,
     "q49_sql_text" -> sqlTextQuery,
+    "q53_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer c JOIN tree t ON (c.c_custkey // 2) = t.id
+        |  WHERE c.c_custkey > 1
+        |)
+        |SELECT depth, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+        |FROM tree GROUP BY depth""".stripMargin,
     "q50_sql_vector_funcs" ->
       s"""SELECT vec_id,
          |  ${sig6Sql("list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])")} AS self_dot,
