@@ -483,6 +483,40 @@ object RelationalQueries {
       s.sql(sqlTextQuery)
     }),
 
+    // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
+    // into (measure, value) long form. Pure row-local reshaping, no shuffle
+    // until the final aggregation.
+    "q54_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_discount", $"l_tax")
+        .unpivot(
+          ids = Array($"l_orderkey", $"l_linenumber"),
+          values = Array($"l_quantity", $"l_discount", $"l_tax"),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"), sig6(sum($"val")).as("total"))
+    }),
+
+    // LATERAL correlated subquery: per nation, the top-2 customers by
+    // balance — the "top-N per outer row" shape. Spark decorrelates the
+    // lateral into a ranked window (the plan that scales); DuckDB executes
+    // the literal LATERAL.
+    "q55_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM nation n,
+          |LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+          |) c""".stripMargin)
+    }),
+
     // Recursive CTE through Spark's UnionLoop operator (new in Spark 4):
     // the classic hierarchy walk — custkeys form a binary tree under
     // parent = id div 2; the recursion assigns each node its depth from
@@ -809,6 +843,22 @@ object RelationalQueries {
         |       strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders""".stripMargin,
     "q49_sql_text" -> sqlTextQuery,
+    "q54_unpivot" ->
+      s"""WITH u AS (
+         |  SELECT l_orderkey, l_linenumber, measure, val
+         |  FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+         |        FROM lineitem)
+         |  UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax)))
+         |SELECT measure, count(*) AS n, ${sig6Sql("sum(val)")} AS total
+         |FROM u GROUP BY measure""".stripMargin,
+    "q55_lateral" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) c""".stripMargin,
     "q53_recursive_cte" ->
       """WITH RECURSIVE tree AS (
         |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
