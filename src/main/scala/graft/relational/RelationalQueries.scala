@@ -483,6 +483,38 @@ object RelationalQueries {
       s.sql(sqlTextQuery)
     }),
 
+    // MapType end-to-end: per-user (event_type → count) maps built with
+    // map_from_entries, then consumed via size/try_element_at. The map is
+    // internal — outputs are scalars so the oracle (which states the same
+    // facts with FILTER aggregates) can hash-check the semantics.
+    "q56_map_type" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct($"event_type", $"cnt")))).as("m"))
+        .select($"user_id",
+          size($"m").as("n_types"),
+          expr("try_element_at(m, 'click')").as("clicks"),
+          expr("try_element_at(m, 'purchase')").as("purchases"))
+    }),
+
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode by default (division by
+    // zero / bad casts THROW), so production pipelines use the try_ family —
+    // NULL on failure, matching DuckDB's native TRY_CAST and NULL-on-zero
+    // division.
+    "q57_try_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        expr("try_cast(CASE WHEN o_orderkey % 3 = 0 THEN '12x' " +
+          "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)").as("maybe_key"),
+        sig6(expr("try_divide(o_totalprice, o_orderkey % 5)")).as("per_mod"),
+        expr("try_element_at(array(o_orderstatus), 2)").as("oob"))
+    }),
+
     // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
     // into (measure, value) long form. Pure row-local reshaping, no shuffle
     // until the final aggregation.
@@ -843,6 +875,19 @@ object RelationalQueries {
         |       strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders""".stripMargin,
     "q49_sql_text" -> sqlTextQuery,
+    "q56_map_type" ->
+      """SELECT user_id,
+        |       count(DISTINCT event_type) AS n_types,
+        |       nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS clicks,
+        |       nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchases
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q57_try_funcs" ->
+      s"""SELECT o_orderkey,
+         |       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '12x'
+         |                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS maybe_key,
+         |       ${sig6Sql("o_totalprice / (o_orderkey % 5)")} AS per_mod,
+         |       ([o_orderstatus])[2] AS oob
+         |FROM orders""".stripMargin,
     "q54_unpivot" ->
       s"""WITH u AS (
          |  SELECT l_orderkey, l_linenumber, measure, val
