@@ -229,6 +229,34 @@ object GraphOps {
     if (dropSelfLoops) sym.filter($"src" =!= $"dst") else sym
   }
 
+  /** Personalized PageRank (random walk with restart), two statically-
+    * unrolled iterations so the oracle stays plain SQL: mass teleports back
+    * to the SOURCE instead of uniformly — the similarity-to-a-seed query
+    * built on the same damped-contribution round as [[pagerank2]].
+    */
+  def ppr2(s: SparkSession, edgeDf: DataFrame, source: Long = 1L,
+           d: Double = 0.85): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.cache()
+    val v = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+    val deg = e.groupBy($"src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val restart = when($"id" === source, lit(1.0)).otherwise(lit(0.0))
+
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .join(deg, Seq("src"))
+        .groupBy($"dst")
+        .agg(sum($"r" / $"outdeg").as("c"))
+      v.join(contrib, v("id") === contrib("dst"), "left")
+        .select(v("id"),
+          (lit(1.0 - d) * restart + lit(d) * coalesce($"c", lit(0.0))).as("r"))
+    }
+
+    step(step(v.select($"id", restart.as("r"))))
+      .filter($"r" > 0.0)
+      .select($"id", $"r".as("rank"))
+  }
+
   /** G3 — PageRank, two statically-unrolled iterations (d = 0.85, uniform
     * init, no dangling redistribution) so the oracle stays plain SQL. The
     * open-ended iterative version lives in the engine runner.

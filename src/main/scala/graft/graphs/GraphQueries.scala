@@ -124,6 +124,15 @@ object GraphQueries {
     // community-structure generalization GraphX also ships).
     "g13_lpa2" -> ((s, dir) =>
       GraphOps.lpa(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+    // Personalized PageRank from vertex 1 (random walk with restart): the
+    // reference's PageRank generalized to a seed-similarity query — the
+    // same damped-contribution round, mass teleporting to the source.
+    // Zero-mass vertices dropped so the result is the source's neighborhood.
+    "g17_ppr2" -> ((s, dir) => {
+      import s.implicits._
+      GraphOps.ppr2(s, GraphOps.edges(s, dir))
+        .select($"id", graft.Canon.sig6($"rank").as("rank"))
+    }),
     // Degree distribution — the reference ships a dedicated degree-analysis
     // artifact (实验数据.xlsx sheet5: the soc-LiveJournal1 in-degree
     // histogram that motivated its skew posture); this is that analysis as
@@ -234,8 +243,28 @@ object GraphQueries {
        |       FROM v LEFT JOIN c2 ON c2.dst = v.id, nn)
        |SELECT id, ${graft.Canon.sig6Sql("r")} AS rank FROM r2""".stripMargin
 
+  private val oraclePpr2 =
+    s"""WITH e AS ($edgesSql),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CASE WHEN id = 1 THEN 1.0 ELSE 0.0 END AS r FROM v),
+       |c1 AS (SELECT e.dst, sum(r0.r/deg.outdeg) AS c FROM e
+       |       JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+       |r1 AS (SELECT v.id,
+       |         0.15*(CASE WHEN v.id = 1 THEN 1.0 ELSE 0.0 END)
+       |           + 0.85*coalesce(c1.c, 0.0) AS r
+       |       FROM v LEFT JOIN c1 ON c1.dst = v.id),
+       |c2 AS (SELECT e.dst, sum(r1.r/deg.outdeg) AS c FROM e
+       |       JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src GROUP BY e.dst),
+       |r2 AS (SELECT v.id,
+       |         0.15*(CASE WHEN v.id = 1 THEN 1.0 ELSE 0.0 END)
+       |           + 0.85*coalesce(c2.c, 0.0) AS r
+       |       FROM v LEFT JOIN c2 ON c2.dst = v.id)
+       |SELECT id, ${graft.Canon.sig6Sql("r")} AS rank FROM r2 WHERE r > 0.0""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "g01_sssp_bfs" -> bfsOracle,
+    "g17_ppr2" -> oraclePpr2,
     "g02_triangles" ->
       s"""WITH e0 AS ($edgesSql),
          |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
