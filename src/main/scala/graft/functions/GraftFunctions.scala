@@ -46,7 +46,25 @@ object GraftFunctions {
       arity("simhash_sig", 1)(es => SimHashSig(es(0)))),
     (FunctionIdentifier("array_sum_agg"),
       new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
-      arity("array_sum_agg", 1)(es => ArraySumAgg(es(0)))))
+      arity("array_sum_agg", 1)(es => ArraySumAgg(es(0)))),
+    // Spark ships bloom-filter expressions for its own runtime-filter
+    // injection but does not register them as SQL functions; exposing them
+    // makes the classic "build sketch, prune map-side" pattern (l31
+    // decontamination) available without a UDF or a driver-side collect.
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      arity("bloom_agg", 3)(es =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2), 0, 0))),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      arity("bloom_contains", 2)(es =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          es(0), es(1)))))
 
   /** Register graft functions into an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -41,6 +41,8 @@ object LlmQueries {
     "l27_unigram_logprob" -> ((s, dir) => TextStats.unigramLogProb(s, dir)),
     "l28_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "l29_tfidf_top" -> ((s, dir) => TextStats.tfidfTop(s, dir)),
+    "l30_repetition" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
+    "l31_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -76,6 +78,32 @@ object LlmQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** 8-gram overlap between the corpus slice and the benchmark slice;
+    * argmax benchmark doc per contaminated corpus doc, ties to smallest id.
+    * Shared by l26 (exact) and l31 (bloom-pruned + exact-verified — false
+    * positives are removed, so the final relation is identical).
+    */
+  private val decontOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+       |           || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+       |           || ' ' || ws[i+7] AS s
+       |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+       |j AS (
+       |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared
+       |  FROM sh c JOIN sh b ON c.s = b.s
+       |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, shared AS n_shared, bench_id,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY shared DESC, bench_id ASC) AS rn
+       |  FROM j)
+       |SELECT doc_id, n_shared, bench_id FROM best
+       |WHERE rn = 1 AND n_shared >= 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "l01_exact_dup_groups" ->
@@ -285,26 +313,31 @@ object LlmQueries {
          |FROM r, nd WHERE rn = 1""".stripMargin,
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
-    "l26_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-         |           || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
-         |           || ' ' || ws[i+7] AS s
-         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
-         |j AS (
-         |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared
-         |  FROM sh c JOIN sh b ON c.s = b.s
-         |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-         |  GROUP BY 1, 2),
-         |best AS (
-         |  SELECT doc_id, shared AS n_shared, bench_id,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY shared DESC, bench_id ASC) AS rn
-         |  FROM j)
-         |SELECT doc_id, n_shared, bench_id FROM best
-         |WHERE rn = 1 AND n_shared >= 2""".stripMargin,
+    "l26_decontaminate" -> decontOracle,
+    // Gopher-style repetition rules: top-unigram fraction (aggregated) and
+    // duplicate-bigram fraction (row-local). Integer-ratio doubles —
+    // identical IEEE division on both engines, no rounding needed.
+    "l30_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) t
+         |  GROUP BY doc_id, tok),
+         |top AS (
+         |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_frac
+         |  FROM tc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id,
+         |         1.0 - CAST(len(list_distinct(b)) AS DOUBLE)
+         |           / greatest(len(b), 1) AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len(ws)),
+         |            i -> ws[i] || ' ' || ws[i+1]) AS b
+         |        FROM (SELECT doc_id, $toksSql AS ws FROM documents) w) x)
+         |SELECT doc_id, top_tok_frac, dup_bigram_frac
+         |FROM top JOIN bg USING (doc_id)""".stripMargin,
+    // The bloom pass prunes, the exact join verifies: false positives are
+    // eliminated, so the result — and therefore the oracle — is l26's.
+    "l31_decontaminate_bloom" -> decontOracle,
     // l03's pair relation fed through the same min-label-closure CTE as the
     // g04 WCC oracle, grouped into clusters.
     "l25_neardup_clusters" ->

@@ -261,6 +261,44 @@ object Dedup {
       .filter($"n_shared" >= minShared)
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s 100 TB first pass:
+    * the benchmark's shingle set compresses into one bloom filter
+    * (`bloom_filter_agg`), the corpus prunes against it map-side
+    * (`might_contain`), and only survivors reach the exact broadcast join.
+    * False positives are removed by the exact verification, so the result
+    * is IDENTICAL to [[decontaminate]] — which is exactly what the shared
+    * oracle asserts. At scale the bloom (1 MB) replaces the full shingle
+    * set in the broadcast of the pruning pass.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String, n: Int = 8,
+                         minShared: Int = 2): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    def sh(df: DataFrame): DataFrame = df
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(shingles($"ws", n)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val bench = sh(docs.filter($"doc_id" % 10 === 0)).distinct().cache()
+    bench.createOrReplaceTempView("bench_shingles")
+    sh(docs.filter($"doc_id" % 10 =!= 0))
+      .createOrReplaceTempView("corpus_shingles")
+    // might_contain requires the filter as a constant or scalar subquery —
+    // the subquery executes once and ships to every task like a broadcast.
+    val pruned = s.sql(
+      """SELECT doc_id, h FROM corpus_shingles
+        |WHERE bloom_contains(
+        |  (SELECT bloom_agg(h, 100000L, 800000L) FROM bench_shingles), h)""".stripMargin)
+    pruned.as("c")
+      .join(broadcast(bench.as("b")), $"c.h" === $"b.h")
+      .groupBy($"c.doc_id".as("doc_id"), $"b.doc_id".as("bench_id"))
+      .agg(count_distinct($"c.h").as("shared"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"shared".as("s"), (lit(0L) - $"bench_id").as("nb"))).as("m"))
+      .select($"doc_id", $"m.s".as("n_shared"), (lit(0L) - $"m.nb").as("bench_id"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature via the
     * [[graft.functions.SimHashSig]] TypedImperativeAggregate (64 signed
     * counters as one mergeable blob instead of 64 agg columns), 4×16-bit

@@ -133,6 +133,29 @@ object TextStats {
       sort_array(array(scoreCols: _*), asc = false)(0).getField("lang").as("lang_pred"))
   }
 
+  /** L4i: repetition scoring (the Gopher/MassiveText rule family): the
+    * fraction of the document taken by its single most frequent token, and
+    * the fraction of duplicate bigrams. High values flag boilerplate and
+    * generation loops — a quality signal orthogonal to length/stopword
+    * rules (l16) and statistical LM score (l27). The bigram stats are
+    * row-local array ops; only the unigram argmax aggregates.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val top = tc.groupBy($"doc_id")
+      .agg((max($"c").cast("double") / sum($"c")).as("top_tok_frac"))
+    val bg = Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", TextOps.shingles($"ws", 2).as("bg"))
+      .select($"doc_id",
+        (lit(1.0) - size(array_distinct($"bg")).cast("double") /
+          greatest(size($"bg"), lit(1)).cast("double")).as("dup_bigram_frac"))
+    top.join(bg, "doc_id")
+  }
+
   /** L4h: per-document top term with its TF-IDF score. Selection order is
     * deliberately integer-only — (tf DESC, df ASC, term ASC): most frequent
     * term, rarest on ties, then alphabetic — so no engine's libm rounding
