@@ -78,6 +78,29 @@ object EventStreams {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]] with
+    * unmatched purchases kept. Distinct state machine from the inner join:
+    * a purchase with no click can only be emitted (with NULL click columns)
+    * once the watermark proves no matching click can still arrive, so
+    * null-side rows trail the data by the watermark delay. Both sides'
+    * state stays evictable.
+    */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ev_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ev_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment: events joined to a static dimension (e.g.
     * the customer table). Stateless — the static side is re-planned per
     * micro-batch and broadcast (the streaming twin of q04's broadcast dim

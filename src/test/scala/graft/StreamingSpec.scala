@@ -102,6 +102,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((3L, 2L), (6L, 4L)))
   }
 
+  test("left-outer interval join keeps clickless purchases after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.purchaseAttributionOuter(mem.toDF())
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // Advance the watermark far past every purchase so the unmatched side
+    // can be emitted with NULL click columns.
+    mem.addData(Ev(99, ts(10000), 12, "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer_test")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    // Purchase 3 (user 10, t=70) matches click 2; purchase 6 (user 11,
+    // t=65) matches click 4. A matched purchase also gets no null row.
+    // Every purchase appears; none is lost for lacking a click.
+    assert(rows == Set((3L, 2L), (6L, 4L)))
+
+    // And a genuinely clickless purchase survives as a null-side row:
+    val mem2 = MemoryStream[Ev]
+    val q2 = EventStreams.purchaseAttributionOuter(mem2.toDF())
+      .writeStream.format("memory").queryName("attr_outer_test2")
+      .outputMode("append").start()
+    mem2.addData(Ev(1, ts(5), 20, "purchase", 9.0))
+    q2.processAllAvailable()
+    // The global watermark is the MIN across both (filtered) sides and a
+    // batch's watermark takes effect in the NEXT batch — so push BOTH sides
+    // (disjoint users so the pushers can't join) and run one more batch to
+    // flush the null-side row. The pusher purchase itself stays pending in
+    // state (nothing later than it arrives), so it is NOT emitted.
+    mem2.addData(Ev(2, ts(10000), 21, "click", 0.0),
+      Ev(3, ts(10000), 22, "purchase", 1.0))
+    q2.processAllAvailable()
+    mem2.addData(Ev(4, ts(10002), 21, "click", 0.0),
+      Ev(5, ts(10002), 22, "purchase", 1.0))
+    q2.processAllAvailable()
+    val rows2 = spark.table("attr_outer_test2")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q2.stop()
+    assert(rows2 == Set((1L, -1L)))
+  }
+
   test("sessionization closes sessions on gap and final flush") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
