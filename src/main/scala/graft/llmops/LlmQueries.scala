@@ -253,7 +253,7 @@ object LlmQueries {
          |           - n_tokens AS off
          |  FROM t)
          |SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS chunk_id,
-         |       count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
          |FROM o GROUP BY 1, 2""".stripMargin,
     "l23_redact_pii" ->
       """SELECT doc_id,
@@ -383,7 +383,8 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY md5(d.text)
          |                            ORDER BY d.doc_id) AS rn
          |  FROM documents d JOIN kept ON kept.doc_id = d.doc_id)
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM dedup WHERE rn = 1 GROUP BY lang""".stripMargin,
   )
 }

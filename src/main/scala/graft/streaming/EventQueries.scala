@@ -151,7 +151,8 @@ object EventQueries {
          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |                                ROWS UNBOUNDED PRECEDING) AS sess_idx
          |  FROM m)
-         |SELECT user_id, sess_idx, min(ms) AS start_ms, max(ms) AS end_ms,
+         |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+         |       min(ms) AS start_ms, max(ms) AS end_ms,
          |       count(*) AS n_events, ${sig6Sql("sum(value)")} AS total_value
          |FROM x GROUP BY user_id, sess_idx""".stripMargin,
   )
