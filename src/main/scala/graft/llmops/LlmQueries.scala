@@ -218,13 +218,15 @@ object LlmQueries {
          |  FROM t, unnest(range(1, len(ws))) u(i))
          |SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram
          |ORDER BY cnt DESC, ngram ASC LIMIT 20""".stripMargin,
+    // Scalar (label, i, mean_val) rows — the gate's pandas canonicalizer
+    // sorts column values, so no list-typed cells may reach it.
     "l18_mean_embedding" ->
       s"""WITH d AS (
          |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
          |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
          |  GROUP BY 1, 2)
-         |SELECT label, list(${graft.Canon.sig6Sql("m")} ORDER BY i) AS mean_vec
-         |FROM d GROUP BY label""".stripMargin,
+         |SELECT label, CAST(i AS BIGINT) AS i, ${graft.Canon.sig6Sql("m")} AS mean_val
+         |FROM d""".stripMargin,
     // The portable deterministic bucket: first 8 md5 hex digits as an int,
     // mod 100 — byte-identical in Spark (conv) and DuckDB (0x cast).
     "l20_split_assign" ->

@@ -118,7 +118,9 @@ object Similarity {
   /** L3e: per-label mean embedding (class centroids) via the ArraySumAgg
     * elementwise-sum sketch — one aggregation, k×dim doubles shuffled per
     * partition. Oracle-checked elementwise, which puts the custom aggregate
-    * itself behind the DuckDB gate.
+    * itself behind the DuckDB gate. Emitted as scalar (label, i, mean_val)
+    * rows (posexplode, 1-based i) rather than one array column — the gate's
+    * canonicalizer sorts column values, and list cells aren't sortable.
     */
   def meanEmbeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -126,7 +128,8 @@ object Similarity {
       .select($"label", transform($"embedding", x => x.cast("double")).as("v"))
       .groupBy($"label")
       .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"), count(lit(1)).as("n"))
-      .select($"label", transform($"sv", x => sig6(x / $"n")).as("mean_vec"))
+      .select($"label", posexplode(transform($"sv", x => sig6(x / $"n"))))
+      .select($"label", ($"pos" + 1).cast("long").as("i"), $"col".as("mean_val"))
   }
 
   /** L3b: embedding near-duplicate pairs (cosine >= threshold), blocked on

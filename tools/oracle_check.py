@@ -8,9 +8,17 @@ Compares each <outDir>/<name> parquet dump against the oracle SQL from
 <outDir>/oracle_sql.json executed in DuckDB over the sfDir tables, using the
 FIXTURES.md §5 canonicalization (rows sorted, floats to 6 significant digits,
 NULL as \\N, timestamps UTC).
+
+Both sides go through PANDAS (parquet -> pd.DataFrame, duckdb -> .df()),
+matching the driver's canonicalizer. This is deliberate: the driver sorts a
+pandas frame, so dtype coercions (DuckDB HUGEINT -> object/float64) and
+unsortable cells (list-typed columns crash pandas' lexsort) must be visible
+here too — fetchall()'s plain-Python values hid exactly that failure class.
 """
 import json, math, sys, glob, os
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -18,27 +26,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon_val(v):
-    if v is None:
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        # pandas stores SQL NULL as NaN in float columns; the driver's
+        # renderer treats both as null.
         return "\\N"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if v == 0:
             return "0"
         return f"{v:.6g}"
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     return str(v)
 
 
-def canon_rows(names, rows):
-    out = []
-    for r in rows:
-        d = dict(zip(names, r))
-        out.append(tuple(canon_val(d[k]) for k in sorted(d)))
-    return sorted(out)
+def canon_df(df):
+    """Driver-shaped canonicalization: columns sorted by name, rows
+    lexsorted by all columns via pandas (raises on unsortable cells —
+    that IS the gate's behavior), values rendered per FIXTURES.md §5."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(list(df.columns))
+    return [tuple(canon_val(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
 
 
 def main(sf_dir, out_dir):
@@ -55,34 +69,40 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
-        tbl = pq.read_table(files[0]) if files else None
-        if tbl is None:
+        if not files:
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        spark_rows = canon_rows(tbl.column_names,
-                                [tuple(r.values()) for r in tbl.to_pylist()])
+        # date_as_object=False: DATE columns become datetime64 like
+        # DuckDB's .df() output, so both sides render identically.
+        spark_df = pq.read_table(files).to_pandas(date_as_object=False)
         if name not in oracle:
-            print(f"SKIP {name}: no oracle ({len(spark_rows)} rows)")
+            print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
             continue
         try:
-            res = con.execute(oracle[name])
-            duck_names = [c[0] for c in res.description]
-            duck_rows = canon_rows(duck_names, res.fetchall())
+            spark_rows = canon_df(spark_df)
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: spark side not canonicalizable: {e!r}")
             n_fail += 1
             continue
-        if sorted(tbl.column_names) != sorted(duck_names):
-            print(f"FAIL {name}: columns {sorted(tbl.column_names)} vs {sorted(duck_names)}")
+        try:
+            duck_df = con.execute(oracle[name]).df()
+            duck_rows = canon_df(duck_df)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e!r}")
+            n_fail += 1
+            continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"FAIL {name}: columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
             n_fail += 1
         elif spark_rows == duck_rows:
             print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: {len(spark_rows)} spark vs {len(duck_rows)} duck rows")
-            only_s = [r for r in spark_rows if r not in set(duck_rows)][:3]
-            only_d = [r for r in duck_rows if r not in set(spark_rows)][:3]
+            duck_set, spark_set = set(duck_rows), set(spark_rows)
+            only_s = [r for r in spark_rows if r not in duck_set][:3]
+            only_d = [r for r in duck_rows if r not in spark_set][:3]
             print(f"  spark-only: {only_s}")
             print(f"  duck-only : {only_d}")
             n_fail += 1
