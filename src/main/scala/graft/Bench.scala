@@ -96,7 +96,15 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val mb = 1024.0 * 1024.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}"""
+    println(json)
+    // Also persist to a repo file: the driver captures only the last 4 KB
+    // of stdout, which has truncated the per-query map (and with it the
+    // b-anchor timings) in past rounds. The file is the durable artifact.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -18,12 +18,16 @@ import graft.Tables
   */
 object Curation {
 
-  /** First 8 hex digits of md5(salt || key) as a 0..99 bucket — the portable
+  /** First 8 hex digits of md5(salt || key) mod m — the portable
     * deterministic "RNG". Identical formula in the DuckDB oracles.
     */
-  private def hashBucket(salt: String, key: Column): Column =
+  private def hashMod(salt: String, key: Column, m: Int): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long") % m
+
+  /** 0..99 bucket over md5(salt || key). */
+  private def hashBucket(salt: String, key: Column): Column =
+    hashMod(salt, key, 100)
 
   /** L20: deterministic train/validation/test assignment (90/5/5).
     * Pure projection: no shuffle, fully pushdown-friendly, and stable under
@@ -57,21 +61,27 @@ object Curation {
   }
 
   /** L22: sequence packing — concat-then-chunk into fixed token budgets.
-    * Documents are streamed per language in doc_id order; each doc's start
-    * offset is a running token sum, and its chunk is `offset / budget`
-    * (doc-level first-fit: the training-batch packing layout). One shuffle
-    * (the per-language window partition); at scale the stream key would be
-    * (lang, shard) to bound partition size — the layout is unchanged.
+    * Documents are streamed per (lang, shard) in doc_id order; each doc's
+    * start offset is a running token sum, and its chunk is `offset / budget`
+    * (doc-level first-fit: the training-batch packing layout). The shard —
+    * a deterministic md5 bucket of doc_id — bounds window-partition size:
+    * a bare per-language window would put each language's entire corpus in
+    * ONE task (~5 tasks total at any scale); with the shard key the stream
+    * fans out `shards`-wide per language, and `shards` scales with the
+    * cluster. Packing stays deterministic and append-stable because the
+    * shard is content-addressed, not round-robin.
     */
-  def packSequences(s: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+  def packSequences(s: SparkSession, dir: String, budget: Int = 2048,
+                    shards: Int = 16): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
     Tables.load(s, dir, "documents")
       .select($"doc_id", $"lang",
         size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("shard", hashMod("pack:", $"doc_id", shards))
       .withColumn("off", sum($"n_tokens").over(w) - $"n_tokens")
       .withColumn("chunk_id", floor($"off" / budget))
-      .groupBy($"lang", $"chunk_id")
+      .groupBy($"lang", $"shard", $"chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("chunk_tokens"))
   }
 

@@ -247,16 +247,17 @@ object LlmQueries {
         |                          WHEN 'fr' THEN 80 ELSE 100 END)""".stripMargin,
     "l22_pack_sequences" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
          |  FROM documents),
          |o AS (
-         |  SELECT lang, n_tokens,
-         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+         |  SELECT lang, shard, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
          |           - n_tokens AS off
          |  FROM t)
-         |SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS chunk_id,
+         |SELECT lang, shard, CAST(floor(off / 2048) AS BIGINT) AS chunk_id,
          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
-         |FROM o GROUP BY 1, 2""".stripMargin,
+         |FROM o GROUP BY 1, 2, 3""".stripMargin,
     "l23_redact_pii" ->
       """SELECT doc_id,
         |       regexp_replace(

@@ -102,13 +102,23 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keep_id"))
   }
 
-  /** L1b: the deduplicated corpus — first doc_id per digest survives. */
+  /** L1b: the deduplicated corpus — first doc_id per digest survives.
+    *
+    * Survivors are picked by a (digest, doc_id)-only aggregation — 40-ish
+    * bytes per row through the exchange — then semi-joined back to the
+    * corpus. The obvious window over `md5(text)` would ship every byte of
+    * every document through the shuffle just to pick a survivor; at corpus
+    * scale that is the whole 100 TB through one exchange.
+    */
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy(md5($"text")).orderBy($"doc_id")
-    Tables.load(s, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    val docs = Tables.load(s, dir, "documents")
+    val keep = docs
+      .select(md5($"text").as("h"), $"doc_id")
+      .groupBy($"h")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"lang", $"source")
   }
 

@@ -57,8 +57,9 @@ class CurationSpec extends AnyFunSuite {
       .select(size(llmops.TextOps.tokens($"text")).cast("long").as("n"))
       .agg(sum($"n")).head().getLong(0)
     assert(totalPacked == totalTokens) // every token lands in exactly one chunk
-    // Chunk ids are dense from 0 per language: max(chunk_id) == count-1.
-    val holes = packed.groupBy($"lang")
+    // Chunk ids are dense from 0 per (lang, shard) stream:
+    // max(chunk_id) == count-1.
+    val holes = packed.groupBy($"lang", $"shard")
       .agg(max($"chunk_id").as("mx"), count(lit(1)).as("cnt"))
       .filter($"mx" =!= $"cnt" - 1).count()
     assert(holes == 0)

@@ -19,6 +19,19 @@ class PlanAuditSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
+  // AQE wraps executed stages in QueryStageExec nodes that plain collect()
+  // does not descend into — expand them manually.
+  private def expand(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(expand)
+  }
+
   test("q01 pushes both predicates and prunes columns at the parquet scan") {
     val plan = ranPlan("q01_filter_project")
     assert(plan.contains("PushedFilters: ["), plan)
@@ -69,15 +82,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("l22 sequence packing: per-language window, bounded shuffles") {
+  test("l22 sequence packing: sharded window, bounded shuffles") {
     val plan = ranPlan("l22_pack_sequences")
-    // One exchange for the per-language window, at most one more for the
-    // (lang, chunk_id) aggregation (chunk_id is window-derived, so the
-    // window partitioning can't serve the agg); never a global
+    // One exchange for the (lang, shard) window, at most one more for the
+    // (lang, shard, chunk_id) aggregation (chunk_id is window-derived, so
+    // the window partitioning can't serve the agg); never a global
     // single-partition window.
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, plan)
     assert(!plan.contains("SinglePartition"), plan)
+    // The window partition key must include the md5 shard — a bare `lang`
+    // key is one task per language at ANY scale.
+    val windowPart = "Exchange hashpartitioning\\(lang#\\d+[^)]*".r
+      .findFirstIn(plan).getOrElse("")
+    assert(windowPart.contains("shard"), s"window exchange lacks shard key:\n$plan")
   }
 
   test("q33 ntile windows are partitioned, never global") {
@@ -137,19 +155,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("l26 decontamination: corpus probes the broadcast join unshuffled") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // AQE wraps executed stages in QueryStageExec nodes that plain collect()
-    // does not descend into — expand them manually.
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(expand)
+  test("l02 exact dedup: no exchange carries document text") {
+    // The survivor pick must shuffle only (digest, doc_id)-shaped rows;
+    // a window over md5(text) would ship the whole corpus byte-for-byte
+    // through one exchange.
+    val df = SparkEntry.queries("l02_exact_dedup")(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    shuffles.foreach { ex =>
+      assert(!ex.output.exists(_.name == "text"),
+        s"exchange carries text: ${ex.output.map(_.name)}")
     }
+  }
+
+  test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
     df.collect()
     val all = expand(df.queryExecution.executedPlan)
