@@ -70,12 +70,24 @@ object Bench {
     // the cold pass — accumulated session state across 60+ queries costs
     // more than per-query codegen compilation saves — so each query's first
     // run in a fresh-ish session is the honest and the better number.)
+    // b03 throughput sidecar for the distributed superstep tier, in the
+    // SAME accounting as BASELINE.md's G2 anchor: ~7.1M edges/s =
+    // |E| × iterations / total wall-clock (69.0M × 15 / 146.5 s,
+    // log.txt:53-55 — the map phase scans the edge set once per round).
+    // Here: 64M × lastIterations / query seconds, plus the loop-only
+    // seconds for transparency.
+    var b03Loop = -1.0
+    var b03Iters = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
         false
+      }
+      if (ok && name == "b03_sssp_rand64m") {
+        b03Loop = graft.engine.SqlRunner.lastLoopSeconds
+        b03Iters = graft.engine.SqlRunner.lastIterations
       }
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -96,7 +108,12 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val mb = 1024.0 * 1024.0
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus}"""
+    val b03Extra = if (b03Loop > 0) {
+      val dt = results.toMap.getOrElse("b03_sssp_rand64m", -1.0)
+      val edgeIterPerSec = if (dt > 0) 64e6 * b03Iters / dt else -1.0
+      f""","b03_loop_sec":$b03Loop%.3f,"b03_iters":$b03Iters,"b03_edge_iter_per_sec":$edgeIterPerSec%.0f"""
+    } else ""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$b03Extra}"""
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the

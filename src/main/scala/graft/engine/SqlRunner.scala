@@ -35,6 +35,19 @@ object SqlRunner {
     */
   @volatile var lastIterations: Int = 0
 
+  /** Superstep-loop wall seconds of the most recent run (setup — edge
+    * cache, degree, init — excluded), for edges/s throughput reporting
+    * against the reference's iteration-phase anchor. Same last-writer-wins
+    * caveat as [[lastIterations]].
+    */
+  @volatile var lastLoopSeconds: Double = 0.0
+
+  /** The local-checkpoint RDD backing a loop-state DataFrame, if any. */
+  private def checkpointRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Run `alg` over `edges(src, dst, weight)`; returns (id, value).
     * `numEdges` < 0 means unknown — one counting pass sizes the loop.
     */
@@ -55,25 +68,42 @@ object SqlRunner {
       // form of the reference's precomputed adjloc routing table
       // (partition.h:276-279).
       val e = sel.repartition($"src").cache()
+      val tSetup = System.nanoTime()
+      if (verbose) {
+        e.count()
+        println(f"[${alg.name}] edge cache: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
+      }
       val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
       var verts = vertices.select($"id")
         .join(deg, $"id" === deg("src"), "left")
         .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
           alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
         .localCheckpoint()
+      if (verbose)
+        println(f"[${alg.name}] setup total: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
 
+      val tLoop = System.nanoTime()
       var iter = 0
       var changedCount = 1L
       while (iter < alg.maxIter && changedCount > 0) {
         iter += 1
+        val tIter = System.nanoTime()
         val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
         val senders = senders0.filter(alg.sendCondCol($"value"))
-        val aggs = senders.join(e, senders("id") === e("src"))
+        // SHUFFLE_HASH on the small side of both joins. Without the hint
+        // the planner sees two co-partitioned inputs (the edge cache and
+        // the vertex checkpoint both carry hash partitioning), plans a
+        // zero-exchange sort-merge join, and RE-SORTS the full edge
+        // relation EVERY superstep — measured 13-35 s/round at 64M edges
+        // regardless of active-set size. Hash join keeps the zero-exchange
+        // property but probes the big side linearly: build the (active-set
+        // sized) senders/aggs map, stream the edges/vertices.
+        val aggs = senders.hint("SHUFFLE_HASH").join(e, senders("id") === e("src"))
           .select(e("dst").as("mdst"),
             alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
           .groupBy($"mdst")
           .agg(alg.reduceAgg($"msg").as("agg"))
-        val next = verts.join(aggs, verts("id") === aggs("mdst"), "left")
+        val next = verts.join(aggs.hint("SHUFFLE_HASH"), verts("id") === aggs("mdst"), "left")
           .select(verts("id"), verts("outdeg"), verts("value").as("old"),
             alg.updateCol(verts("value"), $"agg", meta).as("value"))
           .select($"id", $"outdeg", $"value",
@@ -89,14 +119,29 @@ object SqlRunner {
           .localCheckpoint(eager = false)
         val t0 = System.nanoTime()
         changedCount = next.filter($"changed").count()
-        if (verbose)
+        if (verbose) {
           println(f"[${alg.name}] iter $iter: changed=$changedCount " +
-            f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+            f"(count ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+            f"full ${(System.nanoTime() - tIter) / 1e9}%.2f s)")
+          if (iter == 1)
+            println(next.queryExecution.executedPlan.toString
+              .split("== Initial Plan ==").head)
+        }
+        // The count above materialized `next`'s checkpoint, which truncates
+        // its lineage — the previous round's checkpoint is now unreferenced.
+        // Free it eagerly: 120 rounds of leaked vertex state is 120×|V| rows
+        // of memory pressure, and the resulting GC pauses were measured
+        // dominating round time at 4M vertices.
+        checkpointRdd(verts).foreach(_.unpersist(blocking = false))
         verts = next
       }
+      lastLoopSeconds = (System.nanoTime() - tLoop) / 1e9
+      val tUn = System.nanoTime()
       e.unpersist()
       if (needCount) sel.unpersist()
       lastIterations = iter
+      if (verbose)
+        println(f"[${alg.name}] unpersist: ${(System.nanoTime() - tUn) / 1e9}%.2f s")
       verts.select($"id", $"value")
     }
   }

@@ -205,6 +205,34 @@ object GraphQueries {
         .filter($"value" =!= Double.PositiveInfinity)
         .select($"id", $"value".cast("long").as("dist"))
     }),
+    // BENCH anchor 3: the DISTRIBUTED superstep tier, measured at a size
+    // where it is the chosen plan. 4M vertices × 16 deterministic
+    // out-edges = 64M edges — 2× the 32M local-CSR threshold, so
+    // GmrRunner.auto dispatches to SqlRunner and the whole run goes
+    // through the cached-pre-partitioned edge join + shuffle supersteps.
+    // Total edge relaxations ≈ |E| (unit-weight SSSP activates each
+    // vertex once), so edges/s ≈ 64M / seconds — comparable to
+    // BASELINE.md's ~7.1M edge-relaxations/s soc-LiveJournal1 anchor
+    // (log.txt:53-55). Output is a one-row summary (deterministic graph →
+    // deterministic distances); runner equality vs the local CSR loop is
+    // pinned by EngineSpec on the same generator.
+    "b03_sssp_rand64m" -> ((s, dir) => {
+      import s.implicits._
+      val nV = 4000000L
+      val m = 16L * nV
+      val e = s.range(m)
+        .select(($"id" % nV).as("src"),
+          pmod(xxhash64($"id"), lit(nV)).as("dst"))
+        .filter($"src" =!= $"dst")
+        .withColumn("weight", lit(1.0))
+      val v = s.range(nV).select($"id")
+      GmrRunner.auto(s, v, e, Algorithms.Sssp,
+          GraphMeta(nV, source = 1L), numEdges = m)
+        .filter($"value" =!= Double.PositiveInfinity)
+        .agg(count(lit(1)).as("n_reached"),
+          sum($"value").cast("long").as("sum_dist"),
+          max($"value").cast("long").as("max_dist"))
+    }),
   )
 
   private val bfsOracle =

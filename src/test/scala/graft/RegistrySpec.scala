@@ -33,6 +33,8 @@ class RegistrySpec extends AnyFunSuite {
       "b01_sssp_4elt",      // reference graph, not table data
       "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
                             // EngineSpec pins runner equality at 200k)
+      "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
+                            // forced through SqlRunner past the 32M threshold)
       "g11_mst",            // not single-statement SQL (MstSpec golden)
       "g15_kcore3",         // iterated-aggregate peeling, not single-statement SQL
                             // (GraphAlgoSpec golden + membership invariant)
