@@ -42,8 +42,8 @@ object SqlRunner {
     */
   @volatile var lastLoopSeconds: Double = 0.0
 
-  /** The local-checkpoint RDD backing a loop-state DataFrame, if any. */
-  private def checkpointRdd(df: DataFrame) =
+  /** The local-checkpoint RDD backing a loop-state Dataset, if any. */
+  private[engine] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

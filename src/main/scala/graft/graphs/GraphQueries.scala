@@ -3,8 +3,8 @@ package graft.graphs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.Algorithms
-import graft.engine.{GmrRunner, GraphMeta, GraphXRunner, SqlRunner}
+import graft.algos.{Algorithms, TypedAlgorithms}
+import graft.engine.{GmrRunner, GraphMeta, GraphXRunner, SqlRunner, TypedRunner}
 import graft.sources.GraphSource
 
 /** Driver-facing graph query registry (SURVEY §2.4 G1–G4) over the derived
@@ -169,6 +169,23 @@ object GraphQueries {
         .orderBy($"cn".desc, $"a".asc, $"b".asc)
         .limit(20)
     }),
+    // Per-vertex triangles through the TYPED engine tier — the triangle
+    // credited to its MIDDLE vertex, computed by shipping adjacency lists
+    // as messages (the reference's own TriangleCount shape,
+    // algorithms.h:134-166) with composite (adjacency, count) state.
+    // Gates TypedRunner's list-payload path behind the DuckDB oracle.
+    "g18_triangles_engine" -> ((s, dir) => {
+      import s.implicits._
+      val sym = GraphOps.symmetrize(s, GraphOps.edges(s, dir),
+          dropSelfLoops = true)
+        .withColumn("weight", lit(1.0))
+      val v = sym.select($"src".as("id")).distinct()
+      TypedRunner.run(s, v, sym,
+          TypedAlgorithms.TrianglesPerMidVertex, GraphMeta(0L))
+        .map { case (id, (_, n)) => (id, n) }
+        .toDF("id", "n_tri")
+        .filter($"n_tri" > 0)
+    }),
     // BENCH anchor: SSSP on the reference's 4elt mesh through the
     // file-backed auto runner (a sub-MB local file parses and loops wholly
     // driver-side — the native baseline is also a single-node run) —
@@ -316,6 +333,17 @@ object GraphQueries {
          |JOIN ue e2 ON e2.a = e1.b
          |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
          |GROUP BY e1.a""".stripMargin,
+    // Same triangle join, credited to the MIDDLE vertex (e1.b) — the typed
+    // engine's natural crediting (the receiver of the candidate lists).
+    "g18_triangles_engine" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
+         |       UNION SELECT dst, src FROM e0 WHERE dst < src)
+         |SELECT e1.b AS id, count(*) AS n_tri
+         |FROM ue e1
+         |JOIN ue e2 ON e2.a = e1.b
+         |JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+         |GROUP BY e1.b""".stripMargin,
     "g08_pagerank_engine" -> oraclePagerank2,
     // Weighted walk: min over all path lengths; any reachable node's
     // shortest distance is <= diameter(9) x max-weight(9) = 81, so the 150
