@@ -18,6 +18,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -26,17 +27,19 @@ object BenchOne {
           if (m != null) {
             read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           }
         }
       })
     args.foreach { name =>
-      read.set(0); write.set(0)
+      read.set(0); write.set(0); spill.set(0)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(f"$name: constructed in ${(System.nanoTime() - t0) / 1e9}%.3f s")
       val n = df.count()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows, " +
-        f"shuffle r/w ${read.get / 1048576.0}%.0f/${write.get / 1048576.0}%.0f MB)")
+        f"shuffle r/w ${read.get / 1048576.0}%.0f/${write.get / 1048576.0}%.0f MB, " +
+        f"spill ${spill.get / 1048576.0}%.0f MB)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))

@@ -71,9 +71,15 @@ object LoopConf {
     */
   def sizedParallelism(s: org.apache.spark.sql.SparkSession,
                        numRows: Long, rowBytes: Long): Int = {
-    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Loops may exceed the session cap up to 4× (extra task waves) when the
+    // 8 MB/partition target demands it: at 64M edges the 32-partition cap
+    // left ~48 MB of loop state per partition and the superstep shuffles
+    // spilled 3.6 GB; 4 waves trade scheduling overhead for in-memory
+    // partitions. A cluster deployment sizes the session cap to the
+    // cluster, and these loops still only size DOWN from 4× that.
+    val cap = 4L * s.conf.get("spark.sql.shuffle.partitions").toInt
     val target = 8L * 1024 * 1024
-    math.max(1, math.min(cap.toLong,
+    math.max(1, math.min(cap,
       (numRows * rowBytes + target - 1) / target).toInt)
   }
 
