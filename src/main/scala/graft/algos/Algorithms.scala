@@ -82,6 +82,28 @@ object Algorithms {
       (1.0 - d) / meta.numVertices + d * agg.getOrElse(0.0)
   }
 
+  /** Forward max-color propagation — phase 1 of FW-BW-coloring SCC
+    * ([[graft.graphs.Scc]]): color(v) = max vertex id that reaches v.
+    * Vertices whose color equals their own id are the color roots. Labels
+    * are ids as doubles (exact below 2^53); accu/max merge.
+    */
+  object FwdMaxColor extends GmrAlgorithm {
+    val name = "fwd-max-color"
+
+    def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")
+    def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
+      srcVal
+    def reduceAgg(msg: Column): Column = max(msg)
+    def updateCol(oldVal: Column, agg: Column, meta: GraphMeta): Column =
+      when(agg.isNull, oldVal).otherwise(greatest(oldVal, agg))
+
+    def initFn(id: Long, meta: GraphMeta): Double = id.toDouble
+    def msgFn(srcVal: Double, weight: Double, srcOutDeg: Int): Double = srcVal
+    def mergeFn(a: Double, b: Double): Double = math.max(a, b)
+    def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double =
+      agg.fold(oldVal)(math.max(oldVal, _))
+  }
+
   /** Weakly connected components via min-label propagation (the intended
     * implementation of the reference's `connectedComponents` stub,
     * algorithms.h:210). Labels are vertex ids as doubles; cover/min merge.

@@ -118,6 +118,12 @@ object GraphQueries {
       g.stronglyConnectedComponents(numIter = 50)
         .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "comp")
     }),
+    // SCC through the ENGINE: FW-BW coloring, two GmrAlgorithm fixpoints
+    // per peel round (forward max-color + backward reach via a virtual
+    // source), driver-orchestrated — same answers as g09's GraphX path,
+    // same oracle.
+    "g19_scc_engine" -> ((s, dir) =>
+      Scc.sccEngine(s, GraphOps.sparseEdges(s, dir))),
     // Label propagation (community detection), 2 synchronous rounds with
     // deterministic ties — the companion to WCC on the stub ledger
     // (algorithms.h:210-214 declares component intent; LPA is the
@@ -395,16 +401,19 @@ object GraphQueries {
          |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
-    "g09_scc" ->
-      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
-         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
-         |reach AS (
-         |  SELECT id, id AS anc FROM v
-         |  UNION
-         |  SELECT e0.dst, reach.anc FROM reach JOIN e0 ON e0.src = reach.id
-         |)
-         |SELECT r1.id, min(r1.anc) AS comp
-         |FROM reach r1 JOIN reach r2 ON r2.id = r1.anc AND r2.anc = r1.id
-         |GROUP BY r1.id""".stripMargin,
+    "g09_scc" -> sccOracle,
+    "g19_scc_engine" -> sccOracle,
   )
+
+  private lazy val sccOracle =
+    s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+       |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |reach AS (
+       |  SELECT id, id AS anc FROM v
+       |  UNION
+       |  SELECT e0.dst, reach.anc FROM reach JOIN e0 ON e0.src = reach.id
+       |)
+       |SELECT r1.id, min(r1.anc) AS comp
+       |FROM reach r1 JOIN reach r2 ON r2.id = r1.anc AND r2.anc = r1.id
+       |GROUP BY r1.id""".stripMargin
 }

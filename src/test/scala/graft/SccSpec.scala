@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graphs.{GraphOps, Scc}
+
+/** FW-BW-coloring SCC through the engine ([[graft.graphs.Scc]]): hand
+  * goldens on adversarial small graphs plus equality with the GraphX SCC
+  * (the g09 path) on the derived graph.
+  */
+class SccSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Scc.sccEngine(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("cycle + tail + 2-cycle hand golden") {
+    // {1,2,3} is a 3-cycle, {4,5} a 2-cycle, 3→4 bridges them.
+    val got = sccOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 4L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("reverse path peels to singletons (worst case for the peel bound)") {
+    val got = sccOf(Seq(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("matches GraphX strongly-connected components on the derived graph") {
+    import spark.implicits._
+    val e = GraphOps.sparseEdges(spark, sf)
+    val engine = Scc.sccEngine(spark, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeRdd = e.rdd.map(r =>
+      org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val g = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+    val graphx = g.stronglyConnectedComponents(numIter = 50)
+      .vertices.collect().toMap
+    assert(engine == graphx)
+  }
+}
