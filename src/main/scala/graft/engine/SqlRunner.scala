@@ -43,7 +43,7 @@ object SqlRunner {
   @volatile var lastLoopSeconds: Double = 0.0
 
   /** The local-checkpoint RDD backing a loop-state Dataset, if any. */
-  private[engine] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
+  private[graft] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }

@@ -1,10 +1,10 @@
 package graft.graphs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algos.Algorithms
-import graft.engine.{GmrRunner, GraphMeta}
+import graft.engine.{GmrAlgorithm, GmrRunner, GraphMeta, SqlRunner}
 
 /** Strongly connected components THROUGH THE ENGINE — the FW-BW-coloring
   * algorithm (Orzan's coloring / forward-backward family) driver-orchestrated
@@ -21,44 +21,80 @@ import graft.engine.{GmrRunner, GraphMeta}
   *      color, so the restriction is exact).
   *
   * Settled SCCs are labeled min(id) (the g09 oracle's labeling), removed,
-  * and the peel repeats. Each round settles every current root's SCC, so
-  * rounds ≤ the longest chain of SCCs in the condensation DAG — the known
-  * bound of this family; trim-style singleton removal falls out for free
-  * because singleton roots settle as 1-vertex SCCs. Everything on the data
-  * path is joins + engine runs; per-round state is localCheckpoint-bounded
-  * exactly like the inner superstep loops.
+  * and the peel repeats. Each round settles every current root's SCC (a
+  * root always settles at least itself), so the peel terminates in at most
+  * #SCC rounds — the condensation-chain depth in the common case, linear
+  * only on adversarial shapes like a decreasing chain. Both inner fixpoints
+  * run with an iteration budget of |V|+1 (label propagation converges
+  * within the diameter; the default 120-round cap would silently truncate
+  * long cycles). Everything on the data path is joins + engine runs;
+  * per-round checkpoints are freed as soon as the next round's state is
+  * materialized, like the inner superstep loops.
   */
 object Scc {
 
-  /** SCC labels (id, comp = min id of the component) for the directed graph
-    * `edgeDf(src, dst)`.
+  /** `alg` with its iteration cap raised to `cap` — propagation fixpoints
+    * inside the peel must never stop early, or partial colors silently
+    * split components.
     */
-  def sccEngine(s: SparkSession, edgeDf: DataFrame, maxRounds: Int = 64): DataFrame = {
+  private def withCap(alg: GmrAlgorithm, cap: Int): GmrAlgorithm =
+    new GmrAlgorithm {
+      def name: String = alg.name
+      override def maxIter: Int = cap
+      override def epsilon: Double = alg.epsilon
+      override def activeMessaging: Boolean = alg.activeMessaging
+      def initCol(id: Column, meta: GraphMeta): Column = alg.initCol(id, meta)
+      def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
+        alg.msgCol(srcVal, weight, srcOutDeg)
+      override def sendCondCol(srcVal: Column): Column = alg.sendCondCol(srcVal)
+      def reduceAgg(msg: Column): Column = alg.reduceAgg(msg)
+      def updateCol(oldVal: Column, agg: Column, meta: GraphMeta): Column =
+        alg.updateCol(oldVal, agg, meta)
+      def initFn(id: Long, meta: GraphMeta): Double = alg.initFn(id, meta)
+      def msgFn(srcVal: Double, weight: Double, srcOutDeg: Int): Double =
+        alg.msgFn(srcVal, weight, srcOutDeg)
+      override def sendCondFn(srcVal: Double): Boolean = alg.sendCondFn(srcVal)
+      def mergeFn(a: Double, b: Double): Double = alg.mergeFn(a, b)
+      def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double =
+        alg.updateFn(oldVal, agg, meta)
+    }
+
+  private def free(df: DataFrame): Unit =
+    SqlRunner.checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** SCC labels (id, comp = min id of the component) for the directed graph
+    * `edgeDf(src, dst)`. Vertex ids must be ≥ 0 (one negative id is
+    * reserved for the backward phase's virtual source).
+    */
+  def sccEngine(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
     val virtualSource = -1L
 
     var eRem = edgeDf.select($"src", $"dst").distinct().localCheckpoint()
     var vRem = eRem.select($"src".as("id"))
       .union(eRem.select($"dst".as("id"))).distinct().localCheckpoint()
-    var result: DataFrame = null
-    var round = 0
+    var result = s.emptyDataset[(Long, Long)].toDF("id", "comp").localCheckpoint()
     var remaining = vRem.count()
+    require(remaining == 0 ||
+      vRem.agg(min($"id")).head().getLong(0) >= 0,
+      "sccEngine requires nonnegative vertex ids")
+    // Propagation cap: a label needs at most |V| supersteps to cross the
+    // graph; +1 for the virtual-source hop in the backward phase.
+    val iterCap = math.min(remaining + 2, Int.MaxValue.toLong).toInt
 
-    while (remaining > 0 && round < maxRounds) {
-      round += 1
+    while (remaining > 0) {
       val mRem = eRem.count() // sizes the runner dispatch (local vs shuffled)
       // Phase 1: forward max-color over the remaining subgraph.
       val colors = GmrRunner.auto(s, vRem,
           eRem.withColumn("weight", lit(1.0)),
-          Algorithms.FwdMaxColor, GraphMeta(remaining),
+          withCap(Algorithms.FwdMaxColor, iterCap), GraphMeta(remaining),
           numEdges = mRem)
         .select($"id", $"value".cast("long").as("color"))
         .localCheckpoint()
       // Phase 2: backward reach to the color root, inside the color class.
-      val colorOf = colors
       val colorEdges = eRem
-        .join(colorOf.as("cs"), $"src" === $"cs.id")
-        .join(colorOf.as("cd"), $"dst" === $"cd.id")
+        .join(colors.as("cs"), $"src" === $"cs.id")
+        .join(colors.as("cd"), $"dst" === $"cd.id")
         .filter($"cs.color" === $"cd.color")
         .select($"src", $"dst")
       val roots = colors.filter($"id" === $"color").select($"id")
@@ -67,17 +103,22 @@ object Scc {
         .union(roots.select(lit(virtualSource).as("src"), $"id".as("dst")))
         .withColumn("weight", lit(1.0))
       val bwdVerts = vRem.union(s.range(1).select(lit(virtualSource).as("id")))
-      val reach = GmrRunner.auto(s, bwdVerts, bwdEdges, Algorithms.Sssp,
+      val reach = GmrRunner.auto(s, bwdVerts, bwdEdges,
+        withCap(Algorithms.Sssp, iterCap),
         GraphMeta(remaining + 1, source = virtualSource), numEdges = mRem + 1)
+      // Checkpointed: `settled` is read three times below (comp, the label
+      // join, the anti-join) — without the checkpoint each read re-executes
+      // the whole backward engine run.
       val settled = reach
         .filter($"value" =!= Double.PositiveInfinity && $"id" =!= virtualSource)
         .select($"id")
         .join(colors, "id")
+        .localCheckpoint()
       // g09 labeling: comp = min id of the SCC (color is the max id).
       val comp = settled.groupBy($"color").agg(min($"id").as("comp"))
       val labeled = settled.join(comp, "color").select($"id", $"comp")
-      result =
-        (if (result == null) labeled else result.union(labeled)).localCheckpoint()
+      val (oldResult, oldV, oldE) = (result, vRem, eRem)
+      result = result.union(labeled).localCheckpoint()
       vRem = vRem.join(labeled.select($"id"), Seq("id"), "left_anti")
         .localCheckpoint()
       eRem = eRem
@@ -86,8 +127,9 @@ object Scc {
         .select($"src", $"dst")
         .localCheckpoint()
       remaining = vRem.count()
+      // New round state is materialized — free the superseded checkpoints.
+      Seq(oldResult, oldV, oldE, colors, settled).foreach(free)
     }
-    require(remaining == 0, s"SCC peel did not converge in $maxRounds rounds")
     result
   }
 }

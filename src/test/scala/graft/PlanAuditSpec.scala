@@ -91,11 +91,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, plan)
     assert(!plan.contains("SinglePartition"), plan)
-    // The window partition key must include the md5 shard — a bare `lang`
-    // key is one task per language at ANY scale.
-    val windowPart = "Exchange hashpartitioning\\(lang#\\d+[^)]*".r
-      .findFirstIn(plan).getOrElse("")
-    assert(windowPart.contains("shard"), s"window exchange lacks shard key:\n$plan")
+    // EVERY lang-keyed exchange must include the md5 shard — a bare `lang`
+    // key is one task per language at ANY scale. (All of them, not the
+    // first match: the agg exchange prints before the window exchange and
+    // always carries shard as a groupBy key, which would mask a window
+    // regression.)
+    val langExchanges = "Exchange hashpartitioning\\(lang#\\d+[^)]*".r
+      .findAllIn(plan).toList
+    assert(langExchanges.nonEmpty, plan)
+    langExchanges.foreach { ex =>
+      assert(ex.contains("shard"), s"lang-keyed exchange lacks shard key: $ex\n$plan")
+    }
   }
 
   test("q33 ntile windows are partitioned, never global") {

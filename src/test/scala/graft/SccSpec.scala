@@ -29,6 +29,19 @@ class SccSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("a 150-cycle is ONE component (propagation must outlive the 120-iter default)") {
+    // Color 150 needs 149 supersteps to circle back — a fixpoint capped at
+    // the engine's default 120 rounds would silently split this cycle.
+    val n = 150L
+    val edges = (1L until n).map(i => i -> (i + 1)) :+ (n -> 1L)
+    val got = sccOf(edges)
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("empty edge relation yields an empty result, not null") {
+    assert(sccOf(Seq.empty) == Map.empty)
+  }
+
   test("matches GraphX strongly-connected components on the derived graph") {
     import spark.implicits._
     val e = GraphOps.sparseEdges(spark, sf)

@@ -26,7 +26,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon_val(v):
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+    # np.floating covers float32, which is NOT a Python-float subclass.
+    if v is None or v is pd.NaT or \
+            (isinstance(v, (float, np.floating)) and math.isnan(float(v))):
         # pandas stores SQL NULL as NaN in float columns; the driver's
         # renderer treats both as null.
         return "\\N"
