@@ -87,6 +87,37 @@ object EventQueries {
         .agg(count(lit(1)).as("n_clicks"), min($"c_ms").as("first_ms"))
     }),
 
+    // The tumbling aggregation EXECUTED THROUGH Structured Streaming:
+    // readStream over the same events parquet, Trigger.AvailableNow (drain
+    // everything then stop), complete-mode memory sink, result returned as
+    // a DataFrame — so the streaming runtime itself sits behind q24's
+    // DuckDB oracle, not just its batch twin. Complete mode (no watermark)
+    // because a finite replay has no late data and append mode would hold
+    // back the final windows past the last watermark advance. At scale the
+    // same plan runs unbounded with EventStreams.tumblingAgg's watermark;
+    // StreamingSpec certifies that variant's stream≡batch agreement.
+    "s01_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      // The file source wants a directory; the sf dir holds one parquet
+      // file per table, so glob-filter down to the events file.
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"event_type", $"value")
+        .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
+        .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
+      val sink = s"s01_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -110,6 +141,11 @@ object EventQueries {
     }),
   )
 
+  private lazy val tumblingOracle =
+    s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
+       |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q23_asof_join" ->
       """WITH r AS (SELECT o_custkey AS k, o_orderkey,
@@ -122,10 +158,8 @@ object EventQueries {
         |  FROM events e JOIN r ON r.k = e.user_id AND r.order_ms <= epoch_ms(e.ts))
         |SELECT event_id, user_id, ev_ms, o_orderkey, order_ms
         |FROM cand WHERE rn = 1""".stripMargin,
-    "q24_tumbling_window" ->
-      s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
-         |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
-         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_tumbling_window" -> tumblingOracle,
+    "s01_stream_tumbling" -> tumblingOracle,
     "q51_sliding_window" ->
       s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
          |         - k * INTERVAL '15 minutes' AS wstart,

@@ -16,7 +16,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("query names follow the prefix_name convention") {
     val bad = SparkEntry.queries.keySet.filterNot(
-      _.matches("^[bglmq][0-9]{2}_[a-z0-9_]+$"))
+      _.matches("^[bglmqs][0-9]{2}_[a-z0-9_]+$"))
     assert(bad.isEmpty, s"nonconforming names: $bad")
   }
 
