@@ -133,6 +133,27 @@ class EngineSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("mid-size stress: tri-runner FwdMaxColor equality on the 200k graph") {
+    // The SCC peel's phase-1 algebra (max-label propagation): exact merges,
+    // so all three executors must agree bit-for-bit like SSSP/WCC.
+    import spark.implicits._
+    val nV = 20000L
+    val edges = spark.range(0, 200000)
+      .select((pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+      .cache()
+    val verts = spark.range(1, nV + 1).select($"id")
+    val meta = GraphMeta(nV)
+    val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.FwdMaxColor, meta))
+    val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.FwdMaxColor, meta))
+    val gxR = toMap(GraphXRunner.run(spark, verts, edges, Algorithms.FwdMaxColor, meta))
+    assert(sqlR == localR)
+    assert(sqlR == gxR)
+    edges.unpersist()
+  }
+
   test("mid-size stress: tri-runner PageRank agreement on the 200k graph") {
     // Sum-merge aggregation order differs across physical executors, so
     // agreement is to relative tolerance rather than bit-equality (the min
