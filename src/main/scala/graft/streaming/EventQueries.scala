@@ -109,13 +109,76 @@ object EventQueries {
         .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
-      val sink = s"s01_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      drain(s, agg, "s01", "complete")
+    }),
+
+    // The SLIDING aggregation through the streaming runtime — s01's pattern
+    // over the overlapping-window state machine (each event lands in 4
+    // windows), behind q51's oracle. Exercises the multi-assignment window
+    // path of the state store, not just single-bucket tumbling.
+    "s02_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = src
+        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"event_type", $"value")
+        .groupBy(window($"ev_ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
+        .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
+      drain(s, agg, "s02", "complete")
+    }),
+
+    // Gap-sessionization through the streaming runtime: the
+    // flatMapGroupsWithState sessionizer (EventStreams.sessionize) drained
+    // over a finite replay, behind q31's oracle. Append-mode fMGWS only
+    // emits CLOSED sessions, so each user's final open session would be
+    // held in state forever on a finite stream; a per-user sentinel event
+    // one gap past their last real event forces every real session closed
+    // (the sentinel's own 1-event session stays in state, unreported —
+    // event ids are nonnegative so no real row is ever a sentinel).
+    // sess_idx is assigned after the drain: sessions of a user are
+    // disjoint in time, so ordering by start_ms reproduces q31's running
+    // new-session count.
+    "s03_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val sentinels = ev.groupBy($"user_id").agg(max($"ev_ts").as("mx"))
+        .select(lit(-1L).as("event_id"),
+          ($"mx" + expr("INTERVAL 31 MINUTES")).as("ev_ts"),
+          $"user_id", lit("flush").as("event_type"), lit(0.0).as("value"))
+      val staged = stage(ev.unionByName(sentinels), "s03", dir)
+      val src = s.readStream.schema(ev.schema).parquet(staged)
+        .as[EventStreams.Ev]
+      val sessions = EventStreams.sessionize(src).toDF()
+      drain(s, sessions, "s03", "append")
+        .withColumn("sess_idx", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
+        .select($"user_id", $"sess_idx", $"start_ms", $"end_ms",
+          $"n_events".cast("long").as("n_events"),
+          sig6($"total_value").as("total_value"))
+    }),
+
+    // Streaming dedup of a REPLAYED corpus: the events table doubled
+    // (every row arrives twice), streamed through
+    // dropDuplicatesWithinWatermark — the runtime must emit each event
+    // exactly once, so the oracle is simply the original table. Gates the
+    // stateful dedup operator end-to-end (state keyed on event_id, evicted
+    // by the watermark; the replay lands inside it by construction).
+    "s04_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val staged = stage(ev.unionByName(ev), "s04", dir)
+      val src = s.readStream.schema(ev.schema).parquet(staged)
+      drain(s, EventStreams.dedupEvents(src), "s04", "append")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_millis($"ev_ts").as("ms"))
     }),
 
     // Gap-based sessionization in batch: a session breaks when >30 min of
@@ -141,6 +204,33 @@ object EventQueries {
     }),
   )
 
+  /** Run a finite streaming plan to a memory sink (AvailableNow drains the
+    * source then stops) and return the drained table. The uniquely-named
+    * sink keeps Verify's concurrent sessions from colliding.
+    */
+  private def drain(s: SparkSession, df: DataFrame, tag: String,
+                    mode: String): DataFrame = {
+    val sink = s"${tag}_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Materialize a prepared replay as ONE parquet file so the file source
+    * delivers it in one micro-batch (per-sf per-process path; overwritten
+    * on re-run so warm bench passes reuse nothing stale).
+    */
+  private def stage(df: DataFrame, tag: String, sfDir: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val sf = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stream/p$pid/$sf/$tag"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
   private lazy val tumblingOracle =
     s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
        |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
@@ -160,12 +250,12 @@ object EventQueries {
         |FROM cand WHERE rn = 1""".stripMargin,
     "q24_tumbling_window" -> tumblingOracle,
     "s01_stream_tumbling" -> tumblingOracle,
-    "q51_sliding_window" ->
-      s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
-         |         - k * INTERVAL '15 minutes' AS wstart,
-         |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
-         |FROM events, unnest([0, 1, 2, 3]) t(k)
-         |GROUP BY 1, 2""".stripMargin,
+    "q51_sliding_window" -> slidingOracle,
+    "s02_stream_sliding" -> slidingOracle,
+    "s03_stream_sessionize" -> sessionizeOracle,
+    "s04_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
+        |FROM events""".stripMargin,
     "q35_range_join" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
         |           WHERE event_type = 'click'),
@@ -175,7 +265,17 @@ object EventQueries {
         |FROM p JOIN c ON c.user_id = p.user_id
         |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
         |GROUP BY p.event_id""".stripMargin,
-    "q31_sessionize" ->
+    "q31_sessionize" -> sessionizeOracle,
+  )
+
+  private lazy val slidingOracle =
+    s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+       |         - k * INTERVAL '15 minutes' AS wstart,
+       |       event_type, count(*) AS cnt, ${sig6Sql("sum(value)")} AS total
+       |FROM events, unnest([0, 1, 2, 3]) t(k)
+       |GROUP BY 1, 2""".stripMargin
+
+  private lazy val sessionizeOracle =
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
          |m AS (
          |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
@@ -188,6 +288,5 @@ object EventQueries {
          |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
          |       min(ms) AS start_ms, max(ms) AS end_ms,
          |       count(*) AS n_events, ${sig6Sql("sum(value)")} AS total_value
-         |FROM x GROUP BY user_id, sess_idx""".stripMargin,
-  )
+         |FROM x GROUP BY user_id, sess_idx""".stripMargin
 }
