@@ -19,6 +19,7 @@ object Algorithms {
     * msg = srcVal + w, reduce = min, update = min(old, agg), cover mode.
     */
   object Sssp extends GmrAlgorithm {
+    override val idleNoOp = true
     val name = "sssp"
     private val Inf = Double.PositiveInfinity
 
@@ -88,6 +89,7 @@ object Algorithms {
     * are ids as doubles (exact below 2^53); accu/max merge.
     */
   object FwdMaxColor extends GmrAlgorithm {
+    override val idleNoOp = true
     val name = "fwd-max-color"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")
@@ -109,6 +111,7 @@ object Algorithms {
     * algorithms.h:210). Labels are vertex ids as doubles; cover/min merge.
     */
   object Wcc extends GmrAlgorithm {
+    override val idleNoOp = true
     val name = "wcc"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")

@@ -38,6 +38,14 @@ trait GmrAlgorithm extends Serializable {
     */
   def activeMessaging: Boolean = true
 
+  /** True when an update with NO message is the identity
+    * (`update(v, None) == v` for every v). Cover/accu label propagations
+    * (SSSP, WCC, max-color) have this; PageRank's damped re-mix does not.
+    * Executors use it to skip idle vertices entirely (frontier iteration)
+    * — a pure optimization: results must be identical either way.
+    */
+  def idleNoOp: Boolean = false
+
   // ---- SqlRunner hooks (Catalyst expressions) ----
   def initCol(id: Column, meta: GraphMeta): Column
   def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column
