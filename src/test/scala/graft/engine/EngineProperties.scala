@@ -113,6 +113,52 @@ object EngineProperties extends Properties("graft.engine") {
       }
     }
 
+  /** The same algebra with the frontier fast path disabled — csrLoop then
+    * takes the original full-scan branch. Used to pin frontier ≡ bulk.
+    */
+  private def bulkVariant(a: graft.engine.GmrAlgorithm): graft.engine.GmrAlgorithm =
+    new graft.engine.GmrAlgorithm {
+      override val idleNoOp = false
+      val name = a.name + "-bulk"
+      override def maxIter = a.maxIter
+      override def epsilon = a.epsilon
+      override def activeMessaging = a.activeMessaging
+      def initCol(id: org.apache.spark.sql.Column, meta: GraphMeta) = a.initCol(id, meta)
+      def msgCol(s: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+                 d: org.apache.spark.sql.Column) = a.msgCol(s, w, d)
+      override def sendCondCol(s: org.apache.spark.sql.Column) = a.sendCondCol(s)
+      def reduceAgg(m: org.apache.spark.sql.Column) = a.reduceAgg(m)
+      def updateCol(o: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column,
+                    meta: GraphMeta) = a.updateCol(o, g, meta)
+      def initFn(id: Long, meta: GraphMeta) = a.initFn(id, meta)
+      def msgFn(s: Double, w: Double, d: Int) = a.msgFn(s, w, d)
+      override def sendCondFn(s: Double) = a.sendCondFn(s)
+      def mergeFn(x: Double, y: Double) = a.mergeFn(x, y)
+      def updateFn(o: Double, g: Option[Double], meta: GraphMeta) = a.updateFn(o, g, meta)
+    }
+
+  property("csrLoop frontier path == bulk path (SSSP, WCC, FwdMaxColor)") =
+    Prop.forAll(genGraph) { case (n, srcs, dsts, ws) =>
+      val verts = Array.tabulate(n)(i => (i + 1).toLong)
+      Seq[graft.engine.GmrAlgorithm](
+        Algorithms.Sssp, Algorithms.Wcc, Algorithms.FwdMaxColor
+      ).forall { alg =>
+        val meta = GraphMeta(n, source = 1L)
+        val (s2, d2, w2) =
+          if (alg eq Algorithms.Wcc) (srcs ++ dsts, dsts ++ srcs,
+            Array.fill(2 * ws.length)(1.0))
+          else (srcs, dsts, ws)
+        val frontier = LocalRunner.csrLoop(verts, s2, d2, w2, alg, meta).toMap
+        val bulk = LocalRunner.csrLoop(verts, s2, d2, w2,
+          bulkVariant(alg), meta).toMap
+        // Bit-identical, including Inf at unreached vertices.
+        verts.forall { v =>
+          java.lang.Double.doubleToLongBits(frontier(v)) ==
+            java.lang.Double.doubleToLongBits(bulk(v))
+        }
+      }
+    }
+
   // The merge laws that make map-side partial aggregation legal: partials
   // may arrive in any order and grouping (shuffle nondeterminism), so the
   // reduce must be commutative + associative (exactly, for min; sum is
