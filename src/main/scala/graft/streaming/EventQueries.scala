@@ -181,6 +181,56 @@ object EventQueries {
           unix_millis($"ev_ts").as("ms"))
     }),
 
+    // Stream-stream INTERVAL JOIN through the runtime: purchases ⋈ the same
+    // user's clicks in the preceding hour (EventStreams.purchaseAttribution,
+    // both sides watermarked so join state is evictable), drained and
+    // re-aggregated to q35's oracle shape. Inner joins emit matches as they
+    // are found — no watermark hold-back — so a finite one-batch replay
+    // drains the complete result. The aggregation happens batch-side on the
+    // drained pairs: the operator under test is the join state machine.
+    "s05_stream_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      drain(s, EventStreams.purchaseAttribution(src), "s05", "append")
+        .groupBy($"purchase_id".as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(unix_millis($"c_ts")).as("first_ms"))
+    }),
+
+    // LEFT OUTER stream-stream interval join: unmatched purchases must ALSO
+    // be emitted (with NULL click columns) — but only once the watermark
+    // proves no matching click can still arrive. On a finite replay the
+    // watermark stalls at max(ev_ts) - delay, which never passes the last
+    // purchases' join windows, so two sentinel rows (a click and a purchase,
+    // users -1/-2 so they match nothing; event-time 2 h past the real data)
+    // push both sides' watermarks past every real purchase; the runtime's
+    // closing no-data micro-batch then flushes the held null-side rows
+    // before AvailableNow stops. Oracle: the left-join twin of q35
+    // (count(click) so unmatched purchases report 0).
+    "s06_stream_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val mx = ev.agg(max($"ev_ts")).as[java.sql.Timestamp].head()
+      val far = new java.sql.Timestamp(mx.getTime + 2L * 3600 * 1000)
+      val sentinels = Seq(
+        (-1L, far, -1L, "click", 0.0),
+        (-2L, far, -2L, "purchase", 0.0))
+        .toDF("event_id", "ev_ts", "user_id", "event_type", "value")
+      val staged = stage(ev.unionByName(sentinels), "s06", dir)
+      val src = s.readStream.schema(ev.schema).parquet(staged)
+      drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append")
+        .filter($"purchase_id" >= 0L)
+        .groupBy($"purchase_id".as("event_id"))
+        .agg(count($"click_id").as("n_clicks"),
+          min(unix_millis($"c_ts")).as("first_ms"))
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -256,17 +306,29 @@ object EventQueries {
     "s04_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
         |FROM events""".stripMargin,
-    "q35_range_join" ->
+    "q35_range_join" -> rangeJoinOracle,
+    "s05_stream_interval_join" -> rangeJoinOracle,
+    "s06_stream_outer_join" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
         |           WHERE event_type = 'click'),
         |p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms FROM events
         |      WHERE event_type = 'purchase')
-        |SELECT p.event_id, count(*) AS n_clicks, min(c.c_ms) AS first_ms
-        |FROM p JOIN c ON c.user_id = p.user_id
+        |SELECT p.event_id, count(c.user_id) AS n_clicks, min(c.c_ms) AS first_ms
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
         |GROUP BY p.event_id""".stripMargin,
     "q31_sessionize" -> sessionizeOracle,
   )
+
+  private lazy val rangeJoinOracle =
+    """WITH c AS (SELECT user_id, epoch_ms(ts) AS c_ms FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT p.event_id, count(*) AS n_clicks, min(c.c_ms) AS first_ms
+      |FROM p JOIN c ON c.user_id = p.user_id
+      |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
+      |GROUP BY p.event_id""".stripMargin
 
   private lazy val slidingOracle =
     s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
