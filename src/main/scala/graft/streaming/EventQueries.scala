@@ -231,6 +231,22 @@ object EventQueries {
           min(unix_millis($"c_ts")).as("first_ms"))
     }),
 
+    // Stream-static broadcast enrichment through the runtime: the event
+    // stream left-joined to the customer dimension (EventStreams.enrich —
+    // stateless; the static side is re-planned and broadcast per
+    // micro-batch, so no watermark or state store is involved). Gates the
+    // stream-static join path behind a plain SQL left-join oracle.
+    "s07_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val dim = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("dim_key"), $"c_name".as("dim_label"))
+      drain(s, EventStreams.enrich(src, dim), "s07", "append")
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -318,6 +334,10 @@ object EventQueries {
         |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
         |GROUP BY p.event_id""".stripMargin,
     "q31_sessionize" -> sessionizeOracle,
+    "s07_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       c.c_name AS dim_label
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
   )
 
   private lazy val rangeJoinOracle =
