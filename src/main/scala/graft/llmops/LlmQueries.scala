@@ -43,6 +43,8 @@ object LlmQueries {
     "l29_tfidf_top" -> ((s, dir) => TextStats.tfidfTop(s, dir)),
     "l30_repetition" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
     "l31_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
+    "l32_bm25_topk" -> ((s, dir) => TextStats.bm25TopK(s, dir)),
+    "l33_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -314,6 +316,64 @@ object LlmQueries {
          |SELECT doc_id, tok AS top_term, tf, df,
          |       ${sig6Sql("tf * ln(nd.nd / df)")} AS tfidf
          |FROM r, nd WHERE rn = 1""".stripMargin,
+    // BM25 over integral tf/df/dl with the 9-sig rounding applied BEFORE
+    // the top-k cut (see TextStats.bm25TopK) — both engines rank identical
+    // doubles, doc_id breaks ties, so the LIMIT boundary cannot flip.
+    "l32_bm25_topk" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |             (tf.tf * 2.2) /
+         |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, ${sig6Sql("raw")} AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // RRF fusion of the BM25 pool and the cosine pool (see
+    // Similarity.hybridRrf): both legs rank 9-sig-rounded scores with id
+    // tie-breaks, so pools/ranks are identical integers in both engines
+    // and the fused score is exact-integer division in double.
+    "l33_hybrid_rrf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |             (tf.tf * 2.2) /
+         |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+         |  GROUP BY tf.doc_id),
+         |lex AS (SELECT doc_id, ${sig6Sql("raw")} AS score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 100),
+         |lr AS (SELECT doc_id,
+         |              row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+         |       FROM lex),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT vec_id,
+         |         ${sig6Sql("list_cosine_similarity(qv, embedding::DOUBLE[])")} AS sim
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |vp AS (SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 100),
+         |vr AS (SELECT vec_id AS doc_id,
+         |              row_number() OVER (ORDER BY sim DESC, vec_id) AS vrank
+         |       FROM vp)
+         |SELECT doc_id, lrank, vrank, rrf FROM (
+         |  SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id, lr.lrank, vr.vrank,
+         |         ${sig6Sql("coalesce(1.0/(60 + lr.lrank), 0) + coalesce(1.0/(60 + vr.vrank), 0)")} AS rrf
+         |  FROM lr FULL JOIN vr ON vr.doc_id = lr.doc_id) t
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
     "l26_decontaminate" -> decontOracle,

@@ -115,6 +115,46 @@ object Similarity {
       .select($"query_id", $"vec_id", $"sim")
   }
 
+  /** L3f: hybrid lexical+vector retrieval via reciprocal-rank fusion —
+    * the canonical RAG combiner. The lexical leg is the BM25 scored
+    * relation (TextStats.bm25Scores, fixed term set); the vector leg is
+    * cosine against one query embedding (vec_id 0). Each leg is cut to a
+    * `poolK` candidate pool with orderBy+limit (TakeOrdered — the pools,
+    * not a global sort, are what a 100 TB deployment computes), ranked
+    * within the pool, and fused: rrf = Σ 1/(kRrf + rank), legs missing a
+    * doc contribute 0 (full outer join).
+    *
+    * Determinism across engines: both legs rank 9-sig-rounded scores with
+    * id tie-breaks, so the pools and ranks are identical integers; the rrf
+    * arithmetic is exact-integer division in double, identical on both
+    * sides, rounded once more before the final cut.
+    */
+  def hybridRrf(s: SparkSession, dir: String, poolK: Int = 100,
+                kRrf: Int = 60, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val lexPool = TextStats.bm25Scores(s, dir,
+        Seq("spark", "join", "window"), 1.2, 0.75)
+      .orderBy($"score".desc, $"doc_id").limit(poolK)
+    val lr = lexPool.select($"doc_id", row_number().over(
+      Window.orderBy($"score".desc, $"doc_id")).cast("long").as("lrank"))
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" === 0L)
+      .select($"v".as("qv"), $"norm".as("qnorm"))
+    val vecPool = e.filter($"vec_id" =!= 0L).crossJoin(broadcast(q))
+      .select($"vec_id",
+        sig6(GraftFunctions.arrayDot(s, $"qv", $"v") / ($"qnorm" * $"norm"))
+          .as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(poolK)
+    val vr = vecPool.select($"vec_id".as("doc_id"), row_number().over(
+      Window.orderBy($"sim".desc, $"vec_id")).cast("long").as("vrank"))
+    lr.join(vr, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lrank", $"vrank",
+        sig6(coalesce(lit(1.0) / (lit(kRrf) + $"lrank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + $"vrank"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** L3e: per-label mean embedding (class centroids) via the ArraySumAgg
     * elementwise-sum sketch — one aggregation, k×dim doubles shuffled per
     * partition. Oracle-checked elementwise, which puts the custom aggregate

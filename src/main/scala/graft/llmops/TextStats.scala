@@ -207,4 +207,57 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         graft.Canon.sig6(avg(log10($"cnt" / $"n"))).as("logprob"))
   }
+
+  /** L4g: BM25 top-k retrieval (Lucene idf variant: ln((N-df+0.5)/(df+0.5)+1),
+    * tf saturation k1=1.2, length normalization b=0.75) for a fixed term set
+    * over the document corpus — the lexical half of a retrieval/RAG pipeline
+    * next to the embedding top-k (l06/l15).
+    *
+    * Determinism across engines: every input to the score is integral
+    * (tf, df, dl) or an exact integer ratio (avgdl), so the only cross-engine
+    * noise is libm ln() ulps and the 3-term sum order; rounding to the shared
+    * 9-sig grid BEFORE the top-k cut means both engines rank identical
+    * doubles, with doc_id as the total-order tie-break — the float-ranking
+    * analogue of l29's integer-only argmax.
+    *
+    * Scale: one tokenized pass (shared cache), term filter BEFORE the tf
+    * aggregation so only query-term postings shuffle, per-doc stats ride in
+    * as a broadcast one-row frame, and the final cut is orderBy+limit —
+    * TakeOrdered's per-partition top-k, never a global sort.
+    */
+  def bm25TopK(s: SparkSession, dir: String,
+               queryTerms: Seq[String] = Seq("spark", "join", "window"),
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    import s.implicits._
+    bm25Scores(s, dir, queryTerms, k1, b)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** The full (doc_id, score) BM25 relation behind [[bm25TopK]] — also the
+    * lexical leg of the hybrid fusion (Similarity.hybridRrf). Scores carry
+    * the shared 9-sig rounding so every downstream rank/cut is
+    * deterministic across engines.
+    */
+  def bm25Scores(s: SparkSession, dir: String, queryTerms: Seq[String],
+                 k1: Double, b: Double): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .cache()
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg($"dl").as("avgdl"))
+    val tf = toks.filter($"tok".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(df, "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(($"nd" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * (k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(graft.Canon.sig6(sum($"contrib")).as("score"))
+  }
 }

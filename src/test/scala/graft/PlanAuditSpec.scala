@@ -175,6 +175,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("l32 BM25: query-term filter precedes the postings shuffle; top-k is TakeOrdered") {
+    val plan = ranPlan("l32_bm25_topk")
+    // Only postings for the 3 query terms may reach the tf aggregation —
+    // the isin filter must be in the plan (below it, the whole corpus
+    // would shuffle per term).
+    assert(plan.contains("IN (spark,join,window)"), plan)
+    // Per-doc stats ride in as a broadcast one-row frame.
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The final cut is a per-partition top-k, never a global sort.
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("l33 hybrid RRF: pool cuts are TakeOrdered; no cartesian product") {
+    val plan = ranPlan("l33_hybrid_rrf")
+    // Three cuts (lexical pool, vector pool, fused top-k) — all TakeOrdered.
+    val cuts = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(cuts >= 3, s"$cuts TakeOrdered cuts:\n$plan")
+    // The query vector joins in as a 1-row broadcast, not a cartesian.
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
     df.collect()
