@@ -62,6 +62,35 @@ trait GmrAlgorithm extends Serializable {
   def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double
 }
 
+/** Forwarding proxy over a base algorithm: every member — hooks AND tuning
+  * flags — delegates, so a wrapper that tweaks one knob (a tighter maxIter,
+  * a disabled fast path) cannot silently drop another. Hand-copied
+  * member-by-member wrappers did exactly that: an SCC cap wrapper omitted
+  * `idleNoOp` and quietly pushed every peel onto the bulk-scan branch.
+  */
+class DelegatingGmrAlgorithm(protected val base: GmrAlgorithm)
+    extends GmrAlgorithm {
+  def name: String = base.name
+  override def maxIter: Int = base.maxIter
+  override def epsilon: Double = base.epsilon
+  override def activeMessaging: Boolean = base.activeMessaging
+  override def idleNoOp: Boolean = base.idleNoOp
+  def initCol(id: Column, meta: GraphMeta): Column = base.initCol(id, meta)
+  def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
+    base.msgCol(srcVal, weight, srcOutDeg)
+  override def sendCondCol(srcVal: Column): Column = base.sendCondCol(srcVal)
+  def reduceAgg(msg: Column): Column = base.reduceAgg(msg)
+  def updateCol(oldVal: Column, agg: Column, meta: GraphMeta): Column =
+    base.updateCol(oldVal, agg, meta)
+  def initFn(id: Long, meta: GraphMeta): Double = base.initFn(id, meta)
+  def msgFn(srcVal: Double, weight: Double, srcOutDeg: Int): Double =
+    base.msgFn(srcVal, weight, srcOutDeg)
+  override def sendCondFn(srcVal: Double): Boolean = base.sendCondFn(srcVal)
+  def mergeFn(a: Double, b: Double): Double = base.mergeFn(a, b)
+  def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double =
+    base.updateFn(oldVal, agg, meta)
+}
+
 /** Stats-driven sizing for iterative-loop shuffles.
   *
   * An iterative round over a few-thousand-edge graph scheduled at the

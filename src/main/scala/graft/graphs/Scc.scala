@@ -38,25 +38,8 @@ object Scc {
     * split components.
     */
   private def withCap(alg: GmrAlgorithm, cap: Int): GmrAlgorithm =
-    new GmrAlgorithm {
-      def name: String = alg.name
+    new graft.engine.DelegatingGmrAlgorithm(alg) {
       override def maxIter: Int = cap
-      override def epsilon: Double = alg.epsilon
-      override def activeMessaging: Boolean = alg.activeMessaging
-      def initCol(id: Column, meta: GraphMeta): Column = alg.initCol(id, meta)
-      def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
-        alg.msgCol(srcVal, weight, srcOutDeg)
-      override def sendCondCol(srcVal: Column): Column = alg.sendCondCol(srcVal)
-      def reduceAgg(msg: Column): Column = alg.reduceAgg(msg)
-      def updateCol(oldVal: Column, agg: Column, meta: GraphMeta): Column =
-        alg.updateCol(oldVal, agg, meta)
-      def initFn(id: Long, meta: GraphMeta): Double = alg.initFn(id, meta)
-      def msgFn(srcVal: Double, weight: Double, srcOutDeg: Int): Double =
-        alg.msgFn(srcVal, weight, srcOutDeg)
-      override def sendCondFn(srcVal: Double): Boolean = alg.sendCondFn(srcVal)
-      def mergeFn(a: Double, b: Double): Double = alg.mergeFn(a, b)
-      def updateFn(oldVal: Double, agg: Option[Double], meta: GraphMeta): Double =
-        alg.updateFn(oldVal, agg, meta)
     }
 
   private def free(df: DataFrame): Unit =

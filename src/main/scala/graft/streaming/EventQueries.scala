@@ -227,8 +227,12 @@ object EventQueries {
       drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append")
         .filter($"purchase_id" >= 0L)
         .groupBy($"purchase_id".as("event_id"))
+        // first_ms kept NON-NULL (-1 for unmatched): a nullable int column
+        // goes through the gate's pandas canonicalizer as float64 at 6
+        // significant digits — ~1e7 ms of slack on an epoch — while a
+        // non-null int64 column compares exactly.
         .agg(count($"click_id").as("n_clicks"),
-          min(unix_millis($"c_ts")).as("first_ms"))
+          coalesce(min(unix_millis($"c_ts")), lit(-1L)).as("first_ms"))
     }),
 
     // Stream-static broadcast enrichment through the runtime: the event
@@ -271,8 +275,13 @@ object EventQueries {
   )
 
   /** Run a finite streaming plan to a memory sink (AvailableNow drains the
-    * source then stops) and return the drained table. The uniquely-named
-    * sink keeps Verify's concurrent sessions from colliding.
+    * source then stops) and return the drained result. The uniquely-named
+    * sink keeps Verify's concurrent sessions from colliding; the result is
+    * local-checkpointed off the sink and the temp view dropped immediately —
+    * unique names mean the sinks are never overwritten, so without the drop
+    * every run would pin its full drained output in driver memory for the
+    * session's lifetime (the checkpoint blocks are freed by the standard
+    * per-query unpersist sweep).
     */
   private def drain(s: SparkSession, df: DataFrame, tag: String,
                     mode: String): DataFrame = {
@@ -282,7 +291,9 @@ object EventQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    val out = s.table(sink).localCheckpoint()
+    s.catalog.dropTempView(sink)
+    out
   }
 
   /** Materialize a prepared replay as ONE parquet file so the file source
@@ -329,7 +340,8 @@ object EventQueries {
         |           WHERE event_type = 'click'),
         |p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms FROM events
         |      WHERE event_type = 'purchase')
-        |SELECT p.event_id, count(c.user_id) AS n_clicks, min(c.c_ms) AS first_ms
+        |SELECT p.event_id, count(c.user_id) AS n_clicks,
+        |       coalesce(min(c.c_ms), -1) AS first_ms
         |FROM p LEFT JOIN c ON c.user_id = p.user_id
         |             AND c.c_ms <= p.p_ms AND c.c_ms >= p.p_ms - 3600000
         |GROUP BY p.event_id""".stripMargin,

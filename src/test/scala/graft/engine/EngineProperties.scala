@@ -117,24 +117,9 @@ object EngineProperties extends Properties("graft.engine") {
     * takes the original full-scan branch. Used to pin frontier ≡ bulk.
     */
   private def bulkVariant(a: graft.engine.GmrAlgorithm): graft.engine.GmrAlgorithm =
-    new graft.engine.GmrAlgorithm {
-      override val idleNoOp = false
-      val name = a.name + "-bulk"
-      override def maxIter = a.maxIter
-      override def epsilon = a.epsilon
-      override def activeMessaging = a.activeMessaging
-      def initCol(id: org.apache.spark.sql.Column, meta: GraphMeta) = a.initCol(id, meta)
-      def msgCol(s: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
-                 d: org.apache.spark.sql.Column) = a.msgCol(s, w, d)
-      override def sendCondCol(s: org.apache.spark.sql.Column) = a.sendCondCol(s)
-      def reduceAgg(m: org.apache.spark.sql.Column) = a.reduceAgg(m)
-      def updateCol(o: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column,
-                    meta: GraphMeta) = a.updateCol(o, g, meta)
-      def initFn(id: Long, meta: GraphMeta) = a.initFn(id, meta)
-      def msgFn(s: Double, w: Double, d: Int) = a.msgFn(s, w, d)
-      override def sendCondFn(s: Double) = a.sendCondFn(s)
-      def mergeFn(x: Double, y: Double) = a.mergeFn(x, y)
-      def updateFn(o: Double, g: Option[Double], meta: GraphMeta) = a.updateFn(o, g, meta)
+    new graft.engine.DelegatingGmrAlgorithm(a) {
+      override def name = base.name + "-bulk"
+      override def idleNoOp = false
     }
 
   property("csrLoop frontier path == bulk path (SSSP, WCC, FwdMaxColor)") =
