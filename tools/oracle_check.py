@@ -77,7 +77,23 @@ def main(sf_dir, out_dir):
             continue
         # date_as_object=False: DATE columns become datetime64 like
         # DuckDB's .df() output, so both sides render identically.
-        spark_df = pq.read_table(files).to_pandas(date_as_object=False)
+        spark_tbl = pq.read_table(files)
+        # Advisory NaN scan at the ARROW level, where the validity bitmap
+        # still distinguishes a genuine NaN value from SQL NULL. The pandas
+        # path below (deliberately, for driver parity) collapses both to \N,
+        # so a query regression that starts emitting NaN (0/0, inf-inf)
+        # where the oracle has NULL would otherwise PASS silently.
+        import pyarrow.compute as pc
+        import pyarrow.types as pt
+        for col in spark_tbl.column_names:
+            c = spark_tbl.column(col)
+            if pt.is_floating(c.type):
+                n_nan = pc.sum(pc.is_nan(c)).as_py() or 0
+                if n_nan:
+                    print(f"WARN {name}: column {col} has {n_nan} NaN value(s) "
+                          "(the gate renders NaN as NULL — likely a 0/0 or "
+                          "inf-inf regression)")
+        spark_df = spark_tbl.to_pandas(date_as_object=False)
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
             continue
