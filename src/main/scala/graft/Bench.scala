@@ -81,7 +81,14 @@ object Bench {
     // seconds for transparency.
     var b03Loop = -1.0
     var b03Iters = 0
+    // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
+    // bytes per phase; here each query's own read/write/spill) — reported in
+    // the FILE artifact only, the stdout line must stay under the driver's
+    // 4 KB tail capture.
+    val perQ = Seq.newBuilder[(String, Double, Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (r0, w0, s0) = (listener.shuffleRead.get, listener.shuffleWrite.get,
+        listener.spilled.get)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -94,6 +101,9 @@ object Bench {
       }
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val mb = 1024.0 * 1024.0
+      perQ += ((name, (listener.shuffleRead.get - r0) / mb,
+        (listener.shuffleWrite.get - w0) / mb, (listener.spilled.get - s0) / mb))
       // Queries are independent: drop cached relations AND the persisted
       // RDDs that back localCheckpoints (clearCache does not touch those —
       // iterative queries leave one block set per superstep), then let the
@@ -120,11 +130,20 @@ object Bench {
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the
-    // b-anchor timings) in past rounds. The file is the durable artifact.
+    // b-anchor timings) in past rounds. The file is the durable artifact —
+    // it additionally carries the per-query shuffle/spill deltas, which the
+    // stdout line omits to stay inside the tail capture.
+    val shuffleQs = perQ.result().filter { case (_, r, w, sp) =>
+      r >= 0.05 || w >= 0.05 || sp >= 0.05 }
+      .map { case (n, r, w, sp) =>
+        "\"" + n + f"\":[$r%.1f,$w%.1f,$sp%.1f]" }
+      .mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) +
+      s""","query_shuffle_rws_mb":$shuffleQs}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
