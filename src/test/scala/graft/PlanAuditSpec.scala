@@ -197,6 +197,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // GraftSession enables skewJoin handling for the reference's own skew
+    // profile (98% of soc-LiveJournal1 vertices in the lowest degree
+    // bucket). This pins that the mechanism actually ENGAGES: one hot key
+    // holding ~75% of the big side must come out of AQE as
+    // SortMergeJoin(skew=true). Thresholds are lowered only because the
+    // fixture is small; at real scale the defaults trip on the same shape.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set(keys(0), "65536")
+      s.conf.set(keys(1), "32768")
+      s.conf.set(keys(2), "2")
+      s.conf.set(keys(3), "-1") // force the shuffled sort-merge path
+      val big = s.range(200000)
+        .select(when($"id" < 150000, 0L).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val small = s.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = big.join(small, "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
     df.collect()
