@@ -86,9 +86,25 @@ object Bench {
     // the FILE artifact only, the stdout line must stay under the driver's
     // 4 KB tail capture.
     val perQ = Seq.newBuilder[(String, Double, Double, Double)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (r0, w0, s0) = (listener.shuffleRead.get, listener.shuffleWrite.get,
+    // Task-end events arrive on an async listener bus: count() returning
+    // does not mean the last wave was delivered, and sampling mid-drain
+    // misattributes bytes to the NEXT query. Poll until the totals stop
+    // moving (typically one 25 ms beat) before reading a boundary.
+    def settled(): (Long, Long, Long) = {
+      var cur = (listener.shuffleRead.get, listener.shuffleWrite.get,
         listener.spilled.get)
+      var tries = 0
+      while (tries < 40) {
+        Thread.sleep(25)
+        val nxt = (listener.shuffleRead.get, listener.shuffleWrite.get,
+          listener.spilled.get)
+        if (nxt == cur) return cur
+        cur = nxt; tries += 1
+      }
+      cur
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (r0, w0, s0) = settled()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
@@ -101,9 +117,9 @@ object Bench {
       }
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val (r1, w1, s1) = settled()
       val mb = 1024.0 * 1024.0
-      perQ += ((name, (listener.shuffleRead.get - r0) / mb,
-        (listener.shuffleWrite.get - w0) / mb, (listener.spilled.get - s0) / mb))
+      perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb))
       // Queries are independent: drop cached relations AND the persisted
       // RDDs that back localCheckpoints (clearCache does not touch those —
       // iterative queries leave one block set per superstep), then let the

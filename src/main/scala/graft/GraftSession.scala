@@ -21,16 +21,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The configuration this engine ships with — one map, exposed so tests
+    * can pin it (a builder is not introspectable; a dropped conf here would
+    * otherwise be invisible to the suite).
+    */
+  def baseConfs(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.ui.enabled" -> "false")
+
   def builder(master: String = s"local[${defaultCores}]",
               shufflePartitions: Int = defaultCores): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .withExtensions(new functions.GraftExtensions()(_))
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    baseConfs(shufflePartitions).foldLeft(
+      SparkSession.builder()
+        .master(master)
+        .withExtensions(new functions.GraftExtensions()(_))) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   def defaultCores: Int =
     math.min(32, Runtime.getRuntime.availableProcessors())

@@ -207,16 +207,23 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val s = spark
     import s.implicits._
+    // The shipped config must carry the flag (TestSpark's session is a
+    // minimal builder, so pin GraftSession's map directly)...
+    assert(GraftSession.baseConfs(1)("spark.sql.adaptive.skewJoin.enabled")
+      == "true")
     val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled")
     val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
     try {
       s.conf.set(keys(0), "65536")
       s.conf.set(keys(1), "32768")
       s.conf.set(keys(2), "2")
       s.conf.set(keys(3), "-1") // force the shuffled sort-merge path
+      // ...and the mechanism must engage under it.
+      s.conf.set(keys(4), "true")
       val big = s.range(200000)
         .select(when($"id" < 150000, 0L).otherwise($"id").as("k"),
           $"id".as("payload"))

@@ -19,7 +19,9 @@ import json, math, sys, glob, os
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import pyarrow.types as pt
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -82,11 +84,14 @@ def main(sf_dir, out_dir):
         # still distinguishes a genuine NaN value from SQL NULL. The pandas
         # path below (deliberately, for driver parity) collapses both to \N,
         # so a query regression that starts emitting NaN (0/0, inf-inf)
-        # where the oracle has NULL would otherwise PASS silently.
-        import pyarrow.compute as pc
-        import pyarrow.types as pt
+        # where the oracle has NULL would otherwise PASS silently. List
+        # columns are flattened first — embedding-style array<float> outputs
+        # are exactly where a zero-norm 0/0 would land.
         for col in spark_tbl.column_names:
-            c = spark_tbl.column(col)
+            c = spark_tbl.column(col).combine_chunks()
+            while pt.is_list(c.type) or pt.is_large_list(c.type) or \
+                    pt.is_fixed_size_list(c.type):
+                c = c.flatten()
             if pt.is_floating(c.type):
                 n_nan = pc.sum(pc.is_nan(c)).as_py() or 0
                 if n_nan:
