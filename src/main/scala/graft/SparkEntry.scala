@@ -31,5 +31,6 @@ object SparkEntry {
       graphs.GraphQueries.oracles ++
       streaming.EventQueries.oracles ++
       multimodal.MultimodalOps.oracles ++
+      graphs.Mst.oracles ++
       sources.FormatRoundtrip.oracles
 }

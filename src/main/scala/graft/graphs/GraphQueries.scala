@@ -154,11 +154,14 @@ object GraphQueries {
         .groupBy($"side", $"deg")
         .agg(count(lit(1)).as("n_vertices"))
     }),
-    // k-core decomposition (iterative peeling — not single-statement SQL;
-    // GraphAlgoSpec pins hand goldens + the membership invariant). Runs on
-    // the dense view: its 3-core is non-trivial at every scale factor
-    // (sf0.001 peels 1000 vertices down to 120; the sparse view is a forest
-    // below sf0.1 and would peel to nothing).
+    // k-core decomposition (iterative peeling). Oracle-checked since round
+    // 5 via a statically UNROLLED peel (the measured fixpoint is 6 rounds at
+    // sf0.001 and 0 at larger SFs; 24 unrolled rounds give 4× margin and
+    // converged rounds are idempotent) — see kcoreOracle. Runs on the dense
+    // view: its 3-core is non-trivial at every scale factor (sf0.001 peels
+    // 1000 vertices down to 120; the sparse view is a forest below sf0.1
+    // and would peel to nothing). GraphAlgoSpec pins hand goldens + the
+    // membership invariant.
     "g15_kcore3" -> ((s, dir) =>
       GraphOps.kcore(s, GraphOps.edges(s, dir), k = 3)),
     // Link prediction by common-neighbor count: top-20 vertex pairs sharing
@@ -403,7 +406,35 @@ object GraphQueries {
     // directed closure joined with its transpose).
     "g09_scc" -> sccOracle,
     "g19_scc_engine" -> sccOracle,
+    "g15_kcore3" -> kcoreOracle(k = 3, rounds = 24),
   )
+
+  /** DuckDB oracle for g15: the degree-peel statically unrolled. Round r
+    * keeps the vertices with degree ≥ k in the round-(r-1) edge set and
+    * restricts the edges to them; a converged round is a no-op, so any
+    * unroll count past the fixpoint is exact. `AS MATERIALIZED` pins each
+    * round's shrinking edge set (without it the optimizer inlines all 24
+    * rounds into one tree of re-scans of the parquet view).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      s"""e0 AS ($edgesSql),
+         |sym0 AS MATERIALIZED (
+         |  SELECT s, d FROM (SELECT src AS s, dst AS d FROM e0
+         |                    UNION SELECT dst, src FROM e0) u
+         |  WHERE s <> d)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""alive$r AS (SELECT s FROM sym$p GROUP BY s HAVING count(*) >= $k),
+         |sym$r AS MATERIALIZED (
+         |  SELECT t.s, t.d FROM sym$p t
+         |  JOIN alive$r x ON t.s = x.s
+         |  JOIN alive$r y ON t.d = y.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$peels
+       |SELECT s AS id, count(*) AS core_deg FROM sym$rounds GROUP BY s""".stripMargin
+  }
 
   private lazy val sccOracle =
     s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),

@@ -108,9 +108,10 @@ object Mst {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Rows-only (MST is not single-statement SQL); uniqueness of the forest
-    // (distinct weights) makes the summary deterministic; MstSpec pins a
-    // hand golden.
+    // Oracle-checked since round 5: Borůvka is not ONE SQL statement, but a
+    // STATICALLY UNROLLED Borůvka (components at least halve per round, and
+    // vertex ids are mod 1000, so 12 rounds always converge) is — see
+    // [[boruvkaOracle]]. MstSpec additionally pins a hand golden.
     "g11_mst" -> ((s, dir) => {
       import s.implicits._
       val e = GraphOps.sparseEdges(s, dir)
@@ -124,5 +125,65 @@ object Mst {
       mst.agg(count(lit(1)).as("n_edges"),
         graft.Canon.sig6(sum($"w")).as("total_w"))
     }),
+  )
+
+  /** DuckDB oracle for g11: Borůvka statically unrolled to `rounds` rounds.
+    *
+    * Each round r (given the cumulative chosen-edge set ch{r-1}):
+    *   1. component labels = min-label closure over the chosen edges (the
+    *      same recursive-CTE WCC as the g04 oracle);
+    *   2. every component nominates its minimum-weight outgoing edge
+    *      (row_number over both endpoint perspectives — `min_by` in SQL);
+    *   3. ch{r} = ch{r-1} ∪ nominations (UNION dedups the doubly-nominated).
+    * Round 1 skips the closure (every vertex is its own component). With
+    * distinct weights the forest is unique, so this is exactly what
+    * [[boruvka]] computes. Components at least halve per round and the
+    * derived graph has ≤ 1000 vertices (ids are mod 1000), so 12 rounds are
+    * always enough; converged rounds are idempotent (no cross edges ⇒ no
+    * nominations). `AS MATERIALIZED` pins each round's working set so the
+    * optimizer cannot inline a cascade of re-scans of the parquet view.
+    */
+  private def boruvkaOracle(rounds: Int): String = {
+    val weighted =
+      s"""e0 AS MATERIALIZED (${GraphQueries.sparseEdgesSql}),
+         |ew AS MATERIALIZED (
+         |  SELECT a, b, CAST((a*7 + b*13) % 9 + 1 AS DOUBLE)
+         |         + CAST(a*1000 + b AS DOUBLE)/1e9 AS w
+         |  FROM (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+         |        FROM e0))""".stripMargin
+    def nominate(src: String, alias: String): String =
+      s"""$alias AS (SELECT DISTINCT a, b, w FROM (
+         |  SELECT a, b, w, row_number() OVER (PARTITION BY c ORDER BY w) AS rn
+         |  FROM (SELECT ca AS c, a, b, w FROM $src
+         |        UNION ALL SELECT cb AS c, a, b, w FROM $src) t) s
+         | WHERE rn = 1)""".stripMargin
+    val round1 = nominate(
+      "(SELECT a, b, w, a AS ca, b AS cb FROM ew) r1", "ch1")
+    val later = (2 to rounds).map { r =>
+      val p = r - 1
+      s"""ue$r AS (SELECT a AS s, b AS d FROM ch$p
+         |         UNION SELECT b, a FROM ch$p),
+         |cc$r AS (SELECT s AS id, s AS comp FROM ue$r
+         |         UNION SELECT ue$r.d, cc$r.comp FROM cc$r
+         |         JOIN ue$r ON ue$r.s = cc$r.id WHERE cc$r.comp < ue$r.d),
+         |lab$r AS (SELECT id, min(comp) AS comp FROM cc$r GROUP BY id),
+         |cr$r AS (SELECT ew.a, ew.b, ew.w, la.comp AS ca, lb.comp AS cb
+         |         FROM ew JOIN lab$r la ON la.id = ew.a
+         |         JOIN lab$r lb ON lb.id = ew.b
+         |         WHERE la.comp <> lb.comp),
+         |${nominate(s"cr$r", s"nom$r")},
+         |ch$r AS MATERIALIZED (SELECT a, b, w FROM ch$p
+         |        UNION SELECT a, b, w FROM nom$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $weighted,
+       |$round1,
+       |$later
+       |SELECT count(*) AS n_edges,
+       |       ${graft.Canon.sig6Sql(s"sum(w)")} AS total_w
+       |FROM ch$rounds""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "g11_mst" -> boruvkaOracle(rounds = 12),
   )
 }

@@ -21,10 +21,13 @@ import graft.engine.{GmrAlgorithm, GmrRunner, GraphMeta, SqlRunner}
   *      color, so the restriction is exact).
   *
   * Settled SCCs are labeled min(id) (the g09 oracle's labeling), removed,
-  * and the peel repeats. Each round settles every current root's SCC (a
-  * root always settles at least itself), so the peel terminates in at most
-  * #SCC rounds — the condensation-chain depth in the common case, linear
-  * only on adversarial shapes like a decreasing chain. Both inner fixpoints
+  * and the peel repeats. Each coloring round is preceded by the standard
+  * TRIM step (iterated to fixpoint): vertices with zero in- or out-degree
+  * in the remaining subgraph are singleton SCCs and settle without an
+  * engine fixpoint, so chain-shaped condensations — the adversarial case
+  * where coloring rounds were linear in #SCC — collapse in the trim loop
+  * and the coloring pays only for rounds with actual cycles (SccSpec pins
+  * both shapes via [[lastColorRounds]]). Both inner fixpoints
   * run with an iteration budget of |V|+1 (label propagation converges
   * within the diameter; the default 120-round cap would silently truncate
   * long cycles). Everything on the data path is joins + engine runs;
@@ -44,6 +47,12 @@ object Scc {
 
   private def free(df: DataFrame): Unit =
     SqlRunner.checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** FW-BW coloring rounds of the most recent [[sccEngine]] run (trim
+    * passes excluded) — observability for SccSpec's chain-fixture pin.
+    * Last-writer-wins under concurrent runs, like SqlRunner.lastIterations.
+    */
+  @volatile var lastColorRounds: Int = 0
 
   /** SCC labels (id, comp = min id of the component) for the directed graph
     * `edgeDf(src, dst)`. Vertex ids must be ≥ 0 (one negative id is
@@ -65,7 +74,42 @@ object Scc {
     // graph; +1 for the virtual-source hop in the backward phase.
     val iterCap = math.min(remaining + 2, Int.MaxValue.toLong).toInt
 
+    var colorRounds = 0
     while (remaining > 0) {
+      // TRIM (standard FW-BW preprocessing): a vertex with zero in- or zero
+      // out-degree in the remaining subgraph lies on no cycle, so its SCC is
+      // the singleton {itself} — settle it with two cheap aggregations
+      // instead of two engine fixpoints. Iterated to ITS OWN fixpoint: a
+      // chain-shaped condensation (the adversarial case where the peel was
+      // linear in #SCC coloring rounds) collapses entirely inside this loop,
+      // each iteration peeling both chain ends.
+      var trimming = true
+      while (trimming && remaining > 0) {
+        val cyclic = eRem.select($"src".as("id")).distinct()
+          .join(eRem.select($"dst".as("id")).distinct(), "id")
+        val keep = vRem.join(cyclic, Seq("id"), "left_semi").localCheckpoint()
+        val nKeep = keep.count()
+        if (nKeep == remaining) { free(keep); trimming = false }
+        else {
+          val dropped = vRem.join(keep, Seq("id"), "left_anti")
+            .select($"id", $"id".as("comp"))
+          val (oldResult, oldV, oldE) = (result, vRem, eRem)
+          result = result.union(dropped).localCheckpoint()
+          vRem = keep
+          eRem = eRem
+            .join(vRem.select($"id".as("src")), Seq("src"), "left_semi")
+            .join(vRem.select($"id".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst")
+            .localCheckpoint()
+          remaining = nKeep
+          Seq(oldResult, oldV, oldE).foreach(free)
+        }
+      }
+      if (remaining == 0) {
+        lastColorRounds = colorRounds
+        return result
+      }
+      colorRounds += 1
       val mRem = eRem.count() // sizes the runner dispatch (local vs shuffled)
       // Phase 1: forward max-color over the remaining subgraph.
       val colors = GmrRunner.auto(s, vRem,
@@ -86,9 +130,13 @@ object Scc {
         .union(roots.select(lit(virtualSource).as("src"), $"id".as("dst")))
         .withColumn("weight", lit(1.0))
       val bwdVerts = vRem.union(s.range(1).select(lit(virtualSource).as("id")))
+      // numEdges: transposed color-matched edges (≤ mRem) plus one virtual
+      // edge per root (≤ remaining) — the conservative bound keeps the
+      // local-vs-distributed dispatch from undercounting near the threshold.
       val reach = GmrRunner.auto(s, bwdVerts, bwdEdges,
         withCap(Algorithms.Sssp, iterCap),
-        GraphMeta(remaining + 1, source = virtualSource), numEdges = mRem + 1)
+        GraphMeta(remaining + 1, source = virtualSource),
+        numEdges = mRem + remaining)
       // Checkpointed: `settled` is read three times below (comp, the label
       // join, the anti-join) — without the checkpoint each read re-executes
       // the whole backward engine run.
@@ -113,6 +161,7 @@ object Scc {
       // New round state is materialized — free the superseded checkpoints.
       Seq(oldResult, oldV, oldE, colors, settled).foreach(free)
     }
+    lastColorRounds = colorRounds
     result
   }
 }

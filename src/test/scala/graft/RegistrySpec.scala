@@ -35,9 +35,6 @@ class RegistrySpec extends AnyFunSuite {
                             // EngineSpec pins runner equality at 200k)
       "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
                             // forced through SqlRunner past the 32M threshold)
-      "g11_mst",            // not single-statement SQL (MstSpec golden)
-      "g15_kcore3",         // iterated-aggregate peeling, not single-statement SQL
-                            // (GraphAlgoSpec golden + membership invariant)
       "l04_minhash_pairs",  // hash-function specific (DedupSpec vs l03)
       "l05_simhash_pairs",  // hash-function specific (DedupSpec)
       "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)

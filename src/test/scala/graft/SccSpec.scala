@@ -29,6 +29,26 @@ class SccSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("chain condensation settles in the trim loop — zero coloring rounds") {
+    // 64 singleton SCCs in a directed chain: before the trim step this shape
+    // cost one FW-BW round (two engine fixpoints) PER component; the trim
+    // loop peels both chain ends per iteration and the coloring never runs.
+    val n = 64L
+    val got = sccOf((1L until n).map(i => i -> (i + 1)))
+    assert(got == (1L to n).map(i => i -> i).toMap)
+    assert(Scc.lastColorRounds == 0,
+      s"expected all-trim settle, got ${Scc.lastColorRounds} coloring rounds")
+  }
+
+  test("cycle with pendant tails: one coloring round after trim") {
+    // Tails trim away, the 3-cycle needs exactly one FW-BW round.
+    val got = sccOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      0L -> 1L))
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    assert(Scc.lastColorRounds == 1,
+      s"expected 1 coloring round, got ${Scc.lastColorRounds}")
+  }
+
   test("a 150-cycle is ONE component (propagation must outlive the 120-iter default)") {
     // Color 150 needs 149 supersteps to circle back — a fixpoint capped at
     // the engine's default 120 rounds would silently split this cycle.
