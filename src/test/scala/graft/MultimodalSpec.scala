@@ -4,33 +4,90 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MultimodalOps
 
+/** Real-codec multimodal pipeline: PNG/WAV/frame-container roundtrips are
+  * pixel/sample-exact, the media table is deterministic, and the decoded
+  * statistics match the closed forms the DuckDB oracles compute (m01–m03
+  * hash-gate the same thing end-to-end through the driver).
+  */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  test("PNG roundtrip is pixel-exact (real ImageIO codec)") {
+    val rows = MultimodalOps.mediaTable(spark, dir)
+      .filter(_.kind == "image").collect().sortBy(_.doc_id).take(5)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      // PNG magic: a real encoded file, not a fake byte blob.
+      assert((m.payload(0) & 0xFF) == 0x89 && m.payload(1) == 'P'.toByte)
+      val px = MultimodalOps.decodeImage(m.payload)
+      assert(px.length == m.width * m.height)
+      px.zipWithIndex.foreach { case (v, i) =>
+        assert(v == ((m.doc_id + i) % 256).toInt, s"doc ${m.doc_id} px $i")
+      }
+    }
+  }
+
+  test("WAV roundtrip is sample-exact (real AudioSystem codec)") {
+    val rows = MultimodalOps.mediaTable(spark, dir)
+      .filter(_.kind == "audio").collect().sortBy(_.doc_id).take(5)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF")
+      val s = MultimodalOps.decodeAudio(m.payload)
+      assert(s.length == m.width) // width carries the sample count
+      s.zipWithIndex.foreach { case (v, i) =>
+        assert(v == (((m.doc_id + i) % 256).toInt - 128) * 256,
+          s"doc ${m.doc_id} sample $i")
+      }
+    }
+  }
+
+  test("video container holds 2-4 decodable PNG frames") {
+    val rows = MultimodalOps.mediaTable(spark, dir)
+      .filter(_.kind == "video").collect().sortBy(_.doc_id).take(6)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val frames = MultimodalOps.decodeVideo(m.payload)
+      assert(frames.length == (2 + (m.doc_id / 3) % 3).toInt)
+      frames.zipWithIndex.foreach { case (px, f) =>
+        assert(px.length == 256)
+        px.zipWithIndex.foreach { case (v, i) =>
+          assert(v == ((m.doc_id + 31L * f + i) % 256).toInt)
+        }
+      }
+    }
+  }
 
   test("media table is deterministic and schema-complete") {
     val a = MultimodalOps.mediaTable(spark, dir).collect().sortBy(_.doc_id)
     val b = MultimodalOps.mediaTable(spark, dir).collect().sortBy(_.doc_id)
     assert(a.length == 500)
     assert(a.map(_.payload.toSeq) sameElements b.map(_.payload.toSeq))
-    assert(a.forall(m => m.payload.length == 256 && m.width >= 64 && m.height >= 64))
     assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
   }
 
-  test("feature extraction: one row per doc, bounded pixel stats") {
+  test("feature extraction: one row per doc, closed-form mean golden") {
     val f = MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, dir))
       .collect()
     assert(f.length == 500)
-    assert(f.forall(x => x.mean_px >= 0 && x.mean_px <= 255 && x.std_px >= 0))
-    assert(f.forall(_.n_bytes == 256))
+    // Image/video values live in [0,255]; audio in [-32768, 32512].
+    assert(f.forall(x => x.mean_val >= -32768 && x.mean_val <= 32512
+      && x.std_val >= 0))
+    // Closed-form golden: a full 256-cycle (any doc whose unit count is a
+    // multiple of 256 — every video) has mean exactly 127.5.
+    val vids = f.filter(_.kind == "video")
+    assert(vids.nonEmpty && vids.forall(v => v.mean_val == 127.5))
   }
 
-  test("frame sampling explodes to nFrames rows of equal size") {
-    val fr = MultimodalOps.frameSample(MultimodalOps.mediaTable(spark, dir), 4)
-    assert(fr.count() == 2000) // 500 docs x 4 frames
-    import spark.implicits._
-    val sizes = fr.select(org.apache.spark.sql.functions.length($"frame_bytes"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    assert(sizes == Set(64))
+  test("frame sampling: one decoded row per (video, frame), exact means") {
+    val fr = MultimodalOps.frameSample(MultimodalOps.mediaTable(spark, dir))
+      .collect()
+    val expected = MultimodalOps.mediaTable(spark, dir)
+      .filter(_.kind == "video").collect()
+      .map(m => (2 + (m.doc_id / 3) % 3).toInt).sum
+    assert(fr.length == expected)
+    // Full 256-cycle per frame: every frame mean is exactly 127.5.
+    assert(fr.forall(r => r.getInt(2) == 256 && r.getDouble(3) == 127.5))
   }
 }

@@ -40,8 +40,6 @@ class RegistrySpec extends AnyFunSuite {
       "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
       "l14_kmeans",         // iterative float fixpoint (KMeansSpec)
       "l15_ivf_topk",       // approximate by design (recall spec vs l06)
-      "m01_media_features", // stubbed codec path (MultimodalSpec)
-      "m02_frame_sample",   // stubbed codec path (MultimodalSpec)
       "q12_approx_distinct", // approximate by design
       "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
     )
