@@ -17,6 +17,12 @@ object Bench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spilled = new AtomicLong
+    /** Longest single task since the last [[resetMaxTask]] — the straggler
+      * signal: a skew-serialized stage shows up here as one task spanning
+      * most of the query's wall time (reset per query by the bench loop).
+      */
+    val maxTaskMs = new AtomicLong
+    def resetMaxTask(): Unit = maxTaskMs.set(0)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -24,6 +30,8 @@ object Bench {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+      if (t.taskInfo != null)
+        maxTaskMs.getAndUpdate(cur => math.max(cur, t.taskInfo.duration))
     }
   }
 
@@ -73,19 +81,22 @@ object Bench {
     // the cold pass — accumulated session state across 60+ queries costs
     // more than per-query codegen compilation saves — so each query's first
     // run in a fresh-ish session is the honest and the better number.)
-    // b03 throughput sidecar for the distributed superstep tier, in the
-    // SAME accounting as BASELINE.md's G2 anchor: ~7.1M edges/s =
-    // |E| × iterations / total wall-clock (69.0M × 15 / 146.5 s,
-    // log.txt:53-55 — the map phase scans the edge set once per round).
-    // Here: 64M × lastIterations / query seconds, plus the loop-only
-    // seconds for transparency.
-    var b03Loop = -1.0
-    var b03Iters = 0
+    // Distributed-tier anchor sidecars (b03 uniform, b04/b05 skewed):
+    // loop seconds + superstep count + skew-handling engagement flags,
+    // captured from SqlRunner right after each anchor runs. Throughput is
+    // computed below from the EXACT generator edge count (the src≠dst
+    // filter drops a handful of the nominal 64M) in BOTH accountings —
+    // BASELINE.md's G2 convention |E|×iters/total-wall (69.0M × 15 /
+    // 146.5 s ≈ 7.1M/s, log.txt:53-55) and loop-only wall.
+    val anchorNames = Set("b03_sssp_rand64m", "b04_sssp_skew64m",
+      "b05_pagerank_skew64m")
+    val anchorStats = scala.collection.mutable.Map
+      .empty[String, (Double, Int, Int, Int)]
     // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
     // bytes per phase; here each query's own read/write/spill) — reported in
     // the FILE artifact only, the stdout line must stay under the driver's
     // 4 KB tail capture.
-    val perQ = Seq.newBuilder[(String, Double, Double, Double)]
+    val perQ = Seq.newBuilder[(String, Double, Double, Double, Double)]
     // Task-end events arrive on an async listener bus: count() returning
     // does not mean the last wave was delivered, and sampling mid-drain
     // misattributes bytes to the NEXT query. Poll until the totals stop
@@ -105,21 +116,24 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (r0, w0, s0) = settled()
+      listener.resetMaxTask()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
         false
       }
-      if (ok && name == "b03_sssp_rand64m") {
-        b03Loop = graft.engine.SqlRunner.lastLoopSeconds
-        b03Iters = graft.engine.SqlRunner.lastIterations
-      }
+      if (ok && anchorNames(name))
+        anchorStats(name) = (graft.engine.SqlRunner.lastLoopSeconds,
+          graft.engine.SqlRunner.lastIterations,
+          graft.engine.SqlRunner.lastSaltedHubs,
+          graft.engine.SqlRunner.lastSaltFactor)
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val (r1, w1, s1) = settled()
       val mb = 1024.0 * 1024.0
-      perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb))
+      perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb,
+        listener.maxTaskMs.get / 1000.0))
       // Queries are independent: drop cached relations AND the persisted
       // RDDs that back localCheckpoints (clearCache does not touch those —
       // iterative queries leave one block set per superstep), then let the
@@ -137,25 +151,54 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val mb = 1024.0 * 1024.0
-    val b03Extra = if (b03Loop > 0) {
-      val dt = results.toMap.getOrElse("b03_sssp_rand64m", -1.0)
-      val edgeIterPerSec = if (dt > 0) 64e6 * b03Iters / dt else -1.0
-      f""","b03_loop_sec":$b03Loop%.3f,"b03_iters":$b03Iters,"b03_edge_iter_per_sec":$edgeIterPerSec%.0f"""
-    } else ""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$b03Extra}"""
+    // Exact generator edge counts for the anchors that ran (one cheap
+    // shuffle-free range scan each; b04/b05 share a generator). ADVICE-r4:
+    // throughput must come from the same measured quantities it reports.
+    import org.apache.spark.sql.functions.{pow => fpow, _}
+    import spark.implicits._
+    val nV = 4000000L
+    lazy val uniformEdges = spark.range(16L * nV)
+      .select(($"id" % nV).as("src"), pmod(xxhash64($"id"), lit(nV)).as("dst"))
+      .filter($"src" =!= $"dst").count()
+    lazy val skewEdges = {
+      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
+        lit((1L << 40).toDouble)
+      spark.range(16L * nV)
+        .select((fpow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
+          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
+        .filter($"src" =!= $"dst").count()
+    }
+    val anchorExtra = anchorStats.toSeq.sortBy(_._1).map {
+      case (name, (loopSec, iters, hubs, saltF)) =>
+        val dt = results.toMap.getOrElse(name, -1.0)
+        val edges = if (name.contains("skew")) skewEdges else uniformEdges
+        val key = name.take(3)
+        val eipsTotal = if (dt > 0) edges.toDouble * iters / dt else -1.0
+        val eipsLoop = if (loopSec > 0) edges.toDouble * iters / loopSec else -1.0
+        f""","${key}_edges":$edges,"${key}_iters":$iters,"${key}_loop_sec":$loopSec%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_salted_hubs":$hubs,"${key}_salt_factor":$saltF"""
+    }.mkString
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$anchorExtra}"""
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the
     // b-anchor timings) in past rounds. The file is the durable artifact —
     // it additionally carries the per-query shuffle/spill deltas, which the
     // stdout line omits to stay inside the tail capture.
-    val shuffleQs = perQ.result().filter { case (_, r, w, sp) =>
+    val perQList = perQ.result()
+    val shuffleQs = perQList.filter { case (_, r, w, sp, _) =>
       r >= 0.05 || w >= 0.05 || sp >= 0.05 }
-      .map { case (n, r, w, sp) =>
+      .map { case (n, r, w, sp, _) =>
         "\"" + n + f"\":[$r%.1f,$w%.1f,$sp%.1f]" }
       .mkString("{", ",", "}")
+    // Straggler evidence per query (file artifact only): the longest single
+    // task, for every query where it exceeds 1 s. Under skew handling a
+    // 64M-edge superstep anchor must NOT show one task spanning most of its
+    // wall time — b04's entry here beside b03's is the recorded proof.
+    val maxTaskQs = perQList.filter(_._5 >= 1.0)
+      .map { case (n, _, _, _, mt) => "\"" + n + f"\":$mt%.1f" }
+      .mkString("{", ",", "}")
     val fileJson = json.dropRight(1) +
-      s""","query_shuffle_rws_mb":$shuffleQs}"""
+      s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,

@@ -42,6 +42,48 @@ object SqlRunner {
     */
   @volatile var lastLoopSeconds: Double = 0.0
 
+  /** Skew-handling observability for the most recent run: how many
+    * high-degree vertices had their edge lists salted across partitions,
+    * and the salt fan-out used (1 = uniform path, no salting). Benches
+    * persist these beside the throughput so "skew handling engaged" is a
+    * recorded fact, not an inference. Same last-writer-wins caveat.
+    */
+  @volatile var lastSaltedHubs: Int = 0
+  @volatile var lastSaltFactor: Int = 1
+
+  /** A vertex qualifies as a salted hub when its out-degree exceeds this
+    * multiple of the mean per-partition edge count (i.e. its edge list
+    * alone outweighs a whole average partition by 2×).
+    */
+  private val HubDegreePartitionFactor = 2L
+
+  /** Hub salting only engages once a single edge list is big enough for
+    * the straggler to matter; below this the wave structure absorbs it.
+    * Tests override via -Dgraft.engine.hubMinDegree to force the path.
+    */
+  private val HubMinDegreeFloor = 65536L
+
+  /** At most this many distinct hub vertices are salted (the top by
+    * degree). A power-law graph concentrates the mass in the first few
+    * hubs, so a small cap captures the straggler risk with a bounded
+    * `IN (...)` literal set on the hot path.
+    */
+  private val MaxSaltedHubs = 1024
+
+  /** The hub probe samples this fraction of the edges — a hub past the
+    * degree floor contributes ≥ ~650 sampled rows, detection is not
+    * borderline. Seeded: the probe is deterministic run-to-run.
+    */
+  private val HubSampleFraction = 0.01
+
+  /** Below this edge count the probe is skipped outright (unless a test
+    * forces the threshold): with sub-8M-edge graphs a whole straggler
+    * partition is sub-second work, and tight driver loops (the SCC peel)
+    * run this method many times — a probe job per run would cost more than
+    * any skew it could find.
+    */
+  private val HubProbeMinEdges = 8_000_000L
+
   /** The local-checkpoint RDD backing a loop-state Dataset, if any. */
   private[graft] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
     df.queryExecution.analyzed.collectFirst {
@@ -61,14 +103,75 @@ object SqlRunner {
     val needCount = numEdges < 0
     val sel = if (needCount) sel0.cache() else sel0
     val m = if (needCount) sel.count() else numEdges
-    LoopConf.withShuffleParts(spark, LoopConf.loopParallelism(spark, m)) {
-      // Cached pre-partitioned on src: every superstep's senders⋈edges join
-      // finds the edge side already hash-partitioned on its key, so only the
-      // (active-set-sized) senders relation shuffles per round — the DataFrame
-      // form of the reference's precomputed adjloc routing table
-      // (partition.h:276-279).
-      val e = sel.repartition($"src").cache()
+    val parts = LoopConf.loopParallelism(spark, m)
+    LoopConf.withShuffleParts(spark, parts) {
       val tSetup = System.nanoTime()
+      // SKEW PROBE + HUB SALTING. Hash partitioning sends a vertex's whole
+      // edge list to ONE partition, so a power-law hub whose out-degree
+      // rivals a full partition serializes its scatter into a straggling,
+      // spilling task — and because the edge side is a cached RDD
+      // (deliberately: the per-round zero-exchange property), AQE's
+      // skew-join splitting cannot engage here (it re-plans shuffle
+      // exchanges, and this join reads none on the edge side). The runner
+      // therefore handles skew itself: a seeded 1% SAMPLE of the edges
+      // estimates out-degrees BEFORE any shuffle, and the top hub vertices
+      // (degree > 2× the mean partition's edge count) get their edge lists
+      // salted across `saltF` sub-partitions keyed by
+      // (src, salt = hash(dst) % saltF), each round's (small) sender set
+      // fanning hub rows out to every salt. Probing before the cache build
+      // means the salted layout costs the SAME single shuffle as the plain
+      // one — measured on the b04 anchor (64M edges, top hub ≈ 2.9M
+      // out-edges ≈ 6× a mean partition), salted and unsalted wall times
+      // are equal within local[32] run noise. The stable effect is the
+      // BOUND: no cached edge shard exceeds ~one mean partition, where
+      // unsalted the hub shard grows linearly with the graph — at cluster
+      // scale it alone would exceed executor memory. Uniform graphs pay
+      // one 1% scan and keep the identical unsalted plan; sub-8M-edge
+      // graphs skip even that.
+      val meanPartEdges = math.max(1L, m / parts)
+      val hubMinDegreeOverride = sys.props.get("graft.engine.hubMinDegree")
+        .map(_.toLong)
+      val hubMinDegree = hubMinDegreeOverride
+        .getOrElse(math.max(HubDegreePartitionFactor * meanPartEdges,
+          HubMinDegreeFloor))
+      val hubs: Array[(Long, Long)] =
+        if (m < HubProbeMinEdges && hubMinDegreeOverride.isEmpty)
+          Array.empty
+        else
+          sel.sample(withReplacement = false, HubSampleFraction, seed = 42)
+            .groupBy($"src").agg(count(lit(1)).as("c"))
+            .filter($"c" >= math.max(1L,
+              (hubMinDegree * HubSampleFraction).toLong))
+            .orderBy($"c".desc).limit(MaxSaltedHubs)
+            .collect()
+            .map(r => (r.getLong(0), (r.getLong(1) / HubSampleFraction).toLong))
+      val salted = hubs.nonEmpty
+      val saltF =
+        if (!salted) 1
+        else {
+          // Fan-out sized to the worst hub: enough sub-partitions that its
+          // largest shard is about one mean partition, capped at 32.
+          val worst = hubs.map(_._2).max
+          var f = 2
+          while (f < 32 && f.toLong * meanPartEdges < worst) f *= 2
+          f
+        }
+      val hubIds: Seq[Long] = hubs.map(_._1).toIndexedSeq
+      lastSaltedHubs = hubs.length
+      lastSaltFactor = saltF
+      val allSalts = array((0 until saltF).map(i => lit(i)): _*)
+      // Cached pre-partitioned on src (or (src, salt) under skew): every
+      // superstep's senders⋈edges join finds the edge side already
+      // hash-partitioned on its key, so only the (active-set-sized)
+      // senders relation shuffles per round — the DataFrame form of the
+      // reference's precomputed adjloc routing table (partition.h:276-279).
+      val e =
+        if (!salted) sel.repartition($"src").cache()
+        else sel.withColumn("salt",
+            when($"src".isInCollection(hubIds),
+              pmod(xxhash64($"dst"), lit(saltF.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .repartition($"src", $"salt").cache()
       if (verbose) {
         e.count()
         println(f"[${alg.name}] edge cache: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
@@ -80,7 +183,8 @@ object SqlRunner {
           alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
         .localCheckpoint()
       if (verbose)
-        println(f"[${alg.name}] setup total: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
+        println(f"[${alg.name}] setup total: ${(System.nanoTime() - tSetup) / 1e9}%.2f s" +
+          (if (salted) s" (salted ${hubs.length} hubs ×$saltF)" else ""))
 
       val tLoop = System.nanoTime()
       var iter = 0
@@ -89,7 +193,17 @@ object SqlRunner {
         iter += 1
         val tIter = System.nanoTime()
         val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
-        val senders = senders0.filter(alg.sendCondCol($"value"))
+        val senders1 = senders0.filter(alg.sendCondCol($"value"))
+        // Salted path: a sender that is a hub fans out to every salt shard
+        // of its own edge list; everyone else probes shard 0. The fan-out
+        // adds ≤ |hub∩senders|·(saltF−1) rows to the SMALL relation.
+        val senders = if (!salted) senders1 else
+          senders1.withColumn("salt",
+            explode(when($"id".isInCollection(hubIds), allSalts)
+              .otherwise(array(lit(0)))))
+        val scatterCond =
+          if (!salted) senders("id") === e("src")
+          else senders("id") === e("src") && senders("salt") === e("salt")
         // SHUFFLE_HASH on the small side of both joins. Without the hint
         // the planner sees two co-partitioned inputs (the edge cache and
         // the vertex checkpoint both carry hash partitioning), plans a
@@ -98,7 +212,7 @@ object SqlRunner {
         // regardless of active-set size. Hash join keeps the zero-exchange
         // property but probes the big side linearly: build the (active-set
         // sized) senders/aggs map, stream the edges/vertices.
-        val aggs = senders.hint("SHUFFLE_HASH").join(e, senders("id") === e("src"))
+        val aggs = senders.hint("SHUFFLE_HASH").join(e, scatterCond)
           .select(e("dst").as("mdst"),
             alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
           .groupBy($"mdst")

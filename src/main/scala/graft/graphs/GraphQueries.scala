@@ -259,6 +259,62 @@ object GraphQueries {
           sum($"value").cast("long").as("sum_dist"),
           max($"value").cast("long").as("max_dist"))
     }),
+    // BENCH anchor 4: the distributed tier under POWER-LAW OUT-DEGREE SKEW
+    // — the regime the reference's own degree-histogram artifact motivates
+    // (soc-LiveJournal1, 实验数据.xlsx sheet5) and the one b03's uniform
+    // xxhash64 destinations cannot exercise. Same 4M×16 = 64M scale, but
+    // src is log-uniform (P(src=d) ∝ 1/(d+1), a Zipf-1-like out-degree
+    // law): vertex 0 owns ~4.5% of ALL edges (~2.9M out-edges ≈ 6× a mean
+    // loop partition), exactly the hash-partitioning straggler shape.
+    // SqlRunner's degree-probe detects the hubs and salts their edge lists
+    // (see the SKEW PROBE block in SqlRunner) — the bench persists
+    // b04_salted_hubs/b04_salt_factor beside the throughput so the
+    // engagement is a recorded artifact. Rows-only like b02/b03 (the
+    // 64M-edge oracle is infeasible; EngineSpec pins salted-vs-local
+    // equality on the same skew shape at 200k edges).
+    "b04_sssp_skew64m" -> ((s, dir) => {
+      import s.implicits._
+      val nV = 4000000L
+      val m = 16L * nV
+      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
+        lit((1L << 40).toDouble)
+      val e = s.range(m)
+        .select((pow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
+          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
+        .filter($"src" =!= $"dst")
+        .withColumn("weight", lit(1.0))
+      val v = s.range(nV).select($"id")
+      GmrRunner.auto(s, v, e, Algorithms.Sssp,
+          GraphMeta(nV, source = 1L), numEdges = m)
+        .filter($"value" =!= Double.PositiveInfinity)
+        .agg(count(lit(1)).as("n_reached"),
+          sum($"value").cast("long").as("sum_dist"),
+          max($"value").cast("long").as("max_dist"))
+    }),
+    // BENCH anchor 5: PageRank (2 fixed rounds, no convergence dependence)
+    // on the SAME skewed graph — every vertex sends every round, so each
+    // superstep scans the full 64M-edge relation: the pure superstep-
+    // throughput measurement under skew, complementing b04's frontier-
+    // driven rounds.
+    "b05_pagerank_skew64m" -> ((s, dir) => {
+      import s.implicits._
+      val nV = 4000000L
+      val m = 16L * nV
+      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
+        lit((1L << 40).toDouble)
+      val e = s.range(m)
+        .select((pow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
+          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
+        .filter($"src" =!= $"dst")
+        .withColumn("weight", lit(1.0))
+      val v = s.range(nV).select($"id")
+      GmrRunner.auto(s, v, e,
+          Algorithms.PageRank(0.85, fixedIters = Some(2)),
+          GraphMeta(nV), numEdges = m)
+        .agg(count(lit(1)).as("n_v"),
+          graft.Canon.sig6(sum($"value")).as("sum_rank"),
+          graft.Canon.sig6(max($"value")).as("max_rank"))
+    }),
   )
 
   private val bfsOracle =

@@ -133,6 +133,39 @@ class EngineSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("hub salting engages on a skewed 200k graph and preserves results") {
+    // b04's shape in miniature: vertex 1 owns half of all edges (a ~100k
+    // out-degree hub). Forcing the hub threshold down makes the SKEW PROBE
+    // fire at this scale; the salted scatter must agree bit-for-bit with
+    // the single-task LocalRunner, and the engagement flags must record it.
+    import spark.implicits._
+    val nV = 20000L
+    val edges = spark.range(0, 200000)
+      .select(when($"id" % 2 === 0, lit(1L))
+          .otherwise(pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+      .cache()
+    val verts = spark.range(1, nV + 1).select($"id")
+    val meta = GraphMeta(nV, source = 1L)
+    sys.props.put("graft.engine.hubMinDegree", "5000")
+    try {
+      val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      assert(SqlRunner.lastSaltedHubs >= 1,
+        s"expected the hub probe to fire, saltedHubs=${SqlRunner.lastSaltedHubs}")
+      assert(SqlRunner.lastSaltFactor >= 2)
+      val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      assert(sqlR == localR)
+    } finally sys.props.remove("graft.engine.hubMinDegree")
+    // Uniform default threshold: the same runner on the same graph keeps
+    // the unsalted plan (no false engagement on mere 2×-mean variance).
+    val again = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+    assert(SqlRunner.lastSaltedHubs == 0 && SqlRunner.lastSaltFactor == 1)
+    assert(again.count(!_._2.isInfinite) > 10000)
+    edges.unpersist()
+  }
+
   test("mid-size stress: tri-runner FwdMaxColor equality on the 200k graph") {
     // The SCC peel's phase-1 algebra (max-label propagation): exact merges,
     // so all three executors must agree bit-for-bit like SSSP/WCC.

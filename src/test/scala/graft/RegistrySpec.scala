@@ -35,6 +35,10 @@ class RegistrySpec extends AnyFunSuite {
                             // EngineSpec pins runner equality at 200k)
       "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
                             // forced through SqlRunner past the 32M threshold)
+      "b04_sssp_skew64m",   // 64M-edge POWER-LAW-skew anchor (EngineSpec pins
+                            // salted-vs-local equality at 200k on the same shape)
+      "b05_pagerank_skew64m", // fixed-2-round PageRank on the skewed graph —
+                            // full-relation superstep throughput under skew
       "l04_minhash_pairs",  // hash-function specific (DedupSpec vs l03)
       "l05_simhash_pairs",  // hash-function specific (DedupSpec)
       "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
