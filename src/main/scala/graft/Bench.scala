@@ -177,7 +177,38 @@ object Bench {
         val eipsLoop = if (loopSec > 0) edges.toDouble * iters / loopSec else -1.0
         f""","${key}_edges":$edges,"${key}_iters":$iters,"${key}_loop_sec":$loopSec%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_salted_hubs":$hubs,"${key}_salt_factor":$saltF"""
     }.mkString
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$anchorExtra}"""
+    // Sketch-quality sidecar: measured recall of the LSH variants against
+    // their exact twins on THIS run's data — a hash-function or banding
+    // regression moves these numbers even though the LSH queries are
+    // rows-only in the gate. Pairs are few (the corpora are built with
+    // sparse near-dup structure), so the set compare is driver-side small.
+    val recallExtra = try {
+      import org.apache.spark.sql.DataFrame
+      def pairSet(df: DataFrame): Set[(Long, Long)] =
+        df.select(df.columns(0), df.columns(1))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def q(n: String) = SparkEntry.queries(n)(spark, sfDir)
+      def rec(got: Set[(Long, Long)], ex: Set[(Long, Long)]): Double =
+        if (ex.isEmpty) 1.0 else got.intersect(ex).size.toDouble / ex.size
+      val l04r = rec(pairSet(q("l04_minhash_pairs")), pairSet(q("l03_jaccard_pairs")))
+      val l07df = q("l07_embed_dup").cache()
+      val l08p = pairSet(q("l08_embed_dup_lsh"))
+      val l08r = rec(l08p, pairSet(l07df))
+      // The SRP sketch's designed regime is genuinely-near-duplicate pairs
+      // (P(bit)=1−θ/π: ~97% at cos .99, ~2% at the corpus's .47 pairs), so
+      // the vs-all number can sit near 0 BY DESIGN; the hi-sim field
+      // reports recall where the S-curve promises hits, when such pairs
+      // exist (DedupSpec pins ≥0.9 on a planted fixture either way).
+      val hi = pairSet(l07df.filter(col("sim") >= 0.9))
+      val hiField = if (hi.isEmpty) ""
+        else f""","l08_recall_hi_sim":${rec(l08p, hi)}%.4f"""
+      spark.catalog.clearCache()
+      f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f$hiField"""
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH recall sidecar failed: ${e.getMessage}")
+      ""
+    }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$anchorExtra$recallExtra}"""
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the
@@ -197,8 +228,18 @@ object Bench {
     val maxTaskQs = perQList.filter(_._5 >= 1.0)
       .map { case (n, _, _, _, mt) => "\"" + n + f"\":$mt%.1f" }
       .mkString("{", ",", "}")
+    // Streaming progress (file artifact only): micro-batches run and peak
+    // state-store rows per streaming query — bounded state is the
+    // watermark contract, now a recorded number instead of a spec claim.
+    val streamQs = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.EventQueries.lastDrainStats.asScala.toSeq.sortBy(_._1)
+        .map { case (tag, (batches, rows)) =>
+          "\"" + tag + s"\":[$batches,$rows]" }
+        .mkString("{", ",", "}")
+    }
     val fileJson = json.dropRight(1) +
-      s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs}"""
+      s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs,"stream_batches_staterows":$streamQs}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,

@@ -155,7 +155,9 @@ object EventQueries {
       val src = s.readStream.schema(ev.schema).parquet(staged)
         .as[EventStreams.Ev]
       val sessions = EventStreams.sessionize(src).toDF()
-      drain(s, sessions, "s03", "append")
+      val drained = drain(s, sessions, "s03", "append")
+      unstage(staged)
+      drained
         .withColumn("sess_idx", row_number().over(
           Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
         .select($"user_id", $"sess_idx", $"start_ms", $"end_ms",
@@ -176,7 +178,9 @@ object EventQueries {
           $"user_id", $"event_type", $"value")
       val staged = stage(ev.unionByName(ev), "s04", dir)
       val src = s.readStream.schema(ev.schema).parquet(staged)
-      drain(s, EventStreams.dedupEvents(src), "s04", "append")
+      val drained = drain(s, EventStreams.dedupEvents(src), "s04", "append")
+      unstage(staged)
+      drained
         .select($"event_id", $"user_id", $"event_type", $"value",
           unix_millis($"ev_ts").as("ms"))
     }),
@@ -224,7 +228,9 @@ object EventQueries {
         .toDF("event_id", "ev_ts", "user_id", "event_type", "value")
       val staged = stage(ev.unionByName(sentinels), "s06", dir)
       val src = s.readStream.schema(ev.schema).parquet(staged)
-      drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append")
+      val drained = drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append")
+      unstage(staged)
+      drained
         .filter($"purchase_id" >= 0L)
         .groupBy($"purchase_id".as("event_id"))
         // first_ms kept NON-NULL (-1 for unmatched): a nullable int column
@@ -283,6 +289,14 @@ object EventQueries {
     * session's lifetime (the checkpoint blocks are freed by the standard
     * per-query unpersist sweep).
     */
+  /** (micro-batches run, peak state-store rows) of the most recent drain
+    * per tag — O17-style observability beyond wall time: a watermark
+    * regression shows up as unbounded state rows here long before memory
+    * dies. Bench persists these per streaming query.
+    */
+  val lastDrainStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
   private def drain(s: SparkSession, df: DataFrame, tag: String,
                     mode: String): DataFrame = {
     val sink = s"${tag}_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -291,21 +305,39 @@ object EventQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val prog = q.recentProgress
+    lastDrainStats.put(tag, (prog.length,
+      prog.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)))
     val out = s.table(sink).localCheckpoint()
     s.catalog.dropTempView(sink)
     out
   }
 
   /** Materialize a prepared replay as ONE parquet file so the file source
-    * delivers it in one micro-batch (per-sf per-process path; overwritten
-    * on re-run so warm bench passes reuse nothing stale).
+    * delivers it in one micro-batch. The path carries a fresh UUID per
+    * call, matching drain()'s uniquely-named memory sinks: with only a
+    * (pid, sf, tag) key, two concurrent same-process runs of the same
+    * query (Verify's thread pool runs queries concurrently) could
+    * overwrite each other's staged file mid-stream. Callers delete the
+    * directory after the drain — see [[unstage]].
     */
   private def stage(df: DataFrame, tag: String, sfDir: String): String = {
     val pid = ProcessHandle.current().pid()
     val sf = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stream/p$pid/$sf/$tag"
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stream/p$pid/$sf/${tag}_$run"
     df.coalesce(1).write.mode("overwrite").parquet(path)
     path
+  }
+
+  /** Best-effort removal of a staged replay once its stream has drained —
+    * run-unique paths would otherwise accumulate across bench/Verify runs.
+    */
+  private def unstage(path: String): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    dir.delete(): Unit
   }
 
   private lazy val tumblingOracle =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{GraftFunctions, MinHashSig}
-import graft.llmops.Dedup
+import graft.llmops.{Dedup, Similarity}
 
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -89,5 +89,37 @@ class DedupSpec extends AnyFunSuite {
   test("jaccardPairs maxDf cap drops only capped-shingle evidence") {
     // With a df cap of 1 no shingle can pair anything: empty result.
     assert(Dedup.jaccardPairs(spark, sf, maxDf = Some(1)).isEmpty)
+  }
+
+  test("SRP-LSH recovers planted near-identical embeddings (brute-force recall)") {
+    // The sketch's designed operating point (Similarity.scala: P(bit) =
+    // 1−θ/π ⇒ ~97% pair recall at cos 0.99, ~3% at cos 0.45): plant ten
+    // clones with 1% additive noise (cos ≈ 0.9999) among random vectors
+    // and demand LSH ≈ brute force there. The corpus-level bench recall
+    // (l08_recall_vs_l07) measures the OTHER end — the testdata's only
+    // exact pairs sit at cos ≈ 0.47, where the designed hit rate is ~2% —
+    // so this fixture is what "recall" means for a near-dup scan.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, s"l${i % 5}", vec()))
+    val planted = (0 until 10).map { i =>
+      val (_, lab, v) = base(i)
+      (100L + i, lab, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_fx").toString
+    (base ++ planted).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_a", $"vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.embedDupPairs(spark, dir, threshold = 0.99))
+    val lsh = pairs(Similarity.embedDupPairsLsh(spark, dir, threshold = 0.99))
+    assert(exact.size >= 10, s"brute force must find the planted pairs: $exact")
+    // Candidates are exact-verified, so LSH can only MISS, never invent.
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"high-sim recall $recall (lsh $lsh vs exact $exact)")
   }
 }

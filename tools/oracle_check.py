@@ -51,7 +51,18 @@ def canon_val(v):
 def canon_df(df):
     """Driver-shaped canonicalization: columns sorted by name, rows
     lexsorted by all columns via pandas (raises on unsortable cells —
-    that IS the gate's behavior), values rendered per FIXTURES.md §5."""
+    that IS the gate's behavior), values rendered per FIXTURES.md §5.
+
+    Deliberately sorts by RAW values and compares rendered ones, exactly
+    like the driver: two rows whose floats render equal but differ in
+    low-order bits can sort into different orders across engines and fail
+    the ordered compare. That is the gate's real behavior, so the mirror
+    must not paper over it by sorting rendered tuples — instead the
+    invariant is on the QUERIES: any float-emitting query applies
+    Canon.sig6 (the shared 9-significant-digit grid) before output, which
+    collapses both engines onto identical doubles and makes raw order =
+    rendered order. main() prints a targeted hint when a FAIL is
+    order-only, i.e. exactly this invariant was violated."""
     df = df[sorted(df.columns)]
     if len(df.columns):
         df = df.sort_values(list(df.columns))
@@ -128,6 +139,11 @@ def main(sf_dir, out_dir):
             only_d = [r for r in duck_rows if r not in spark_set][:3]
             print(f"  spark-only: {only_s}")
             print(f"  duck-only : {only_d}")
+            if sorted(spark_rows) == sorted(duck_rows):
+                print("  NOTE: same rendered multiset, different ROW ORDER — "
+                      "raw float sort diverged across engines; apply "
+                      "Canon.sig6 to the float columns BEFORE output "
+                      "(see canon_df docstring)")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
