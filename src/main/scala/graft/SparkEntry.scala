@@ -32,5 +32,6 @@ object SparkEntry {
       streaming.EventQueries.oracles ++
       multimodal.MultimodalOps.oracles ++
       graphs.Mst.oracles ++
+      algos.KMeans.oracles ++
       sources.FormatRoundtrip.oracles
 }

@@ -26,6 +26,17 @@ object KMeans {
   /** Lloyd iterations returning BOTH the trained centroids `(cluster, c)`
     * and the assignment `(vec_id, cluster)` — the coarse-quantizer API the
     * IVF similarity index builds on.
+    *
+    * Cross-engine determinism (the l14 oracle): every quantity whose value
+    * depends on FLOAT SUMMATION ORDER is rounded to the shared
+    * 9-significant-digit grid ([[graft.Canon.sig6]]) before it influences
+    * a decision — the per-round centroid means (partial-aggregated sums
+    * merge in engine-specific order) and the assignment distances (dot
+    * products of grid-rounded centroids). Ulp noise collapses onto one
+    * grid point, so DuckDB's statically unrolled Lloyd (see
+    * [[lloydOracle]]) lands the identical clustering, while the
+    * clustering itself is perturbed by at most 1e-9 relative — noise far
+    * below the data's scale.
     */
   def fitWithCentroids(s: SparkSession, dir: String, k: Int = 8,
                        iters: Int = 5): (DataFrame, DataFrame) = {
@@ -43,8 +54,8 @@ object KMeans {
     def assign(centroids: DataFrame): DataFrame =
       points.crossJoin(broadcast(centroids))
         .withColumn("d2",
-          GraftFunctions.arrayDot(s, $"c", $"c") -
-            lit(2.0) * GraftFunctions.arrayDot(s, $"v", $"c"))
+          graft.Canon.sig6(GraftFunctions.arrayDot(s, $"c", $"c") -
+            lit(2.0) * GraftFunctions.arrayDot(s, $"v", $"c")))
         .groupBy($"vec_id")
         .agg(min_by($"cluster", struct($"d2", $"cluster")).as("cluster"),
           first($"v").as("v"))
@@ -66,7 +77,8 @@ object KMeans {
           .groupBy($"cluster")
           .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"),
             count(lit(1)).as("n"))
-          .select($"cluster", transform($"sv", x => x / $"n").as("c"))
+          .select($"cluster",
+            transform($"sv", x => graft.Canon.sig6(x / $"n")).as("c"))
           .localCheckpoint()
       }
       val out = assign(centroids).select($"vec_id", $"cluster")
@@ -76,11 +88,57 @@ object KMeans {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Cluster sizes are stable under any runner; rows-only driver check,
-    // determinism + structure asserted in KMeansSpec.
+    // Oracle-checked since round 5: Lloyd is iterative, but 5 fixed rounds
+    // unroll statically ([[lloydOracle]]), and the sig6 grid (see
+    // fitWithCentroids) makes every decision quantity cross-engine
+    // identical. KMeansSpec additionally pins determinism + structure.
     "l14_kmeans" -> ((s, dir) => {
       import s.implicits._
       fit(s, dir).groupBy($"cluster").agg(count(lit(1)).as("n_points"))
     }),
+  )
+
+  /** DuckDB oracle for l14: Lloyd statically unrolled. Round r: assign by
+    * `row_number() OVER (PARTITION BY point ORDER BY d2, cluster)` — the
+    * same (sig6 d2, smallest cluster) argmin as the Spark side, with d2 =
+    * |c|² − 2·v·c via `list_inner_product` on identical doubles — then
+    * recompute per-cluster elementwise means on the sig6 grid. Cluster
+    * labels are the k lowest vec_ids (the seeds), like the Spark side.
+    */
+  private def lloydOracle(k: Int, iters: Int, dim: Int): String = {
+    val sig = graft.Canon.sig6Sql _
+    val d2 = "list_inner_product(c.c, c.c) - 2*list_inner_product(p.v, c.c)"
+    val base =
+      s"""pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c
+         |       FROM pts ORDER BY vec_id LIMIT $k)""".stripMargin
+    def assignCte(r: Int, prev: String): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, cluster, v FROM (
+         |    SELECT p.vec_id, c.cluster, p.v,
+         |           row_number() OVER (PARTITION BY p.vec_id
+         |             ORDER BY ${sig(d2)}, c.cluster) AS rn
+         |    FROM pts p, $prev c) t
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(r, s"c${r - 1}")},
+         |c$r AS MATERIALIZED (
+         |  SELECT cluster, list(m ORDER BY i) AS c FROM (
+         |    SELECT cluster, i, ${sig("sum(v[i]) / count(*)")} AS m
+         |    FROM a$r, unnest(generate_series(1, $dim)) t(i)
+         |    GROUP BY cluster, i) g
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$rounds,
+       |${assignCte(iters + 1, s"c$iters")}
+       |SELECT cluster, count(*) AS n_points
+       |FROM a${iters + 1} GROUP BY cluster""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "l14_kmeans" -> lloydOracle(k = 8, iters = 5, dim = 64),
   )
 }

@@ -51,6 +51,13 @@ object SqlRunner {
   @volatile var lastSaltedHubs: Int = 0
   @volatile var lastSaltFactor: Int = 1
 
+  /** First-superstep executed plan of the most recent run, captured only
+    * under -Dgraft.engine.capturePlan=true — PlanAuditSpec inspects the
+    * scatter join structurally (zero-exchange edge side, salted keys)
+    * without paying plan retention on production runs.
+    */
+  @volatile var lastRoundPlan: Option[org.apache.spark.sql.execution.SparkPlan] = None
+
   /** A vertex qualifies as a salted hub when its out-degree exceeds this
     * multiple of the mean per-partition edge count (i.e. its edge list
     * alone outweighs a whole average partition by 2×).
@@ -217,7 +224,7 @@ object SqlRunner {
             alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
           .groupBy($"mdst")
           .agg(alg.reduceAgg($"msg").as("agg"))
-        val next = verts.join(aggs.hint("SHUFFLE_HASH"), verts("id") === aggs("mdst"), "left")
+        val updated = verts.join(aggs.hint("SHUFFLE_HASH"), verts("id") === aggs("mdst"), "left")
           .select(verts("id"), verts("outdeg"), verts("value").as("old"),
             alg.updateCol(verts("value"), $"agg", meta).as("value"))
           .select($"id", $"outdeg", $"value",
@@ -228,11 +235,16 @@ object SqlRunner {
             // burns all 120 rounds instead of converging.
             (!isnan($"value" - $"old") &&
               abs($"value" - $"old") > alg.epsilon).as("changed"))
-          // Lazy: the changed-count below materializes the checkpoint in the
-          // same job, halving the per-superstep job count.
-          .localCheckpoint(eager = false)
+        // Lazy: the changed-count below materializes the checkpoint in the
+        // same job, halving the per-superstep job count.
+        val next = updated.localCheckpoint(eager = false)
         val t0 = System.nanoTime()
         changedCount = next.filter($"changed").count()
+        // Captured from the PRE-checkpoint frame: the checkpointed Dataset
+        // plans as a bare LogicalRDD scan; `updated` carries the real
+        // join→agg→join round plan (planning only — nothing re-executes).
+        if (iter == 1 && sys.props.get("graft.engine.capturePlan").contains("true"))
+          lastRoundPlan = Some(updated.queryExecution.executedPlan)
         if (verbose) {
           println(f"[${alg.name}] iter $iter: changed=$changedCount " +
             f"(count ${(System.nanoTime() - t0) / 1e9}%.2f s, " +

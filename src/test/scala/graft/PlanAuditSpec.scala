@@ -197,6 +197,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("salted scatter: hub-salted superstep join keeps the edge side exchange-free") {
+    // The b04 skew posture, structurally: with salting engaged the scatter
+    // join must (1) key on BOTH (id, salt) — the hub edge lists really are
+    // spread across sub-partitions — and (2) stream the cached edge
+    // relation with NO shuffle exchange above it, i.e. salting must not
+    // have cost the loop its zero-exchange-per-round property.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.functions._
+    import graft.engine.{GraphMeta, SqlRunner}
+    import graft.algos.Algorithms
+    val s = spark
+    import s.implicits._
+    val nV = 20000L
+    val edges = s.range(0, 200000)
+      .select(when($"id" % 2 === 0, lit(1L))
+          .otherwise(pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+    val verts = s.range(1, nV + 1).select($"id")
+    sys.props.put("graft.engine.hubMinDegree", "5000")
+    sys.props.put("graft.engine.capturePlan", "true")
+    try {
+      SqlRunner.run(s, verts, edges, Algorithms.Sssp,
+        GraphMeta(nV, source = 1L), numEdges = 200000L).count()
+      assert(SqlRunner.lastSaltedHubs >= 1, "salting must engage on this fixture")
+      val plan = SqlRunner.lastRoundPlan.getOrElse(fail("no captured plan"))
+      val nodes = expand(plan)
+      // The scatter join is the two-key SHJ (id, salt)×(src, salt); the
+      // one-key SHJ is the verts⋈aggs update join.
+      val scatter = nodes.collectFirst {
+        case j: ShuffledHashJoinExec if j.leftKeys.size == 2 => j
+      }.getOrElse(fail(s"no 2-key ShuffledHashJoin in:\n$plan"))
+      // Streamed (non-build) side = the edge cache: an InMemoryTableScan
+      // with no ShuffleExchange anywhere above or below it.
+      val streamed = scatter.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => scatter.right
+        case _ => scatter.left
+      }
+      val sub = expand(streamed)
+      assert(sub.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"edge side must read the cache:\n$streamed")
+      assert(!sub.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"edge side must not re-shuffle:\n$streamed")
+    } finally {
+      sys.props.remove("graft.engine.hubMinDegree")
+      sys.props.remove("graft.engine.capturePlan")
+      SqlRunner.lastRoundPlan = None
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // GraftSession enables skewJoin handling for the reference's own skew
     // profile (98% of soc-LiveJournal1 vertices in the lowest degree

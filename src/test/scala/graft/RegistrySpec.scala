@@ -42,7 +42,6 @@ class RegistrySpec extends AnyFunSuite {
       "l04_minhash_pairs",  // hash-function specific (DedupSpec vs l03)
       "l05_simhash_pairs",  // hash-function specific (DedupSpec)
       "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
-      "l14_kmeans",         // iterative float fixpoint (KMeansSpec)
       "l15_ivf_topk",       // approximate by design (recall spec vs l06)
       "q12_approx_distinct", // approximate by design
       "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
