@@ -113,8 +113,17 @@ object LoopConf {
     // left ~48 MB of loop state per partition and the superstep shuffles
     // spilled 3.6 GB; 4 waves trade scheduling overhead for in-memory
     // partitions. A cluster deployment sizes the session cap to the
-    // cluster, and these loops still only size DOWN from 4× that.
-    val cap = 4L * s.conf.get("spark.sql.shuffle.partitions").toInt
+    // cluster, and these loops still only size DOWN from `capFactor`×
+    // that. GRAFT_LOOP_CAP_FACTOR (or -Dgraft.engine.loopCapFactor)
+    // overrides the measured default: on the b05 skewed 64M-edge anchor,
+    // factor 8 (256 partitions) cut superstep spill ~3× (2.8 GB → ~1 GB)
+    // but cost +25% wall on local[32] where task dispatch dominates —
+    // a memory-per-core-constrained cluster would flip that trade, so
+    // the factor is the deployment lever, 4 the local[32]-measured best.
+    val capFactor = sys.env.get("GRAFT_LOOP_CAP_FACTOR")
+      .orElse(sys.props.get("graft.engine.loopCapFactor"))
+      .map(_.toLong).getOrElse(4L)
+    val cap = capFactor * s.conf.get("spark.sql.shuffle.partitions").toInt
     val target = 8L * 1024 * 1024
     math.max(1, math.min(cap,
       (numRows * rowBytes + target - 1) / target).toInt)
