@@ -106,6 +106,19 @@ object KMeans {
     * labels are the k lowest vec_ids (the seeds), like the Spark side.
     */
   private def lloydOracle(k: Int, iters: Int, dim: Int): String = {
+    val (ctes, fin) = lloydAssignCtes(k, iters, dim)
+    s"""WITH $ctes
+       |SELECT cluster, count(*) AS n_points
+       |FROM $fin GROUP BY cluster""".stripMargin
+  }
+
+  /** The unrolled-Lloyd CTE prefix (seeds, `iters` assign+update rounds, a
+    * final assignment) WITHOUT the `WITH` keyword or a closing SELECT, plus
+    * the name of the final assignment relation `(vec_id, cluster, v)` —
+    * shared between the l14 oracle above and oracles that consume the
+    * trained clustering (l34 semantic dedup).
+    */
+  private[graft] def lloydAssignCtes(k: Int, iters: Int, dim: Int): (String, String) = {
     val sig = graft.Canon.sig6Sql _
     val d2 = "list_inner_product(c.c, c.c) - 2*list_inner_product(p.v, c.c)"
     val base =
@@ -131,11 +144,9 @@ object KMeans {
          |    GROUP BY cluster, i) g
          |  GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $base,
-       |$rounds,
-       |${assignCte(iters + 1, s"c$iters")}
-       |SELECT cluster, count(*) AS n_points
-       |FROM a${iters + 1} GROUP BY cluster""".stripMargin
+    (s"""$base,
+        |$rounds,
+        |${assignCte(iters + 1, s"c$iters")}""".stripMargin, s"a${iters + 1}")
   }
 
   val oracles: Map[String, String] = Map(
