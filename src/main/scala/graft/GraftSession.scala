@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   * - `graft.functions.GraftExtensions` injected: `array_dot`, `cosine_sim`,
   *   `srp_sig`, `minhash_sig`, `simhash_sig`, `array_sum_agg` resolve in
   *   SQL text, not just the Scala DSL.
-  * - `nanosAsLong` for the TIMESTAMP(NANOS) events table (TESTDATA.md).
-  * - UTC session timezone: oracle comparisons are timezone-free.
+  * - UTC session timezone: oracle comparisons are timezone-free, and
+  *   casting the parquet TIMESTAMP_NTZ columns (events.ts, o_orderdate,
+  *   l_shipdate) to an instant is the same wall-clock→epoch mapping
+  *   DuckDB's `epoch_ms` applies.
   * - Shuffle partitions default to the core count for local runs; a cluster
   *   deployment overrides via `--conf` (the loops size themselves DOWN from
   *   this cap via [[graft.engine.LoopConf]], never up).
@@ -28,7 +30,6 @@ object GraftSession {
   def baseConfs(shufflePartitions: Int): Map[String, String] = Map(
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.ui.enabled" -> "false")
 

@@ -394,7 +394,7 @@ object RelationalQueries {
       val w = Window.partitionBy($"user_id").orderBy($"ms")
         .rangeBetween(-3600000L, 0L)
       t(s, dir, "events")
-        .select($"event_id", $"user_id", expr("ts div 1000000").as("ms"), $"value")
+        .select($"event_id", $"user_id", unix_millis($"ts".cast("timestamp")).as("ms"), $"value")
         .select($"event_id", $"user_id", $"ms",
           sig6(sum($"value").over(w)).as("hr_sum"),
           count(lit(1)).over(w).as("hr_cnt"))

@@ -9,9 +9,11 @@ import graft.operators.AsOfJoin
 
 /** Batch queries over the time-ordered `events` table: the as-of join and
   * tumbling-window shapes that the streaming module runs incrementally.
-  * `events.ts` is read as epoch-nanos long (Spark 4 has no nanos timestamp);
-  * all time math here is integer epoch-ms on the Spark side and `epoch_ms`
-  * on the DuckDB side, so no float/zone boundary can disagree.
+  * `events.ts` is a micros TIMESTAMP_NTZ in parquet; the session TZ is UTC,
+  * so `ts.cast("timestamp")` is the same wall-clock→instant mapping DuckDB's
+  * `epoch_ms` applies, and all time math here is integer epoch-ms on the
+  * Spark side and `epoch_ms` on the DuckDB side — no float/zone boundary
+  * can disagree.
   */
 object EventQueries {
 
@@ -21,7 +23,7 @@ object EventQueries {
     "q23_asof_join" -> ((s, dir) => {
       import s.implicits._
       val left = Tables.load(s, dir, "events")
-        .select($"event_id", $"user_id", expr("ts div 1000000").as("ev_ms"))
+        .select($"event_id", $"user_id", unix_millis($"ts".cast("timestamp")).as("ev_ms"))
       val right = Tables.load(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
           // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
@@ -39,7 +41,7 @@ object EventQueries {
     "q24_tumbling_window" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"ts".cast("timestamp").as("ev_ts"),
           $"event_type", $"value")
         .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
@@ -53,7 +55,7 @@ object EventQueries {
     "q51_sliding_window" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"ts".cast("timestamp").as("ev_ts"),
           $"event_type", $"value")
         .groupBy(window($"ev_ts", "1 hour", "15 minutes").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
@@ -73,11 +75,11 @@ object EventQueries {
       val hourMs = 3600000L
       val ev = Tables.load(s, dir, "events")
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id".as("c_user"), expr("ts div 1000000").as("c_ms"))
+        .select($"user_id".as("c_user"), unix_millis($"ts".cast("timestamp")).as("c_ms"))
         .withColumn("bucket", expr(s"c_ms div $hourMs"))
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id".as("p_user"),
-          expr("ts div 1000000").as("p_ms"))
+          unix_millis($"ts".cast("timestamp")).as("p_ms"))
       val pb = purchases.withColumn("bucket",
         explode(array(expr(s"p_ms div $hourMs"), expr(s"p_ms div $hourMs") - 1L)))
       pb.join(clicks,
@@ -104,7 +106,7 @@ object EventQueries {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agg = src
-        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"ts".cast("timestamp").as("ev_ts"),
           $"event_type", $"value")
         .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
@@ -122,7 +124,7 @@ object EventQueries {
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val agg = src
-        .select(timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"ts".cast("timestamp").as("ev_ts"),
           $"event_type", $"value")
         .groupBy(window($"ev_ts", "1 hour", "15 minutes").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
@@ -145,7 +147,7 @@ object EventQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(s, dir, "events")
-        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
           $"user_id", $"event_type", $"value")
       val sentinels = ev.groupBy($"user_id").agg(max($"ev_ts").as("mx"))
         .select(lit(-1L).as("event_id"),
@@ -174,7 +176,7 @@ object EventQueries {
     "s04_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
-        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
           $"user_id", $"event_type", $"value")
       val staged = stage(ev.unionByName(ev), "s04", dir)
       val src = s.readStream.schema(ev.schema).parquet(staged)
@@ -197,7 +199,7 @@ object EventQueries {
       val schema = Tables.load(s, dir, "events").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
           $"user_id", $"event_type", $"value")
       drain(s, EventStreams.purchaseAttribution(src), "s05", "append")
         .groupBy($"purchase_id".as("event_id"))
@@ -218,7 +220,7 @@ object EventQueries {
     "s06_stream_outer_join" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
-        .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ev_ts"),
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
           $"user_id", $"event_type", $"value")
       val mx = ev.agg(max($"ev_ts")).as[java.sql.Timestamp].head()
       val far = new java.sql.Timestamp(mx.getTime + 2L * 3600 * 1000)
@@ -269,7 +271,7 @@ object EventQueries {
       val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
-        .select($"user_id", $"event_id", expr("ts div 1000000").as("ms"), $"value")
+        .select($"user_id", $"event_id", unix_millis($"ts".cast("timestamp")).as("ms"), $"value")
         .withColumn("new_sess",
           when(lag($"ms", 1).over(w).isNull ||
             ($"ms" - lag($"ms", 1).over(w)) > gapMs, 1L).otherwise(0L))
