@@ -45,6 +45,7 @@ object LlmQueries {
     "l31_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
     "l32_bm25_topk" -> ((s, dir) => TextStats.bm25TopK(s, dir)),
     "l33_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
+    "l34_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -374,6 +375,19 @@ object LlmQueries {
          |         ${sig6Sql("coalesce(1.0/(60 + lr.lrank), 0) + coalesce(1.0/(60 + vr.vrank), 0)")} AS rrf
          |  FROM lr FULL JOIN vr ON vr.doc_id = lr.doc_id) t
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // Kmeans-blocked cosine near-dup: the blocking IS l14's statically
+    // unrolled Lloyd (shared CTEs), so DuckDB reproduces the identical
+    // cells, then the same within-cell pair scan + sig6 cosine verify.
+    "l34_semantic_dedup" -> {
+      val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5, dim = 64)
+      s"""WITH $ctes,
+         |s AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${sig6Sql("list_cosine_similarity(a.v, b.v)")} AS sim
+         |  FROM $fin a JOIN $fin b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35""".stripMargin
+    },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
     "l26_decontaminate" -> decontOracle,

@@ -185,6 +185,36 @@ object Similarity {
       .filter($"sim" >= threshold)
   }
 
+  /** L3e: semantic dedup — embedding-cosine near-dup pairs with a k-means
+    * coarse quantizer as the blocking key (the IVF idea applied to
+    * DEDUPLICATION rather than search). Each vector is assigned to its
+    * Lloyd cluster; candidate pairs are generated only WITHIN a cluster and
+    * exact-verified with the fused cosine expression. Approximate by
+    * construction (a near-dup pair straddling a cell boundary is missed —
+    * the same recall trade every IVF/LSH blocker makes), but unlike the
+    * hash blockers the cells adapt to the data's density.
+    *
+    * 100 TB posture: the trained centroids are tiny and broadcast; the
+    * corpus shuffles ONCE on `cluster` (at rest: written bucketed by
+    * cluster, making re-runs shuffle-free), and the quadratic verify is
+    * confined to cells, so k is the knob that caps per-cell pair volume
+    * (k ∝ √N holds cell size ~√N). Oracle-exact: the clustering itself is
+    * the statically unrolled Lloyd of l14 on the sig6 grid, so DuckDB
+    * reproduces the identical blocking, pairs, and rounded sims.
+    */
+  def semanticDedup(s: SparkSession, dir: String, k: Int = 8, iters: Int = 5,
+                    threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val assigned = graft.algos.KMeans.fit(s, dir, k, iters)
+    val e = emb(s, dir).join(assigned, "vec_id")
+      .select($"cluster", $"vec_id", $"v")
+    e.as("a").join(e.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
+      .filter($"sim" >= threshold)
+  }
+
   // Random hyperplane (SRP) LSH: 48 fixed hyperplanes => 48-bit signature,
   // 4 bands of 12 bits. Deterministic seed. Band width sets the candidate
   // volume: 12-bit keys ≈ 4096 buckets/band, so a uniform corpus generates

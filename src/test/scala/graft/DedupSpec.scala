@@ -122,4 +122,40 @@ class DedupSpec extends AnyFunSuite {
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"high-sim recall $recall (lsh $lsh vs exact $exact)")
   }
+
+  test("semantic dedup: kmeans blocking ⊆ all-pairs; near-clones recalled") {
+    // Same planted-clone fixture idea as the SRP test: clones at 1% noise
+    // (cos ≈ 0.9999) sit deep inside a Lloyd cell, so the kmeans blocker
+    // must recover them; blocking can only MISS cross-cell pairs, never
+    // invent one, and every emitted sim must equal the brute-force value.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, s"l${i % 5}", vec()))
+    val planted = (0 until 10).map { i =>
+      val (_, lab, v) = base(i)
+      (100L + i, lab, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_fx").toString
+    (base ++ planted).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // All-pairs brute force at the same threshold (no blocking at all).
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val brute = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        graft.Canon.sig6(
+          graft.functions.GraftFunctions.cosineSim(spark, $"a.v", $"b.v")).as("sim"))
+      .filter($"sim" >= 0.99)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = rows(brute)
+    val blocked = rows(Similarity.semanticDedup(spark, dir, threshold = 0.99))
+    assert(all.size >= 10, s"brute force must find the planted pairs: $all")
+    assert(blocked.subsetOf(all), s"invented pairs: ${blocked -- all}")
+    val recall = blocked.size.toDouble / all.size
+    assert(recall >= 0.9, s"planted recall $recall (blocked $blocked vs $all)")
+  }
 }
