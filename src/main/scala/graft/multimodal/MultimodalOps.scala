@@ -237,6 +237,37 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_idx", "n_px", "frame_mean")
   }
 
+  /** Image resize over the image rows: decode, 2×2 box-average downsample
+    * (integer floor mean, last odd row/col dropped), then RE-ENCODE to PNG
+    * and decode again — the resize path exercises the codec in both
+    * directions, and the roundtrip is lossless for gray PNG so the stats
+    * are the closed forms of the box means. Partition-local end to end.
+    */
+  def resizeImages(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val px = decodeImage(m.payload)
+      val (w, h) = (m.width, m.height)
+      val (ow, oh) = (w / 2, h / 2)
+      val out = new Array[Int](ow * oh)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          val s = px(2 * oy * w + 2 * ox) + px(2 * oy * w + 2 * ox + 1) +
+            px((2 * oy + 1) * w + 2 * ox) + px((2 * oy + 1) * w + 2 * ox + 1)
+          out(oy * ow + ox) = s / 4
+          ox += 1
+        }
+        oy += 1
+      }
+      val rt = decodeImage(encodePng(ow, oh, i => out(i.toInt)))
+      var s1 = 0L
+      rt.foreach(s1 += _)
+      (m.doc_id, ow, oh, rt.length.toLong, s1.toDouble / rt.length)
+    }.toDF("doc_id", "out_w", "out_h", "n_px", "mean_px")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Driver-facing queries — all three oracle-checked since round 5 (the
@@ -263,6 +294,16 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n_frames"),
           sum($"n_px").as("total_px"),
           graft.Canon.sig6(avg($"frame_mean")).as("avg_frame_mean"))
+    }),
+    // Resize: decode → box-downsample → re-encode → decode. The oracle
+    // restates each output pixel as the floor-mean of its 2×2 source block
+    // in (doc_id, n_chars) arithmetic — any resize indexing error (offset,
+    // stride, dropped edge) shifts the sums and breaks the hash.
+    "m04_resize_image" -> ((s, dir) => {
+      import s.implicits._
+      resizeImages(mediaTable(s, dir))
+        .select($"doc_id", $"out_w", $"out_h", $"n_px",
+          graft.Canon.sig6($"mean_px").as("mean_px"))
     }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself.
@@ -341,6 +382,25 @@ object MultimodalOps {
          |       count(*) * 256 AS total_px,
          |       ${graft.Canon.sig6Sql("avg(frame_mean)")} AS avg_frame_mean
          |FROM fm GROUP BY frame_idx""".stripMargin
+    },
+    "m04_resize_image" -> {
+      val sig = graft.Canon.sig6Sql _
+      // p(dx,dy) of output pixel i: source (2·(i%ow)+dx, 2·(i//ow)+dy).
+      def p(dx: Int, dy: Int) =
+        s"(doc_id + (2 * (i // ow) + $dy) * w + 2 * (i % ow) + $dx) % 256"
+      s"""WITH img AS (
+         |  SELECT doc_id,
+         |         16 + n_chars % 16 AS w, 16 + doc_id % 16 AS h,
+         |         (16 + n_chars % 16) // 2 AS ow, (16 + doc_id % 16) // 2 AS oh
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (
+         |  SELECT doc_id, ow, oh,
+         |         (${p(0, 0)} + ${p(1, 0)} + ${p(0, 1)} + ${p(1, 1)}) // 4 AS v
+         |  FROM (SELECT doc_id, w, ow, oh, unnest(range(ow * oh)) AS i FROM img))
+         |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+         |       count(*) AS n_px,
+         |       ${sig("CAST(sum(v) AS DOUBLE) / count(*)")} AS mean_px
+         |FROM px GROUP BY doc_id, ow, oh""".stripMargin
     },
     "m03_media_meta" ->
       s"""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

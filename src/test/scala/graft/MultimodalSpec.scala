@@ -80,6 +80,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vids.nonEmpty && vids.forall(v => v.mean_val == 127.5))
   }
 
+  test("resize: box means match a hand recompute through the real codec") {
+    val media = MultimodalOps.mediaTable(spark, dir)
+    val images = media.filter(_.kind == "image").collect()
+      .map(m => m.doc_id -> m).toMap
+    val rows = MultimodalOps.resizeImages(media).collect()
+    assert(rows.length == images.size)
+    rows.sortBy(_.getLong(0)).take(5).foreach { r =>
+      val m = images(r.getLong(0))
+      val (ow, oh) = (m.width / 2, m.height / 2)
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      assert(r.getLong(3) == ow.toLong * oh)
+      // Recompute the floor 2×2 box mean straight from the pixel formula.
+      val sum = (for {
+        oy <- 0 until oh; ox <- 0 until ow
+      } yield {
+        def p(dx: Int, dy: Int) =
+          ((m.doc_id + (2 * oy + dy).toLong * m.width + 2 * ox + dx) % 256).toInt
+        (p(0, 0) + p(1, 0) + p(0, 1) + p(1, 1)) / 4
+      }).map(_.toLong).sum
+      assert(r.getDouble(4) == sum.toDouble / (ow.toLong * oh),
+        s"doc ${m.doc_id}")
+    }
+  }
+
   test("frame sampling: one decoded row per (video, frame), exact means") {
     val fr = MultimodalOps.frameSample(MultimodalOps.mediaTable(spark, dir))
       .collect()

@@ -115,6 +115,17 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("l34 semantic dedup: pair join keys on cluster, never a cartesian") {
+    // The kmeans blocker's whole value is confining the quadratic verify
+    // to cells: the self-join must hash/merge on `cluster` (+ the vec_id
+    // inequality as a post-condition), not degrade to a cartesian scan.
+    val plan = ranPlan("l34_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // Lloyd's assign phase broadcasts the tiny centroid side every round.
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q23 as-of join is single-shuffle (the union+window formulation)") {
     // The whole point of the union+window as-of rendering: both sides
     // shuffle ONCE on the key, versus the join+filter+argmax rendering's
