@@ -135,6 +135,72 @@ object LlmQueries {
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5""".stripMargin,
+    // MinHash+LSH reproduced EXACTLY: the base hash is md5-derived
+    // (TextOps.strHash60 — bit-identical in DuckDB), the 32 permutations
+    // are (a·h + b) mod 2³¹−1 integer arithmetic with the literal (a, b)
+    // table inlined from MinHashSig, and the band keys are the raw 4-value
+    // signature slices — so candidate generation (recall curve and all)
+    // and the exact-Jaccard verification land the identical rows.
+    "l04_minhash_pairs" -> {
+      val P = graft.functions.MinHashSig.P
+      val perms = (0 until 32).map(i =>
+        s"($i, ${graft.functions.MinHashSig.permA(i)}, " +
+          s"${graft.functions.MinHashSig.permB(i)})").mkString(", ")
+      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ${TextOps.strHash60Sql(s"($shingle)")} AS h
+         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)),
+         |perms(pid, pa, pb) AS (VALUES $perms),
+         |sig AS (
+         |  SELECT doc_id, pid, min((pa * (h % $P) + pb) % $P) AS mh
+         |  FROM sh, perms GROUP BY doc_id, pid),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, pid // 4 AS band_id, list(mh ORDER BY pid) AS bkey
+         |  FROM sig GROUP BY doc_id, pid // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+         |FROM ix JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5""".stripMargin
+    },
+    // SimHash reproduced exactly: md5-60 token hashes (multiset, not
+    // distinct — each occurrence votes), strict-majority bit votes, 4×16-bit
+    // band blocking, xor-popcount hamming verify. Bits 60-63 of the 60-bit
+    // hash are always clear (vote sum = −n < 0), so range(60) is exact.
+    "l05_simhash_pairs" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |th AS (SELECT doc_id, ${TextOps.strHash60Sql("tok")} AS h FROM tk),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END AS bit
+         |  FROM th, unnest(range(60)) t(b)
+         |  GROUP BY doc_id, b),
+         |sg AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig
+         |       FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, b AS band_id,
+         |         (sig >> (16 * CAST(b AS INT))) & 65535 AS band_key
+         |  FROM sg, unnest(range(4)) t(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
     "l06_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
          |           FROM embeddings WHERE vec_id < 5),

@@ -47,17 +47,33 @@ object TextOps {
       .distinct()
   }
 
-  /** Same relation with shingles pre-hashed to 64-bit — the join/count path
-    * for set-similarity: an 8-byte key shuffles ~3× less than the ~25-char
-    * shingle string and compares in one instruction. Collision probability
-    * across a 10M-shingle corpus is ~10⁻⁶ (birthday bound on 2⁶⁴).
+  /** 60-bit base hash of a shingle/token string: the first 15 hex chars of
+    * its md5, parsed as an integer. Chosen over `xxhash64` DELIBERATELY:
+    * md5 is bit-identical in DuckDB (`md5(s)` yields the same hex string),
+    * so every downstream sketch built on these values — the MinHash
+    * permutations (integer arithmetic mod 2³¹−1) and the SimHash bit
+    * counters — is exactly reproducible in oracle SQL, which is what moves
+    * l04/l05 from rows-only into the hash-checked gate. Cost: md5 is a few
+    * ns/row slower than xxhash64 — invisible next to the tokenize+shingle
+    * work — and 60 bits keep the birthday bound ~10⁻⁷ at 10M shingles.
+    */
+  private[llmops] def strHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment computing [[strHash60]] in DuckDB over expression `e`. */
+  private[llmops] def strHash60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Same relation with shingles pre-hashed to 60-bit ([[strHash60]]) — the
+    * join/count path for set-similarity: an 8-byte key shuffles ~3× less
+    * than the ~25-char shingle string and compares in one instruction.
     */
   def docShingleHashes(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", explode(shingles($"ws", n)).as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
+      .select($"doc_id", strHash60($"s").as("h"))
       .distinct()
   }
 }
@@ -143,7 +159,7 @@ object Dedup {
     val raw = Tables.load(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("ws")) // see docShingles note
       .select($"doc_id", explode(shingles($"ws", 4)).as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
+      .select($"doc_id", strHash60($"s").as("h"))
       .cache()
     val posts = raw.groupBy($"h")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
@@ -177,10 +193,13 @@ object Dedup {
     * bounded in practice by near-dup cluster size (run exact dedup FIRST:
     * a corpus of thousands of identical docs puts them all in one bucket
     * of every band). Pairs right at the
-    * threshold can be missed (1-(1-j^4)^8 recall curve): that is inherent to
-    * LSH and is why the oracle-checked query is [[jaccardPairs]]. One
+    * threshold can be missed (1-(1-j^4)^8 recall curve): that is inherent
+    * to LSH — but since round 5 the whole pipeline (md5-60 base hash,
+    * mod-P permutations, raw-slice band keys) is engine-agnostic integer
+    * arithmetic, so the l04 oracle reproduces the SAME approximation in
+    * DuckDB and the result hash-checks exactly, recall curve and all. One
     * tokenize+shingle pass feeds BOTH the signatures and the verification
-    * (the signature permutes the same xxhash64 shingle hashes).
+    * (the signature permutes the same [[TextOps.strHash60]] shingle hashes).
     */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
                    maxBucket: Option[Int] = None): DataFrame = {
@@ -194,9 +213,13 @@ object Dedup {
       .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"),
         count(lit(1)).as("n"))
       .cache()
+    // Band key = the raw 4-value signature slice (not a hash of it): the
+    // slice groups/joins exactly, which is what lets the DuckDB oracle
+    // reproduce the candidate set verbatim; a hashed key would re-introduce
+    // an engine-specific function for a 24-byte-per-row saving.
     val bandCols = (0 until Bands).map(b =>
       struct(lit(b).as("band_id"),
-        xxhash64(slice($"sig", b * Rows + 1, Rows)).as("band_key")))
+        slice($"sig", b * Rows + 1, Rows).as("band_key")))
     val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band_id", $"bk.band_key")
     val buckets = banded.groupBy($"band_id", $"band_key")
@@ -259,7 +282,7 @@ object Dedup {
     def sh(df: DataFrame): DataFrame = df
       .select($"doc_id", tokens($"text").as("ws")) // HOF boundary: see docShingles
       .select($"doc_id", explode(shingles($"ws", n)).as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
+      .select($"doc_id", strHash60($"s").as("h"))
     sh(corpus).as("c")
       .join(broadcast(sh(benchmark).distinct().as("b")), $"c.h" === $"b.h")
       .groupBy($"c.doc_id".as("doc_id"), $"b.doc_id".as("bench_id"))
@@ -287,7 +310,7 @@ object Dedup {
     def sh(df: DataFrame): DataFrame = df
       .select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", explode(shingles($"ws", n)).as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
+      .select($"doc_id", strHash60($"s").as("h"))
     graft.functions.GraftFunctions.ensureRegistered(s)
     val bench = sh(docs.filter($"doc_id" % 10 === 0)).distinct().cache()
     bench.createOrReplaceTempView("bench_shingles")
@@ -313,13 +336,16 @@ object Dedup {
     * [[graft.functions.SimHashSig]] TypedImperativeAggregate (64 signed
     * counters as one mergeable blob instead of 64 agg columns), 4×16-bit
     * band blocking, hamming-distance verification via bit_count(xor).
-    * No SQL oracle (hash-function specific); ScalaTest pins behavior.
+    * Oracle-exact since round 5: the token hashes are [[TextOps.strHash60]]
+    * (md5-based) and every downstream step is integer/bit arithmetic DuckDB
+    * reproduces verbatim — majority bit votes, 16-bit band keys, xor
+    * popcount.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     import s.implicits._
     val toks = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
+      .select($"doc_id", strHash60($"tok").as("h"))
     val sig = toks.groupBy($"doc_id")
       .agg(graft.functions.GraftFunctions.simhashSig(s, $"h").as("sig"))
     val banded = sig.select($"doc_id", $"sig",
