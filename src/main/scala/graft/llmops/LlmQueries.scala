@@ -454,6 +454,93 @@ object LlmQueries {
          |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35""".stripMargin
     },
+    // SRP-LSH embedding dedup reproduced exactly: the 48 fixed hyperplanes
+    // are inlined as DOUBLE literals (scientific notation — DuckDB parses
+    // plain decimals as DECIMAL, silently changing the arithmetic; 17
+    // significant digits round-trip the exact IEEE values), the sign bits
+    // come from the same sequential dot products (bit-identical across
+    // engines — the l06/l07 cosine oracles pin that), and banding/verify
+    // are integer and sig6-rounded arithmetic. As with l04/l15, the
+    // sub-unit recall is the method's, not the engine's — both engines
+    // miss the identical cross-bucket pairs.
+    "l08_embed_dup_lsh" -> {
+      val planeRows = Similarity.planes.zipWithIndex.map { case (pl, p) =>
+        val vals = pl.map(x =>
+          String.format(java.util.Locale.ROOT, "%.17e", Double.box(x)))
+        s"($p, [${vals.mkString(", ")}])"
+      }.mkString(",\n")
+      s"""WITH pl(p, pv) AS (VALUES
+         |$planeRows),
+         |e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |sg AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(e.v, pl.pv) >= 0
+         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+         |              AS BIGINT) AS sig
+         |  FROM e, pl GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, b AS band_id,
+         |         (sig >> (12 * CAST(b AS INT))) & 4095 AS band_key
+         |  FROM sg, unnest(range(4)) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |    AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |         ${sig6Sql("list_cosine_similarity(ea.v, eb.v)")} AS sim
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.vec_a
+         |  JOIN e eb ON eb.vec_id = c.vec_b) t
+         |WHERE sim >= 0.45""".stripMargin
+    },
+    // IVF approximate top-k reproduced exactly: the coarse quantizer is
+    // l14's statically unrolled Lloyd (shared CTEs — `c5` is the trained
+    // centroid relation after 5 rounds, `a6` the final assignment), probe
+    // ranking uses the same raw d² = |c|²−2q·c doubles (bit-identical:
+    // both engines run sequential dot products over identical operands),
+    // and the within-list scan ranks the same sig6-rounded cosines. The
+    // sub-unit recall vs l06 is a PROPERTY of the method, not an engine
+    // artifact — both engines miss the identical neighbors.
+    "l15_ivf_topk" -> {
+      val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5, dim = 64)
+      val sig = graft.Canon.sig6Sql _
+      s"""WITH $ctes,
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |         sqrt(list_inner_product(
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |      FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv, qnorm, cluster FROM (
+         |    SELECT q.query_id, q.qv, q.qnorm, c.cluster,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_inner_product(c.c, c.c)
+         |                      - 2 * list_inner_product(q.qv, c.c),
+         |               c.cluster) AS rn
+         |    FROM q, c5 c) t
+         |  WHERE rn <= 3),
+         |lists AS (
+         |  SELECT a.cluster, e.vec_id, e.v, e.norm
+         |  FROM $fin a JOIN e USING (vec_id)),
+         |sims AS (
+         |  SELECT p.query_id, l.vec_id,
+         |         ${sig("list_inner_product(p.qv, l.v) / (p.qnorm * l.norm)")} AS sim
+         |  FROM probes p JOIN lists l USING (cluster)
+         |  WHERE l.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, sim FROM (
+         |  SELECT query_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sims) t
+         |WHERE rn <= 10""".stripMargin
+    },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
     "l26_decontaminate" -> decontOracle,

@@ -82,8 +82,11 @@ object Similarity {
     * the lists are the partitioning/bucketing key, so a probe touches
     * nProbe/kCentroids of the data and the per-query work is a pruned
     * partition scan, not a full pass. Recall < 1 by construction (a true
-    * neighbor can live in an unprobed list) — rows-only check; ScalaTest
-    * measures recall against the exact scan.
+    * neighbor can live in an unprobed list) — but the approximation is
+    * DETERMINISTIC: the quantizer is l14's sig6-grid Lloyd, probe ranking
+    * and scan scoring are bit-identical doubles, so the l15 oracle
+    * reproduces the same misses and the result hash-checks; ScalaTest
+    * additionally measures recall against the exact scan.
     */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
               kCentroids: Int = 8, nProbe: Int = 3): DataFrame = {
@@ -222,10 +225,10 @@ object Similarity {
   // verifier; recall stays high only for genuinely near-duplicate vectors
   // (P(bit)=1-θ/π: ~97% at cos 0.99, ~3% at cos 0.45), which is the point
   // of a near-dup scan.
-  private val Dim = 64
-  private val Planes = 48
-  private val BandBits = 12
-  private val planes: Array[Array[Double]] = {
+  private[llmops] val Dim = 64
+  private[llmops] val Planes = 48
+  private[llmops] val BandBits = 12
+  private[llmops] val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
@@ -248,8 +251,11 @@ object Similarity {
 
   /** L3c: LSH-bucketed near-dup scan — the 100 TB variant of [[embedDupPairs]].
     * Candidates = pairs agreeing on >=1 of 4 sign-bit bands; each candidate
-    * is exact-verified. Recall < 1 near the threshold by construction (no
-    * SQL oracle; ScalaTest compares against brute force).
+    * is exact-verified. Recall < 1 near the threshold by construction, but
+    * deterministic: the fixed hyperplanes inline into the l08 oracle as
+    * DOUBLE literals and the sign bits reproduce exactly, so DuckDB lands
+    * the identical buckets and the result hash-checks; ScalaTest
+    * additionally compares against brute force on a planted fixture.
     */
   def embedDupPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     import s.implicits._

@@ -39,8 +39,6 @@ class RegistrySpec extends AnyFunSuite {
                             // salted-vs-local equality at 200k on the same shape)
       "b05_pagerank_skew64m", // fixed-2-round PageRank on the skewed graph —
                             // full-relation superstep throughput under skew
-      "l08_embed_dup_lsh",  // sub-unit recall by design (spec-pinned)
-      "l15_ivf_topk",       // approximate by design (recall spec vs l06)
       "q12_approx_distinct", // approximate by design
       "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
     )
