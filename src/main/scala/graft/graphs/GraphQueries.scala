@@ -373,6 +373,31 @@ object GraphQueries {
        |SELECT id, ${graft.Canon.sig6Sql("r")} AS rank FROM r2 WHERE r > 0.0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The reference's own 4elt benchmark graph, oracle-gated END TO END
+    // including the file parse: DuckDB reads the same text file (2-line
+    // header = single-number lines that the NULL-second-column filter
+    // drops, exactly like the Spark parser's "fewer than 2 ints" rule;
+    // 4elt is 1-based so no zero-shift arm is needed — GraphSourceSpec
+    // covers the shifted/gap cases on fixtures), then walks a recursive-
+    // CTE BFS from source 1 with the engine's 120-round cap. Validated
+    // row-for-row against the SqlRunner result (15,606 rows, max dist 69,
+    // Σdist 620,026).
+    "b01_sssp_4elt" -> {
+      val raw = """read_csv('/root/reference/graph/4elt.graph',
+        |    header=false, sep=' ', columns={'c0': 'VARCHAR', 'c1': 'VARCHAR'},
+        |    all_varchar=true, null_padding=true, auto_detect=false)""".stripMargin
+      s"""WITH RECURSIVE e AS (
+         |  SELECT CAST(c0 AS BIGINT) AS src, CAST(c1 AS BIGINT) AS dst
+         |  FROM $raw
+         |  WHERE c1 IS NOT NULL AND trim(c0) NOT LIKE '#%'),
+         |walk AS (
+         |  SELECT CAST(1 AS BIGINT) AS id, 0 AS d
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+         |  WHERE w.d < 120
+         |)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id""".stripMargin
+    },
     "g01_sssp_bfs" -> bfsOracle,
     "g17_ppr2" -> oraclePpr2,
     "g02_triangles" ->

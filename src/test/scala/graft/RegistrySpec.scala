@@ -30,7 +30,6 @@ class RegistrySpec extends AnyFunSuite {
     // Anything new without an oracle must be added here CONSCIOUSLY (the
     // driver records only a weak rows-only check for these).
     val expectedRowsOnly = Set(
-      "b01_sssp_4elt",      // reference graph, not table data
       "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
                             // EngineSpec pins runner equality at 200k)
       "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
