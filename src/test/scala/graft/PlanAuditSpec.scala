@@ -115,6 +115,16 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("l04 minhash: banded candidates, no cartesian, one sketch agg") {
+    // The md5-based rework must not change the plan shape: signatures come
+    // from ONE ObjectHashAggregate over the shingle relation (the
+    // TypedImperativeAggregate), candidates join on the (band_id, raw
+    // slice) key — never a cartesian pair scan.
+    val plan = ranPlan("l04_minhash_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("minhash_sig".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("l34 semantic dedup: pair join keys on cluster, never a cartesian") {
     // The kmeans blocker's whole value is confining the quadratic verify
     // to cells: the self-join must hash/merge on `cluster` (+ the vec_id
