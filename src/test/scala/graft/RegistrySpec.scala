@@ -29,6 +29,11 @@ class RegistrySpec extends AnyFunSuite {
   test("deliberately oracle-less queries are a closed, documented set") {
     // Anything new without an oracle must be added here CONSCIOUSLY (the
     // driver records only a weak rows-only check for these).
+    // The b0x generators use Spark's xxhash64; a bit-exact DuckDB port
+    // exists (XXH64 via HUGEINT split-multiply mod-2^64 arithmetic,
+    // validated value-for-value) but measures ~230 s for b02's 8M hashes
+    // alone — an order of magnitude past gate budget, before the 8M-edge
+    // recursive-CTE BFS. Measured, not assumed: these four stay rows-only.
     val expectedRowsOnly = Set(
       "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
                             // EngineSpec pins runner equality at 200k)
