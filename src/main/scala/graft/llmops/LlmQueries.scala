@@ -510,11 +510,8 @@ object LlmQueries {
       val sig = graft.Canon.sig6Sql _
       s"""WITH $ctes,
          |e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |         sqrt(list_inner_product(
-         |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
-         |           list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
-         |  FROM embeddings),
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+         |  FROM pts),
          |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
          |      FROM e WHERE vec_id < 5),
          |probes AS (

@@ -178,15 +178,23 @@ object Similarity {
   /** L3b: embedding near-duplicate pairs (cosine >= threshold), blocked on
     * `label` so the pair space stays ~n²/|labels|. Oracle-checked.
     */
-  def embedDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+  /** The shared blocked pair scan: self-join `e` on `key` with an id
+    * inequality, exact-verify each candidate with the fused cosine, keep
+    * pairs at/above `threshold`. Every dedup variant (label blocking,
+    * kmeans cells) differs ONLY in how it derives the blocking key.
+    */
+  private def pairScan(s: SparkSession, e: DataFrame, key: String,
+                       threshold: Double): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
     e.as("a").join(e.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        col(s"a.$key") === col(s"b.$key") && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
       .filter($"sim" >= threshold)
   }
+
+  def embedDupPairs(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame =
+    pairScan(s, emb(s, dir), "label", threshold)
 
   /** L3e: semantic dedup — embedding-cosine near-dup pairs with a k-means
     * coarse quantizer as the blocking key (the IVF idea applied to
@@ -211,11 +219,7 @@ object Similarity {
     val assigned = graft.algos.KMeans.fit(s, dir, k, iters)
     val e = emb(s, dir).join(assigned, "vec_id")
       .select($"cluster", $"vec_id", $"v")
-    e.as("a").join(e.as("b"),
-        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
-      .filter($"sim" >= threshold)
+    pairScan(s, e, "cluster", threshold)
   }
 
   // Random hyperplane (SRP) LSH: 48 fixed hyperplanes => 48-bit signature,

@@ -173,11 +173,22 @@ object MultimodalOps {
   /** Synthesize the media table from `documents`: one real encoded blob per
     * doc (PNG / WAV / frame-container by doc_id mod 3), metadata describing
     * the payload. Encoding is partition-local — no shuffle.
+    *
+    * `onlyKind` prunes BEFORE encoding: a kind-specific consumer (m02
+    * frame sampling, m04 resize) would otherwise pay full codec work for
+    * the two-thirds of documents it immediately filters away.
     */
-  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaTable(s: SparkSession, dir: String,
+                 onlyKind: Option[String] = None): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", $"n_chars")
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
+    val wanted = onlyKind match {
+      case Some("image") => docs.filter($"doc_id" % 3 === 0)
+      case Some("audio") => docs.filter($"doc_id" % 3 === 1)
+      case Some("video") => docs.filter($"doc_id" % 3 === 2)
+      case _ => docs
+    }
+    wanted
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id % 3) match {
@@ -289,7 +300,7 @@ object MultimodalOps {
     // Per-frame-position aggregate over the decoded video frames.
     "m02_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      frameSample(mediaTable(s, dir))
+      frameSample(mediaTable(s, dir, onlyKind = Some("video")))
         .groupBy($"frame_idx")
         .agg(count(lit(1)).as("n_frames"),
           sum($"n_px").as("total_px"),
@@ -301,7 +312,7 @@ object MultimodalOps {
     // stride, dropped edge) shifts the sums and breaks the hash.
     "m04_resize_image" -> ((s, dir) => {
       import s.implicits._
-      resizeImages(mediaTable(s, dir))
+      resizeImages(mediaTable(s, dir, onlyKind = Some("image")))
         .select($"doc_id", $"out_w", $"out_h", $"n_px",
           graft.Canon.sig6($"mean_px").as("mean_px"))
     }),

@@ -122,7 +122,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // slice) key — never a cartesian pair scan.
     val plan = ranPlan("l04_minhash_pairs")
     assert(!plan.contains("CartesianProduct"), plan)
-    assert("minhash_sig".r.findAllIn(plan).nonEmpty, plan)
+    // Exactly one logical signature aggregation = exactly two plan
+    // occurrences (the partial and final halves of ONE aggregate); a
+    // regression that rebuilds signatures in a second aggregation (e.g. a
+    // separate counts pass re-shuffling the shingle relation) doubles it.
+    val sigAggs = plan.linesIterator
+      .count(l => l.contains("Aggregate") && l.contains("minhash_sig"))
+    assert(sigAggs == 2, s"$sigAggs minhash_sig aggregate nodes:\n$plan")
   }
 
   test("l34 semantic dedup: pair join keys on cluster, never a cartesian") {
