@@ -34,4 +34,33 @@ class BucketingSpec extends AnyFunSuite {
       assert(joined.count() == 6000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("cluster-bucketed embedding pair scan plans no exchange (l34 at rest)") {
+    // The semantic-dedup doc (Similarity.semanticDedup) claims the at-rest
+    // 100 TB layout — the corpus written bucketed by its kmeans cell —
+    // makes re-runs of the within-cell pair scan shuffle-free. Prove it:
+    // an l34-shaped relation bucketed on `cluster` self-joins with zero
+    // exchanges. (The cell assignment here is synthetic — the property
+    // under test is the layout, not the clustering.)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS b_emb")
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(($"vec_id" % 8).cast("int").as("cluster"), $"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .write.bucketBy(4, "cluster").sortBy("cluster")
+      .mode("overwrite").saveAsTable("b_emb")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.table("b_emb")
+      val pairs = e.as("a").join(e.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free pair scan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      assert(pairs.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
