@@ -17,6 +17,13 @@ object Bench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spilled = new AtomicLong
+    /** Task-end event count — part of the boundary-stability check: a
+      * shuffle-LIGHT query's final tasks move none of the byte counters, so
+      * polling bytes alone can declare "settled" while its task-end events
+      * (and their max-task durations) are still on the async bus, getting
+      * misattributed to the next query.
+      */
+    val taskEnds = new AtomicLong
     /** Longest single task since the last [[resetMaxTask]] — the straggler
       * signal: a skew-serialized stage shows up here as one task spanning
       * most of the query's wall time (reset per query by the bench loop).
@@ -32,6 +39,7 @@ object Bench {
       }
       if (t.taskInfo != null)
         maxTaskMs.getAndUpdate(cur => math.max(cur, t.taskInfo.duration))
+      taskEnds.incrementAndGet()
     }
   }
 
@@ -102,17 +110,17 @@ object Bench {
     // misattributes bytes to the NEXT query. Poll until the totals stop
     // moving (typically one 25 ms beat) before reading a boundary.
     def settled(): (Long, Long, Long) = {
-      var cur = (listener.shuffleRead.get, listener.shuffleWrite.get,
-        listener.spilled.get)
+      def snap() = (listener.shuffleRead.get, listener.shuffleWrite.get,
+        listener.spilled.get, listener.taskEnds.get)
+      var cur = snap()
       var tries = 0
       while (tries < 40) {
         Thread.sleep(25)
-        val nxt = (listener.shuffleRead.get, listener.shuffleWrite.get,
-          listener.spilled.get)
-        if (nxt == cur) return cur
+        val nxt = snap()
+        if (nxt == cur) return (cur._1, cur._2, cur._3)
         cur = nxt; tries += 1
       }
-      cur
+      (cur._1, cur._2, cur._3)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (r0, w0, s0) = settled()
@@ -144,6 +152,12 @@ object Bench {
       System.gc()
       name -> dt
     }
+    // Headline totals are the QUERY LOOP's alone, snapshotted before the
+    // sidecars below run additional Spark jobs (anchor edge counts, recall
+    // re-executions) — sampling at JSON-build time would count sidecar
+    // shuffle in the benchmark totals and break round-over-round
+    // comparability of the observability metrics.
+    val (benchRead, benchWrite, benchSpilled) = settled()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Failures carry the -1 sentinel per-query but must not subtract from
@@ -152,22 +166,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val mb = 1024.0 * 1024.0
     // Exact generator edge counts for the anchors that ran (one cheap
-    // shuffle-free range scan each; b04/b05 share a generator). ADVICE-r4:
-    // throughput must come from the same measured quantities it reports.
-    import org.apache.spark.sql.functions.{pow => fpow, _}
-    import spark.implicits._
-    val nV = 4000000L
-    lazy val uniformEdges = spark.range(16L * nV)
-      .select(($"id" % nV).as("src"), pmod(xxhash64($"id"), lit(nV)).as("dst"))
-      .filter($"src" =!= $"dst").count()
-    lazy val skewEdges = {
-      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
-        lit((1L << 40).toDouble)
-      spark.range(16L * nV)
-        .select((fpow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
-          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
-        .filter($"src" =!= $"dst").count()
-    }
+    // shuffle-free range scan each; b04/b05 share a generator) — counted
+    // over the SAME shared generator definitions the anchor queries run
+    // (GraphQueries.uniformEdges64M/skewEdges64M), so the denominator can
+    // never drift from the graph that was measured. ADVICE-r4: throughput
+    // must come from the same measured quantities it reports.
+    import org.apache.spark.sql.functions._
+    lazy val uniformEdges = graphs.GraphQueries.uniformEdges64M(spark).count()
+    lazy val skewEdges = graphs.GraphQueries.skewEdges64M(spark).count()
     val anchorExtra = anchorStats.toSeq.sortBy(_._1).map {
       case (name, (loopSec, iters, hubs, saltF)) =>
         val dt = results.toMap.getOrElse(name, -1.0)
@@ -202,13 +208,14 @@ object Bench {
       val hi = pairSet(l07df.filter(col("sim") >= 0.9))
       val hiField = if (hi.isEmpty) ""
         else f""","l08_recall_hi_sim":${rec(l08p, hi)}%.4f"""
-      spark.catalog.clearCache()
       f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f$hiField"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH recall sidecar failed: ${e.getMessage}")
       ""
-    }
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${listener.shuffleRead.get / mb}%.1f,"shuffle_write_mb":${listener.shuffleWrite.get / mb}%.1f,"spilled_mb":${listener.spilled.get / mb}%.1f,"cpus":$cpus$anchorExtra$recallExtra}"""
+    // finally, not the success path: a sidecar throw after l07df.cache()
+    // must not leave the cached pair scan resident for the rest of main.
+    } finally spark.catalog.clearCache()
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${benchRead / mb}%.1f,"shuffle_write_mb":${benchWrite / mb}%.1f,"spilled_mb":${benchSpilled / mb}%.1f,"cpus":$cpus$anchorExtra$recallExtra}"""
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the

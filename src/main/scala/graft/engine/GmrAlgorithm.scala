@@ -120,9 +120,22 @@ object LoopConf {
     // but cost +25% wall on local[32] where task dispatch dominates —
     // a memory-per-core-constrained cluster would flip that trade, so
     // the factor is the deployment lever, 4 the local[32]-measured best.
+    // Validated at the knob, not deep in a loop: a malformed value would
+    // otherwise surface as a NumberFormatException nowhere near the env
+    // var, and 0/negative would silently serialize every superstep to one
+    // partition via the max(1, min(cap, …)) clamp below.
     val capFactor = sys.env.get("GRAFT_LOOP_CAP_FACTOR")
       .orElse(sys.props.get("graft.engine.loopCapFactor"))
-      .map(_.toLong).getOrElse(4L)
+      .map { v =>
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_LOOP_CAP_FACTOR/graft.engine.loopCapFactor must be a " +
+              s"positive integer, got '$v'")
+        }
+        require(n > 0,
+          s"GRAFT_LOOP_CAP_FACTOR/graft.engine.loopCapFactor must be > 0, got $n")
+        n
+      }.getOrElse(4L)
     val cap = capFactor * s.conf.get("spark.sql.shuffle.partitions").toInt
     val target = 8L * 1024 * 1024
     math.max(1, math.min(cap,

@@ -215,6 +215,15 @@ object GraphOps {
     * @param edgeDf directed edges; treated as undirected (symmetrized).
     * @return surviving vertices with their within-core degree.
     */
+  /** Peel rounds of the last [[kcore]] run — observability for the g15
+    * oracle's static unroll: the 24-round SQL is exact only while the
+    * measured fixpoint stays comfortably under it, and GraphAlgoSpec pins
+    * `lastPeelRounds ≤ unroll/2` on the gate's own scale factor so a data
+    * regeneration that deepens the peel cascade fails a NAMED test instead
+    * of a bare oracle hash mismatch.
+    */
+  @volatile var lastPeelRounds: Int = 0
+
   def kcore(s: SparkSession, edgeDf: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
@@ -223,6 +232,7 @@ object GraphOps {
       var ue = sym.localCheckpoint()
       sym.unpersist()
       var done = false
+      var rounds = 0
       while (!done) {
         val deg = ue.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
         // Lazy: the branch-deciding isEmpty materializes it in one job.
@@ -230,12 +240,14 @@ object GraphOps {
           .localCheckpoint(eager = false)
         if (bad.isEmpty) done = true
         else {
+          rounds += 1
           ue = ue
             .join(bad, ue("src") === bad("id"), "left_anti")
             .join(bad, ue("dst") === bad("id"), "left_anti")
             .localCheckpoint()
         }
       }
+      lastPeelRounds = rounds
       // Eager checkpoint: the closing aggregation must run INSIDE this
       // block or the caller's action would replay it at the restored
       // session-wide partition cap (32 near-empty tasks for a tiny core).

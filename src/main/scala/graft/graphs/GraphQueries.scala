@@ -12,6 +12,35 @@ import graft.sources.GraphSource
   */
 object GraphQueries {
 
+  /** The synthetic 64M-edge bench-anchor generators — ONE definition shared
+    * by the b03/b04/b05 queries and Bench's exact edge-count sidecar, so a
+    * generator tweak cannot silently desynchronize the throughput
+    * denominators from the graph the anchors actually ran. src ≠ dst
+    * filtered; weight-less (the anchor queries add their unit weight).
+    */
+  private[graft] val AnchorNV = 4000000L
+
+  private[graft] def uniformEdges64M(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(16L * AnchorNV)
+      .select(($"id" % AnchorNV).as("src"),
+        pmod(xxhash64($"id"), lit(AnchorNV)).as("dst"))
+      .filter($"src" =!= $"dst")
+  }
+
+  /** Power-law out-degree: src is log-uniform (P(src=d) ∝ 1/(d+1), a
+    * Zipf-1-like law — vertex 0 owns ~4.5% of all edges).
+    */
+  private[graft] def skewEdges64M(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
+      lit((1L << 40).toDouble)
+    s.range(16L * AnchorNV)
+      .select((pow(lit(AnchorNV.toDouble), u) - 1.0).cast("long").as("src"),
+        pmod(xxhash64($"id" * 31 + 7), lit(AnchorNV)).as("dst"))
+      .filter($"src" =!= $"dst")
+  }
+
   /** The canonical derived edge view — identical text used by every oracle. */
   val edgesSql: String =
     "SELECT DISTINCT (o_custkey % 1000) AS src, (o_orderkey % 1000) AS dst " +
@@ -244,13 +273,9 @@ object GraphQueries {
     // pinned by EngineSpec on the same generator.
     "b03_sssp_rand64m" -> ((s, dir) => {
       import s.implicits._
-      val nV = 4000000L
+      val nV = AnchorNV
       val m = 16L * nV
-      val e = s.range(m)
-        .select(($"id" % nV).as("src"),
-          pmod(xxhash64($"id"), lit(nV)).as("dst"))
-        .filter($"src" =!= $"dst")
-        .withColumn("weight", lit(1.0))
+      val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
       GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(nV, source = 1L), numEdges = m)
@@ -274,15 +299,9 @@ object GraphQueries {
     // equality on the same skew shape at 200k edges).
     "b04_sssp_skew64m" -> ((s, dir) => {
       import s.implicits._
-      val nV = 4000000L
+      val nV = AnchorNV
       val m = 16L * nV
-      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
-        lit((1L << 40).toDouble)
-      val e = s.range(m)
-        .select((pow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
-          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
-        .filter($"src" =!= $"dst")
-        .withColumn("weight", lit(1.0))
+      val e = skewEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
       GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(nV, source = 1L), numEdges = m)
@@ -298,15 +317,9 @@ object GraphQueries {
     // driven rounds.
     "b05_pagerank_skew64m" -> ((s, dir) => {
       import s.implicits._
-      val nV = 4000000L
+      val nV = AnchorNV
       val m = 16L * nV
-      val u = pmod(xxhash64($"id"), lit(1L << 40)).cast("double") /
-        lit((1L << 40).toDouble)
-      val e = s.range(m)
-        .select((pow(lit(nV.toDouble), u) - 1.0).cast("long").as("src"),
-          pmod(xxhash64($"id" * 31 + 7), lit(nV)).as("dst"))
-        .filter($"src" =!= $"dst")
-        .withColumn("weight", lit(1.0))
+      val e = skewEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
       GmrRunner.auto(s, v, e,
           Algorithms.PageRank(0.85, fixedIters = Some(2)),

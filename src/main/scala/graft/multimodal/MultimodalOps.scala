@@ -177,9 +177,13 @@ object MultimodalOps {
     * `onlyKind` prunes BEFORE encoding: a kind-specific consumer (m02
     * frame sampling, m04 resize) would otherwise pay full codec work for
     * the two-thirds of documents it immediately filters away.
+    * `encodePayload = false` skips the codec entirely (payload = empty):
+    * metadata-only consumers (m03) read kind/width/height, which are
+    * closed-form in (doc_id, n_chars) — real encoding would be pure waste.
     */
   def mediaTable(s: SparkSession, dir: String,
-                 onlyKind: Option[String] = None): Dataset[MediaRow] = {
+                 onlyKind: Option[String] = None,
+                 encodePayload: Boolean = true): Dataset[MediaRow] = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
     val wanted = onlyKind match {
@@ -191,16 +195,21 @@ object MultimodalOps {
     wanted
       .as[(Long, Long)]
       .map { case (id, nChars) =>
+        val none = Array.emptyByteArray
         (id % 3) match {
           case 0 =>
             val (w, h) = imageDims(id, nChars)
-            MediaRow(id, "image", encodePng(w, h, i => imagePixel(id, i)), w, h)
+            val png = if (encodePayload)
+              encodePng(w, h, i => imagePixel(id, i)) else none
+            MediaRow(id, "image", png, w, h)
           case 1 =>
             val n = audioLen(nChars)
-            MediaRow(id, "audio", encodeWav(n, i => audioSample(id, i)), n, 1)
+            val wav = if (encodePayload)
+              encodeWav(n, i => audioSample(id, i)) else none
+            MediaRow(id, "audio", wav, n, 1)
           case _ =>
-            MediaRow(id, "video", encodeVideo(id),
-              VideoFrameSide, VideoFrameSide)
+            val vid = if (encodePayload) encodeVideo(id) else none
+            MediaRow(id, "video", vid, VideoFrameSide, VideoFrameSide)
         }
       }
   }
@@ -317,10 +326,12 @@ object MultimodalOps {
           graft.Canon.sig6($"mean_px").as("mean_px"))
     }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
-    // over (doc_id, n_chars) — pins the media-table schema itself.
+    // over (doc_id, n_chars) — pins the media-table schema itself. The
+    // payload is never read, so the codec is skipped outright
+    // (encodePayload = false): same rows, none of the encode cost.
     "m03_media_meta" -> ((s, dir) => {
       import s.implicits._
-      mediaTable(s, dir).toDF()
+      mediaTable(s, dir, encodePayload = false).toDF()
         .groupBy($"kind")
         .agg(count(lit(1)).as("n"),
           graft.Canon.sig6(avg($"width")).as("avg_w"),

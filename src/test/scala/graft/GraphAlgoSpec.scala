@@ -75,6 +75,24 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(n == 120, s"3-core size drifted: $n")
   }
 
+  test("k-core peel depth stays within half the g15 oracle's static unroll") {
+    import spark.implicits._
+    // The g15 oracle is a FIXED 24-round unrolled peel (kcoreOracle —
+    // exact because converged rounds are idempotent). That is an
+    // empirical bound, not a provable one: data needing deeper peeling
+    // would make the oracle emit an unpeeled core and the gate would
+    // report a bare hash mismatch with no hint at the cause. Pin the
+    // margin HERE, on the gate's own sf0.01 data, with the cause in the
+    // failure message: if this fires, raise kcoreOracle's `rounds`.
+    GraphOps.kcore(spark, GraphOps.edges(spark, "/root/testdata/sf0.01"),
+      k = 3).count()
+    val rounds = GraphOps.lastPeelRounds
+    assert(rounds <= 12,
+      s"k-core peel took $rounds rounds at sf0.01 — the g15 DuckDB oracle " +
+        s"unrolls only 24; raise kcoreOracle(rounds = ...) before trusting " +
+        s"the gate")
+  }
+
   test("IVF top-k: high recall vs the exact scan, exact sims, full rows") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
