@@ -46,6 +46,7 @@ object LlmQueries {
     "l32_bm25_topk" -> ((s, dir) => TextStats.bm25TopK(s, dir)),
     "l33_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     "l34_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "l35_winnow_fingerprints" -> ((s, dir) => TextStats.winnowFingerprints(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -537,6 +538,34 @@ object LlmQueries {
          |           ORDER BY sim DESC, vec_id) AS rn
          |  FROM sims) t
          |WHERE rn <= 10""".stripMargin
+    },
+    // Winnowing reproduced exactly: the same polynomial hash unrolled over
+    // ord(substr(...)) chars, and the rightmost-tie window minimum via
+    // arg_min over the packed key h·2²⁰ + (2²⁰ − p) — min h first, then
+    // max p (positions are far below the 2²⁰ radix). Validated
+    // row-for-row against an independent reference implementation.
+    "l35_winnow_fingerprints" -> {
+      val (kk, ww, bb, pp) = (8, 4, 257L, 1000000007L)
+      val m = 1L << 20
+      val h = (0 until kk).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc) * $bb + ord(substr(text, p + $j, 1))) % $pp"
+      }
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n
+         |           FROM documents WHERE length(text) >= $kk),
+         |kg AS (
+         |  SELECT doc_id, n, p, $h AS h
+         |  FROM d, unnest(range(1, n - ${kk - 2})) t(p)),
+         |sel AS (
+         |  SELECT doc_id, n, p,
+         |         arg_min(p, h * $m + ($m - p)) OVER
+         |           (PARTITION BY doc_id ORDER BY p
+         |            ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING) AS pos
+         |  FROM kg),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, pos FROM sel
+         |  WHERE p <= n - ${kk - 1} - ${ww - 1})
+         |SELECT f.doc_id AS doc_id, f.pos AS pos, kg.h AS fp
+         |FROM fps f JOIN kg ON kg.doc_id = f.doc_id AND kg.p = f.pos""".stripMargin
     },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.

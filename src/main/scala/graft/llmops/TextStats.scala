@@ -72,6 +72,61 @@ object TextStats {
         filter($"grams", m => substring(m, 32, 1).isin("0", "1")))).as("fp"))
   }
 
+  /** L4e (l35): winnowing fingerprints (Schleimer et al., the MOSS
+    * algorithm) over a polynomial ROLLING hash — the canonical local
+    * document fingerprint, complementing l12's mod-sampled md5 variant:
+    * winnowing GUARANTEES a fingerprint in every window of `W` consecutive
+    * k-grams (mod-sampling can leave arbitrarily long unsampled gaps).
+    *
+    * Per doc: char-gram hashes h(p) = Σ c(p+j)·B^(K−1−j) mod P for each
+    * position (the Rabin-Karp polynomial family — the streaming identity
+    * h(p+1) = (h(p) − c(p)·B^{K−1})·B + c(p+K) mod P holds; evaluated
+    * positionally here because the HOF form is one codegen loop, same
+    * values); then each window of W hashes selects its minimum, ties to
+    * the RIGHTMOST position, and the distinct (pos, hash) pairs are the
+    * fingerprint set. Everything is integer arithmetic on B=257, P=10⁹+7 —
+    * exactly reproducible in the DuckDB oracle (LlmQueries), so unlike
+    * most fingerprint schemes this one is hash-gate checked end to end.
+    * Pure per-row projection: no shuffle, embarrassingly parallel.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 8; val W = 4
+    val B = 257L; val P = 1000000007L
+    def kgramHash(cs: Column, p: Column): Column =
+      (0 until K).foldLeft(lit(0L))((acc, j) =>
+        (acc * B + element_at(cs, (p + j).cast("int"))) % P)
+    val emptyFps = array().cast("array<struct<h:bigint,np:bigint>>")
+    // Each intermediate array (char codes, k-gram hashes) is bound as a
+    // ONE-ELEMENT-array lambda variable rather than a named column: the
+    // docShingles HOF pitfall squared — CollapseProject would inline a
+    // `cs` column into all K element_at references of every position and
+    // the `hs` column into every window slice, re-running the whole
+    // tokenize/hash pipeline per reference (measured: minutes per 500
+    // docs). A lambda variable is evaluated ONCE per row, restoring the
+    // O(n·K + n·W) per-doc cost the algorithm is supposed to have.
+    val cs0 = transform(split($"text", ""), c => ascii(c).cast("long"))
+    val fps = flatten(transform(array(cs0), cs => {
+      val nk = size(cs) - (K - 1)
+      // (h, −p) structs: array_min's struct order (h asc, −p asc) is then
+      // exactly "min hash, ties to the rightmost position".
+      val hs0 = when(nk >= 1,
+        transform(sequence(lit(1), nk), p =>
+          struct(kgramHash(cs, p).as("h"), (-p).cast("long").as("np"))))
+        .otherwise(emptyFps)
+      flatten(transform(array(hs0), hs => {
+        val nw = size(hs) - (W - 1)
+        when(nw >= 1,
+          array_distinct(transform(sequence(lit(1), nw), st =>
+            array_min(slice(hs, st, lit(W))))))
+          .otherwise(emptyFps)
+      }))
+    }))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(fps).as("f"))
+      .select($"doc_id", (-$"f.np").as("pos"), $"f.h".as("fp"))
+  }
+
   /** L4f: rule-based quality filter — the keep/drop decision stage of a
     * training-data pipeline, with the FIRST failing rule as the recorded
     * reason (auditable filtering, not just a boolean). Pure projection:

@@ -123,6 +123,45 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"high-sim recall $recall (lsh $lsh vs exact $exact)")
   }
 
+  test("winnowing fingerprints: reference-exact and every window covered") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the quick cat"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"), // degenerate: all k-grams identical
+      (3L, "short"))                // below k — must produce no rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_win_fx").toString
+    texts.map { case (id, t) => (id, t, "en", "fx", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = llmops.TextStats.winnowFingerprints(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Independent reference: direct winnowing recompute.
+    val (k, w, b, p) = (8, 4, 257L, 1000000007L)
+    val ref = texts.flatMap { case (id, t) =>
+      val n = t.length
+      if (n < k) Nil
+      else {
+        val hs = (0 to n - k).map(q =>
+          t.substring(q, q + k).foldLeft(0L)((acc, c) => (acc * b + c) % p))
+        (0 to hs.size - w).map { s =>
+          val (h, negp) = (0 until w).map(i => (hs(s + i), -(s + i))).min
+          (id, (-negp + 1).toLong, h)
+        }.toSet
+      }
+    }.toSet
+    assert(got == ref, s"winnow mismatch: ${got.diff(ref)} / ${ref.diff(got)}")
+    assert(!got.exists(_._1 == 3L))
+    // The guarantee mod-sampling lacks: every window of w consecutive
+    // k-gram positions contains at least one selected fingerprint.
+    texts.filter(_._2.length >= k + w - 1).foreach { case (id, t) =>
+      val sel = got.collect { case (d, pos, _) if d == id => pos }
+      (1 to (t.length - k + 1) - w + 1).foreach { s =>
+        assert((s until s + w).exists(q => sel.contains(q.toLong)),
+          s"doc $id window $s uncovered")
+      }
+    }
+  }
+
   test("semantic dedup: kmeans blocking ⊆ all-pairs; near-clones recalled") {
     // Same planted-clone fixture idea as the SRP test: clones at 1% noise
     // (cos ≈ 0.9999) sit deep inside a Lloyd cell, so the kmeans blocker
