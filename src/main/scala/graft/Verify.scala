@@ -17,14 +17,20 @@ import scala.concurrent.duration.Duration
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Driver contract: exactly (sfDir, outDir). Any further args are a
+    // dev-only subset filter — query names to dump — so a new operator can
+    // be gate-checked without re-running the whole registry.
+    val Array(sfDir, outDir) = args.take(2)
+    val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(math.min(4, cpus))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(subset).toMap
+    val runs = selected.toSeq.map { case (name, fn) =>
       Future {
         val session = spark.newSession()
         try fn(session, sfDir).coalesce(1).write.mode("overwrite")

@@ -102,6 +102,29 @@ object Curation {
         regexp_count($"text", lit(num)).as("n_nums"))
   }
 
+  /** L37: context-window chunking — fixed-width character windows with a
+    * stride/overlap (width 256, stride 192 → 64-char overlap), the standard
+    * long-document → model-context decomposition for embedding and training
+    * pipelines. Emits (chunk_idx, start, len, md5) rather than the chunk
+    * text itself, so the output relation stays narrow; downstream stages
+    * re-slice lazily from the source column. Pure per-row projection —
+    * zero shuffle, chunk boundaries depend only on the row, so the
+    * operator is embarrassingly parallel and stable under repartitioning.
+    */
+  def chunkStride(s: SparkSession, dir: String,
+                  width: Int = 256, stride: Int = 192): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(1), greatest(length($"text"), lit(1)), lit(stride)),
+          st => struct(st.as("start"), $"text".substr(st, lit(width)).as("chunk")))))
+      .select($"doc_id",
+        $"pos".cast("long").as("chunk_idx"),
+        $"col.start".cast("long").as("chunk_start"),
+        length($"col.chunk").cast("long").as("chunk_len"),
+        md5($"col.chunk".cast("binary")).as("chunk_md5"))
+  }
+
   /** L24: mixture-rate planning — the per-source sampling rate that flattens
     * the corpus to a uniform source mix. Input to [[stratifiedSample]]-style
     * filters when rebalancing a crawl. The corpus-wide totals are a one-row

@@ -47,6 +47,10 @@ object LlmQueries {
     "l33_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     "l34_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "l35_winnow_fingerprints" -> ((s, dir) => TextStats.winnowFingerprints(s, dir)),
+    "l36_bpe_pair_counts" -> ((s, dir) => TextStats.bpePairCounts(s, dir)),
+    "l37_chunk_stride" -> ((s, dir) => Curation.chunkStride(s, dir)),
+    "l38_char_entropy" -> ((s, dir) => TextStats.charEntropy(s, dir)),
+    "l39_dup_span_frac" -> ((s, dir) => Dedup.dupSpanFrac(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -566,6 +570,62 @@ object LlmQueries {
          |  WHERE p <= n - ${kk - 1} - ${ww - 1})
          |SELECT f.doc_id AS doc_id, f.pos AS pos, kg.h AS fp
          |FROM fps f JOIN kg ON kg.doc_id = f.doc_id AND kg.p = f.pos""".stripMargin
+    },
+    // One BPE merge-counting round over the word vocabulary: weighted
+    // adjacent char-pair counts, top 20 by (count desc, pair asc) — a
+    // total order, so the LIMIT is deterministic. Integer-exact.
+    "l36_bpe_pair_counts" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |pairs AS (
+         |  SELECT substr(w, i::int, 2) AS pair, cnt
+         |  FROM vocab, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY pair
+         |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
+    // Sliding context-window chunking, width 256 / stride 192; md5 over the
+    // chunk text makes the content check exact without shipping the text.
+    "l37_chunk_stride" ->
+      """SELECT doc_id,
+        |       (i - 1) // 192 AS chunk_idx,
+        |       i AS chunk_start,
+        |       CAST(length(substr(text, i::int, 256)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, i::int, 256)) AS chunk_md5
+        |FROM documents,
+        |     unnest(range(1, greatest(length(text), 1) + 1, 192)) t(i)""".stripMargin,
+    // Shannon char entropy in nats. DuckDB sums per-char terms in group
+    // order, Spark folds in first-occurrence order — the ulp difference
+    // collapses on the shared 9-sig grid (Canon), and the keep flag is
+    // derived from the ROUNDED value on both engines.
+    "l38_char_entropy" -> {
+      val entSql = "sum(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))"
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         |f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+         |e AS (
+         |  SELECT f.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
+         |  FROM f JOIN (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n
+         |               FROM f GROUP BY doc_id) nn USING (doc_id)
+         |  GROUP BY f.doc_id)
+         |SELECT doc_id, char_entropy, char_entropy >= 2.8 AS keep FROM e""".stripMargin
+    },
+    // Cross-document duplicated-span fraction: distinct word-8-grams per
+    // doc, doc-frequency >= 2 marks a span as duplicated. The ratio is an
+    // exact integer division rounded on the shared grid.
+    "l39_dup_span_frac" -> {
+      val g8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, $g8 AS sg
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |c AS (SELECT sg, count(*) AS nd FROM sh GROUP BY sg)
+         |SELECT s.doc_id AS doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       ${sig6Sql("CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_frac
+         |FROM sh s JOIN c USING (sg)
+         |GROUP BY s.doc_id""".stripMargin
     },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.

@@ -138,6 +138,40 @@ object Dedup {
       .select($"doc_id", $"lang", $"source")
   }
 
+  /** L39: per-document duplicated-span fraction — the share of a document's
+    * distinct word-8-gram shingles that also occur in at least one OTHER
+    * document (the RefinedWeb/Gopher-style cross-document duplication
+    * signal; a per-doc quality score, where l03/l04 emit pairwise
+    * candidates and l26 targets a benchmark set).
+    *
+    * Scale shape: shingles collapse to their md5 digest BEFORE the first
+    * exchange (16 bytes vs a ~50-byte string; 128-bit, so collision-free
+    * at any realistic corpus size), the doc-frequency aggregation is
+    * map-side combined, and the duplicated-digest set — typically the
+    * small boilerplate tail — joins back without a hint so AQE broadcasts
+    * it when it is small and hash-shuffles when it is not. No collect_set
+    * posting lists, so a pathological million-document boilerplate shingle
+    * costs one counter, not one unbounded array.
+    */
+  def dupSpanFrac(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("ws")) // see docShingles note
+      .select($"doc_id", explode(shingles($"ws", n)).as("sg"))
+      .select($"doc_id", md5($"sg".cast("binary")).as("h"))
+      .distinct()
+      .cache() // feeds both the df aggregation and the per-doc rollup
+    val dups = sh.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h", lit(1).as("isdup"))
+    sh.join(dups, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"isdup" === 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        graft.Canon.sig6($"n_dup".cast("double") / $"n_shingles"))
+  }
+
   /** Exact Jaccard similarity for all pairs sharing >=1 shingle, thresholded.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     *

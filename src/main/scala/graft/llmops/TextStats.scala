@@ -263,6 +263,59 @@ object TextStats {
         graft.Canon.sig6(avg(log10($"cnt" / $"n"))).as("logprob"))
   }
 
+  /** L4j (l36): one distributed BPE merge-counting round — the adjacent
+    * symbol-pair frequencies that drive byte-pair-encoding vocabulary
+    * induction, reported as the top-k pairs. Like production BPE trainers,
+    * the counting runs over the WORD VOCABULARY (word, count) rather than
+    * the raw corpus: the corpus collapses to its vocabulary in one
+    * map-side-combined aggregation, and the per-word char-pair expansion —
+    * the expensive quadratic-ish bit — then touches each distinct word
+    * once, weighted by its count. At 100 TB the vocabulary is millions of
+    * rows where the corpus is trillions, so the pair stage is effectively
+    * free. Tie-break (count desc, pair asc) is a total order, so the top-k
+    * cut is deterministic; integer counts make it exact across engines.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.load(s, dir, "documents")
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    vocab.filter(length($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"), $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("pair_count"))
+      .orderBy($"pair_count".desc, $"pair".asc)
+      .limit(k)
+  }
+
+  /** L4k (l38): per-document Shannon character entropy (nats) — the
+    * information-density quality signal: near-zero for repeated-character
+    * junk, high for natural text. Complements the rule-based (l16),
+    * statistical-LM (l27), and repetition (l30) filters.
+    *
+    * Entirely row-local array arithmetic — zero shuffle, embarrassingly
+    * parallel at any scale. The char array is bound as a one-element-array
+    * lambda variable (the l35 winnowing pitfall: a named column would be
+    * re-inlined by CollapseProject into every one of the ~n_distinct
+    * filter() references and the split would re-run per distinct char).
+    * The keep flag is computed from the ROUNDED entropy on both engines,
+    * so grid-boundary documents cannot flip across the gate.
+    */
+  def charEntropy(s: SparkSession, dir: String, threshold: Double = 2.8): DataFrame = {
+    import s.implicits._
+    val ent = element_at(
+      transform(array(filter(split($"text", ""), c => c =!= "")), cs => {
+        val n = size(cs).cast("double")
+        aggregate(array_distinct(cs), lit(0.0), (acc, d) => {
+          val p = size(filter(cs, c => c === d)).cast("double") / n
+          acc - p * log(p)
+        })
+      }), 1)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", graft.Canon.sig6(ent).as("char_entropy"))
+      .withColumn("keep", ($"char_entropy" >= threshold).cast("boolean"))
+  }
+
   /** L4g: BM25 top-k retrieval (Lucene idf variant: ln((N-df+0.5)/(df+0.5)+1),
     * tf saturation k1=1.2, length normalization b=0.75) for a fixed term set
     * over the document corpus — the lexical half of a retrieval/RAG pipeline

@@ -318,6 +318,40 @@ class PlanAuditSpec extends AnyFunSuite {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  test("l36 bpe pairs: vocab agg is partial map-side, cut is TakeOrdered") {
+    val plan = ranPlan("l36_bpe_pair_counts")
+    // Corpus → vocabulary collapses with a map-side combine, and the
+    // final top-k is per-partition TakeOrdered, never a global sort.
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("l37 chunking and l38 entropy are pure projections — zero exchanges") {
+    // Chunk boundaries and the entropy sum are row-local by construction;
+    // a shuffle appearing here means someone re-expressed them as
+    // aggregations and broke the embarrassing parallelism.
+    assert(!ranPlan("l37_chunk_stride").contains("Exchange"))
+    assert(!ranPlan("l38_char_entropy").contains("Exchange"))
+  }
+
+  test("l39 dup spans: digests shuffle, text does not; no cartesian") {
+    val plan = ranPlan("l39_dup_span_frac")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // Every exchange carries only (doc_id, digest)-shaped rows — the raw
+    // shingle string is collapsed to md5 before the first shuffle, so no
+    // exchange output schema mentions the shingle column.
+    val df = SparkEntry.queries("l39_dup_span_frac")(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.nonEmpty)
+    val leaky = shuffles.filter(_.output.exists(a =>
+      a.name == "sg" || a.name == "ws" || a.name == "text"))
+    assert(leaky.isEmpty, shuffles.map(_.output.mkString(",")).mkString("; "))
+  }
+
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
     df.collect()

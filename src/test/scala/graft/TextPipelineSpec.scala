@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Curation, Dedup, TextStats}
+
+/** Hand-computable fixtures for the l36–l39 text-pipeline operators: BPE
+  * pair counting, stride chunking, char entropy, and duplicated-span
+  * fraction. The DuckDB hash gate checks these on the real corpus; the
+  * fixtures here pin the SEMANTICS (exact expected values on inputs small
+  * enough to verify by hand).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Writes a documents.parquet fixture and returns its directory. */
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_fx").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bpe pair counts: vocabulary-weighted adjacent pairs, ordered cut") {
+    // vocab: aa×2, bb×1, abc×2 → pairs aa:2, bb:1, ab:2, bc:2.
+    val dir = docsFixture(Seq(1L -> "aa bb aa", 2L -> "abc abc"))
+    val got = TextStats.bpePairCounts(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("aa" -> 2L, "ab" -> 2L, "bc" -> 2L, "bb" -> 1L))
+  }
+
+  test("bpe pair counts conserve the vocabulary-weighted pair total") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // Independent recomputation: Σ_word (len-1)·count over words of len≥2
+    // must equal Σ pair_count over ALL pairs (so run with k large enough
+    // to keep every pair).
+    val full = TextStats.bpePairCounts(spark, sf, k = 1 << 20)
+      .agg(sum($"pair_count")).head().getLong(0)
+    val expected = Tables.load(spark, sf, "documents")
+      .select(explode(llmops.TextOps.tokens($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .agg(sum(length($"w") - 1)).head().getLong(0)
+    assert(full == expected)
+  }
+
+  test("char entropy: exact values, zero floor, rounded-value keep flag") {
+    val dir = docsFixture(Seq(
+      1L -> "aaab", // -(3/4·ln 3/4 + 1/4·ln 1/4)
+      2L -> "abab", // ln 2
+      3L -> "aaaa")) // 0 — and sig6(0) must stay exactly 0
+    val got = TextStats.charEntropy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val e1 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got(0)._2 - e1) < 1e-8)
+    assert(math.abs(got(1)._2 - math.log(2.0)) < 1e-8)
+    assert(got(2)._2 == 0.0)
+    assert(got.forall(!_._3)) // all far below the 2.8 nats threshold
+  }
+
+  test("stride chunking: window layout, tail chunk, content digest") {
+    val text = "ab" * 250 // length 500 → starts 1, 193, 385
+    val dir = docsFixture(Seq(7L -> text))
+    val got = Curation.chunkStride(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 1L, 256L), (1L, 193L, 256L), (2L, 385L, 116L)))
+    // Content check: the digest is md5 of exactly the window substring.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._4 == hex(text.substring(0, 256)))
+    assert(got(2)._4 == hex(text.substring(384, 500)))
+  }
+
+  test("dup span fraction: clones at 1.0, unique at 0.0, partial in between") {
+    val a = "one two three four five six seven eight nine ten"
+    val c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // d shares a's first 9 tokens (2 of its 8-gram shingles collide with
+    // a's) and then diverges: 10 tokens → 3 shingles, 2 duplicated.
+    val d = "one two three four five six seven eight nine alpha"
+    val dir = docsFixture(Seq(1L -> a, 2L -> a, 3L -> c, 4L -> d))
+    val got = Dedup.dupSpanFrac(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 3L, 1.0)))
+    assert(got(1) == ((2L, 3L, 3L, 1.0)))
+    assert(got(2) == ((3L, 3L, 0L, 0.0)))
+    assert(got(3)._3 == 2L && math.abs(got(3)._4 - 2.0 / 3.0) < 1e-8)
+  }
+}
