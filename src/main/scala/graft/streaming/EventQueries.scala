@@ -111,7 +111,7 @@ object EventQueries {
         .groupBy(window($"ev_ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
-      drain(s, agg, "s01", "complete")
+      drain(s, agg, "s01", "complete", dir)
     }),
 
     // The SLIDING aggregation through the streaming runtime — s01's pattern
@@ -129,7 +129,7 @@ object EventQueries {
         .groupBy(window($"ev_ts", "1 hour", "15 minutes").as("w"), $"event_type")
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("total"))
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
-      drain(s, agg, "s02", "complete")
+      drain(s, agg, "s02", "complete", dir)
     }),
 
     // Gap-sessionization through the streaming runtime: the
@@ -157,7 +157,7 @@ object EventQueries {
       val src = s.readStream.schema(ev.schema).parquet(staged)
         .as[EventStreams.Ev]
       val sessions = EventStreams.sessionize(src).toDF()
-      val drained = drain(s, sessions, "s03", "append")
+      val drained = drain(s, sessions, "s03", "append", dir)
       unstage(staged)
       drained
         .withColumn("sess_idx", row_number().over(
@@ -180,7 +180,7 @@ object EventQueries {
           $"user_id", $"event_type", $"value")
       val staged = stage(ev.unionByName(ev), "s04", dir)
       val src = s.readStream.schema(ev.schema).parquet(staged)
-      val drained = drain(s, EventStreams.dedupEvents(src), "s04", "append")
+      val drained = drain(s, EventStreams.dedupEvents(src), "s04", "append", dir)
       unstage(staged)
       drained
         .select($"event_id", $"user_id", $"event_type", $"value",
@@ -201,7 +201,7 @@ object EventQueries {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
           $"user_id", $"event_type", $"value")
-      drain(s, EventStreams.purchaseAttribution(src), "s05", "append")
+      drain(s, EventStreams.purchaseAttribution(src), "s05", "append", dir)
         .groupBy($"purchase_id".as("event_id"))
         .agg(count(lit(1)).as("n_clicks"),
           min(unix_millis($"c_ts")).as("first_ms"))
@@ -230,7 +230,7 @@ object EventQueries {
         .toDF("event_id", "ev_ts", "user_id", "event_type", "value")
       val staged = stage(ev.unionByName(sentinels), "s06", dir)
       val src = s.readStream.schema(ev.schema).parquet(staged)
-      val drained = drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append")
+      val drained = drain(s, EventStreams.purchaseAttributionOuter(src), "s06", "append", dir)
       unstage(staged)
       drained
         .filter($"purchase_id" >= 0L)
@@ -256,7 +256,7 @@ object EventQueries {
         .select($"event_id", $"user_id", $"event_type", $"value")
       val dim = Tables.load(s, dir, "customer")
         .select($"c_custkey".as("dim_key"), $"c_name".as("dim_label"))
-      drain(s, EventStreams.enrich(src, dim), "s07", "append")
+      drain(s, EventStreams.enrich(src, dim), "s07", "append", dir)
     }),
 
     // Gap-based sessionization in batch: a session breaks when >30 min of
@@ -299,18 +299,39 @@ object EventQueries {
   val lastDrainStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
+  /** Shuffle/state parallelism for a replayed stream, sized to its input
+    * like the engine loops (LoopConf): every stateful operator commits one
+    * state-store delta per shuffle partition per micro-batch, so the fixed
+    * session-wide 32 turns a few hundred state rows into 32 × operators ×
+    * batches file commits of pure overhead (measured: the sf0.1 interval
+    * join spends ~12 s draining 2 MB of events). Sized at one partition
+    * per ~2 MB of source parquet (≈8 MB decoded — the loop target), the
+    * state parallelism scales back up with the corpus: a 100 TB replay
+    * sizes to the same 4×-session-cap ceiling as the superstep loops, so
+    * this is a data-proportional knob, not a hardcoded small number.
+    */
+  private def streamParts(s: SparkSession, dir: String): Int =
+    graft.engine.LoopConf.sizedParallelism(s,
+      math.max(1L, new java.io.File(s"$dir/events.parquet").length()), 4)
+
   private def drain(s: SparkSession, df: DataFrame, tag: String,
-                    mode: String): DataFrame = {
+                    mode: String, dir: String): DataFrame = {
     val sink = s"${tag}_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.format("memory").queryName(sink)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val prog = q.recentProgress
-    lastDrainStats.put(tag, (prog.length,
-      prog.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-        .map(_.numRowsTotal).foldLeft(0L)(math.max)))
+    // The conf is scoped around start(): a streaming query locks in its
+    // shuffle partitioning at planning time, and AvailableNow drains to
+    // completion inside the scope. The batch-side reread below runs at
+    // session parallelism as usual.
+    graft.engine.LoopConf.withShuffleParts(s, streamParts(s, dir)) {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val prog = q.recentProgress
+      lastDrainStats.put(tag, (prog.length,
+        prog.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsTotal).foldLeft(0L)(math.max)))
+    }
     val out = s.table(sink).localCheckpoint()
     s.catalog.dropTempView(sink)
     out
