@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def foldableInt(what: String, e: Expression): Int = {
+    require(e.foldable, s"$what must be a literal, got $e")
+    e.eval(null).asInstanceOf[Number].intValue
+  }
+
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     es => {
@@ -47,6 +52,10 @@ object GraftFunctions {
     (FunctionIdentifier("array_sum_agg"),
       new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
       arity("array_sum_agg", 1)(es => ArraySumAgg(es(0)))),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowPacked].getName, "winnow_fps"),
+      arity("winnow_fps", 3)(es => WinnowPacked(es(0),
+        foldableInt("winnow_fps k", es(1)), foldableInt("winnow_fps w", es(2))))),
     // Spark ships bloom-filter expressions for its own runtime-filter
     // injection but does not register them as SQL functions; exposing them
     // makes the classic "build sketch, prune map-side" pattern (l31
@@ -100,5 +109,13 @@ object GraftFunctions {
   def arraySumAgg(spark: SparkSession, v: Column): Column = {
     ensureRegistered(spark)
     call_function("array_sum_agg", v)
+  }
+
+  /** Packed winnowing fingerprints (hash << 32 | pos) of a text column. */
+  def winnowFps(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    ensureRegistered(spark)
+    call_function("winnow_fps", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   }
 }

@@ -91,40 +91,19 @@ object TextStats {
     */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val K = 8; val W = 4
-    val B = 257L; val P = 1000000007L
-    def kgramHash(cs: Column, p: Column): Column =
-      (0 until K).foldLeft(lit(0L))((acc, j) =>
-        (acc * B + element_at(cs, (p + j).cast("int"))) % P)
-    val emptyFps = array().cast("array<struct<h:bigint,np:bigint>>")
-    // Each intermediate array (char codes, k-gram hashes) is bound as a
-    // ONE-ELEMENT-array lambda variable rather than a named column: the
-    // docShingles HOF pitfall squared — CollapseProject would inline a
-    // `cs` column into all K element_at references of every position and
-    // the `hs` column into every window slice, re-running the whole
-    // tokenize/hash pipeline per reference (measured: minutes per 500
-    // docs). A lambda variable is evaluated ONCE per row, restoring the
-    // O(n·K + n·W) per-doc cost the algorithm is supposed to have.
-    val cs0 = transform(split($"text", ""), c => ascii(c).cast("long"))
-    val fps = flatten(transform(array(cs0), cs => {
-      val nk = size(cs) - (K - 1)
-      // (h, −p) structs: array_min's struct order (h asc, −p asc) is then
-      // exactly "min hash, ties to the rightmost position".
-      val hs0 = when(nk >= 1,
-        transform(sequence(lit(1), nk), p =>
-          struct(kgramHash(cs, p).as("h"), (-p).cast("long").as("np"))))
-        .otherwise(emptyFps)
-      flatten(transform(array(hs0), hs => {
-        val nw = size(hs) - (W - 1)
-        when(nw >= 1,
-          array_distinct(transform(sequence(lit(1), nw), st =>
-            array_min(slice(hs, st, lit(W))))))
-          .otherwise(emptyFps)
-      }))
-    }))
+    // The rolling hash + window-min selection runs as the native
+    // `winnow_fps` kernel (graft.functions.Winnow — one JIT'd pass, packed
+    // `hash << 32 | pos` longs) instead of the original HOF pipeline,
+    // whose interpreted per-character lambdas measured 8.4 s over the
+    // sf0.1 corpus; DedupSpec pins the kernel against an independent
+    // driver-side winnowing recompute, and the integer-SQL oracle
+    // (LlmQueries) is unchanged.
     Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(fps).as("f"))
-      .select($"doc_id", (-$"f.np").as("pos"), $"f.h".as("fp"))
+      .select($"doc_id",
+        explode(graft.functions.GraftFunctions.winnowFps(s, $"text", 8, 4)).as("pk"))
+      .select($"doc_id",
+        $"pk".bitwiseAND(lit(0xFFFFFFFFL)).as("pos"),
+        shiftrightunsigned($"pk", 32).as("fp"))
   }
 
   /** L4f: rule-based quality filter — the keep/drop decision stage of a
