@@ -51,6 +51,35 @@ object LlmQueries {
     "l37_chunk_stride" -> ((s, dir) => Curation.chunkStride(s, dir)),
     "l38_char_entropy" -> ((s, dir) => TextStats.charEntropy(s, dir)),
     "l39_dup_span_frac" -> ((s, dir) => Dedup.dupSpanFrac(s, dir)),
+    // The end-of-pipeline keep/drop DECISION: all four quality families —
+    // rule-based (l16), repetition (l30), statistical LM score (l27), and
+    // char entropy (l38) — fused into one Catalyst plan with a single
+    // auditable verdict per document (first failing family, in a fixed
+    // order). Each signal keeps its own operator's exact semantics; the
+    // joins are doc_id-co-partitioned aggregations, so the composition
+    // adds no new shuffle shape. Thresholds compare either integer-exact
+    // ratios (top_tok_frac) or grid-rounded values (logprob, entropy), so
+    // no libm noise can flip a verdict across engines.
+    "l40_quality_fused" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val rules = TextStats.qualityFilter(s, dir)
+        .select($"doc_id", $"reason".as("rule_reason"))
+      val rep = TextStats.repetitionStats(s, dir)
+        .select($"doc_id", $"top_tok_frac")
+      val lm = TextStats.unigramLogProb(s, dir)
+        .select($"doc_id", $"logprob")
+      val ent = TextStats.charEntropy(s, dir)
+        .select($"doc_id", $"char_entropy")
+      rules.join(rep, "doc_id").join(lm, "doc_id").join(ent, "doc_id")
+        .withColumn("reason",
+          when($"rule_reason" =!= "ok", concat(lit("rules:"), $"rule_reason"))
+            .when($"top_tok_frac" > 0.15, lit("repetition"))
+            .when($"logprob" < -1.5, lit("lm_score"))
+            .when($"char_entropy" < 2.8, lit("entropy"))
+            .otherwise(lit("ok")))
+        .withColumn("keep", ($"reason" === "ok").cast("boolean"))
+    }),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -626,6 +655,52 @@ object LlmQueries {
          |       ${sig6Sql("CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_frac
          |FROM sh s JOIN c USING (sg)
          |GROUP BY s.doc_id""".stripMargin
+    },
+    // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
+    // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark
+    // first-failing-family order exactly.
+    "l40_quality_fused" -> {
+      val entSql = "sum(-(CAST(ccnt AS DOUBLE) / cn) * ln(CAST(ccnt AS DOUBLE) / cn))"
+      val verdict =
+        """CASE WHEN rule_reason <> 'ok' THEN 'rules:' || rule_reason
+          |     WHEN top_tok_frac > 0.15 THEN 'repetition'
+          |     WHEN logprob < -1.5 THEN 'lm_score'
+          |     WHEN char_entropy < 2.8 THEN 'entropy'
+          |     ELSE 'ok' END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN chars < 150 THEN 'too_short'
+         |              WHEN n_tokens < 20 THEN 'few_tokens'
+         |              WHEN stop_ratio > 0.45 THEN 'stopword_heavy'
+         |              ELSE 'ok' END AS rule_reason
+         |  FROM t),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_frac
+         |        FROM tc GROUP BY doc_id),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq),
+         |lm AS (
+         |  SELECT doc_id, ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
+         |  FROM tk JOIN freq USING (tok), n GROUP BY doc_id),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS cc FROM documents),
+         |cf AS (SELECT doc_id, cc, count(*) AS ccnt FROM ch GROUP BY doc_id, cc),
+         |e AS (
+         |  SELECT cf.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
+         |  FROM cf JOIN (SELECT doc_id, CAST(sum(ccnt) AS DOUBLE) AS cn
+         |                FROM cf GROUP BY doc_id) nn USING (doc_id)
+         |  GROUP BY cf.doc_id)
+         |SELECT r.doc_id AS doc_id, rule_reason, top_tok_frac, logprob,
+         |       char_entropy, $verdict AS reason, ($verdict = 'ok') AS keep
+         |FROM r JOIN rep USING (doc_id) JOIN lm USING (doc_id)
+         |       JOIN e USING (doc_id)""".stripMargin
     },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.

@@ -77,6 +77,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(2)._4 == hex(text.substring(384, 500)))
   }
 
+  test("fused quality verdict is total, consistent, and non-trivial") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val fused = llmops.LlmQueries.queries("l40_quality_fused")(spark, sf).cache()
+    // Total: exactly one verdict per document.
+    assert(fused.count() == 500 && fused.select($"doc_id").distinct().count() == 500)
+    // Consistent with the component operators it fuses: every doc failing
+    // the l16 rules carries that family's verdict, and every kept doc
+    // passes all four family thresholds on the component outputs.
+    val rulesBad = llmops.TextStats.qualityFilter(spark, sf)
+      .filter(!$"keep").select($"doc_id", $"reason".as("r16"))
+    val mism = fused.join(rulesBad, "doc_id")
+      .filter($"reason" =!= concat_ws(":", lit("rules"), $"r16")).count()
+    assert(mism == 0)
+    val kept = fused.filter($"keep")
+    assert(kept.filter($"top_tok_frac" > 0.15 || $"logprob" < -1.5 ||
+      $"char_entropy" < 2.8).count() == 0)
+    // Non-trivial: the corpus exercises the rules family, at least two of
+    // the signal families, and keeps a majority.
+    val reasons = fused.groupBy($"reason").count()
+      .as[(String, Long)].collect().toMap
+    assert(reasons.keys.exists(_.startsWith("rules:")))
+    assert(Seq("repetition", "lm_score", "entropy").count(reasons.contains) >= 2,
+      reasons.toString)
+    assert(reasons("ok") > 250)
+    fused.unpersist()
+  }
+
   test("dup span fraction: clones at 1.0, unique at 0.0, partial in between") {
     val a = "one two three four five six seven eight nine ten"
     val c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
