@@ -28,6 +28,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(math.min(4, cpus))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val unknown = subset -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise dump nothing and read as a clean gate pass")
     val selected = if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(subset).toMap
     val runs = selected.toSeq.map { case (name, fn) =>

@@ -24,7 +24,11 @@ object GraftFunctions {
 
   private def foldableInt(what: String, e: Expression): Int = {
     require(e.foldable, s"$what must be a literal, got $e")
-    e.eval(null).asInstanceOf[Number].intValue
+    e.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
   private def arity(name: String, n: Int)(
@@ -54,8 +58,16 @@ object GraftFunctions {
       arity("array_sum_agg", 1)(es => ArraySumAgg(es(0)))),
     (FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowPacked].getName, "winnow_fps"),
-      arity("winnow_fps", 3)(es => WinnowPacked(es(0),
-        foldableInt("winnow_fps k", es(1)), foldableInt("winnow_fps w", es(2))))),
+      arity("winnow_fps", 3)(es => {
+        // Validated at the knob, not deep in the kernel (the LoopConf
+        // convention): a bad k would otherwise surface as a per-row
+        // ArrayIndexOutOfBounds inside codegen'd execution.
+        val k = foldableInt("winnow_fps k", es(1))
+        val w = foldableInt("winnow_fps w", es(2))
+        require(k > 0 && w > 0,
+          s"winnow_fps k and w must be positive, got k=$k w=$w")
+        WinnowPacked(es(0), k, w)
+      })),
     // Spark ships bloom-filter expressions for its own runtime-filter
     // injection but does not register them as SQL functions; exposing them
     // makes the classic "build sketch, prune map-side" pattern (l31

@@ -71,7 +71,13 @@ object LlmQueries {
         .select($"doc_id", $"logprob")
       val ent = TextStats.charEntropy(s, dir)
         .select($"doc_id", $"char_entropy")
-      rules.join(rep, "doc_id").join(lm, "doc_id").join(ent, "doc_id")
+      // LEFT joins from the rules relation (a total projection): a
+      // zero-token document has no repetition/LM row at all, but it must
+      // still receive its (rules-family) verdict — the rules check runs
+      // first in the CASE, so the null signals can never be compared.
+      rules.join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(ent, Seq("doc_id"), "left")
         .withColumn("reason",
           when($"rule_reason" =!= "ok", concat(lit("rules:"), $"rule_reason"))
             .when($"top_tok_frac" > 0.15, lit("repetition"))
@@ -699,8 +705,8 @@ object LlmQueries {
          |  GROUP BY cf.doc_id)
          |SELECT r.doc_id AS doc_id, rule_reason, top_tok_frac, logprob,
          |       char_entropy, $verdict AS reason, ($verdict = 'ok') AS keep
-         |FROM r JOIN rep USING (doc_id) JOIN lm USING (doc_id)
-         |       JOIN e USING (doc_id)""".stripMargin
+         |FROM r LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |       LEFT JOIN e USING (doc_id)""".stripMargin
     },
     // 8-gram overlap between the corpus slice and the benchmark slice;
     // argmax benchmark doc per contaminated corpus doc, ties to smallest id.

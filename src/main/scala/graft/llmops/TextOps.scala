@@ -144,22 +144,20 @@ object Dedup {
     * signal; a per-doc quality score, where l03/l04 emit pairwise
     * candidates and l26 targets a benchmark set).
     *
-    * Scale shape: shingles collapse to their md5 digest BEFORE the first
-    * exchange (16 bytes vs a ~50-byte string; 128-bit, so collision-free
-    * at any realistic corpus size), the doc-frequency aggregation is
-    * map-side combined, and the duplicated-digest set — typically the
-    * small boilerplate tail — joins back without a hint so AQE broadcasts
-    * it when it is small and hash-shuffles when it is not. No collect_set
-    * posting lists, so a pathological million-document boilerplate shingle
-    * costs one counter, not one unbounded array.
+    * Scale shape: shingles collapse to their 60-bit strHash60 digest
+    * BEFORE the first exchange (the same shared docShingleHashes relation
+    * l03/l04 aggregate — an 8-byte long key vs a ~50-byte string; the
+    * birthday bound is strHash60's documented ~1e-7 at 10M shingles), the
+    * doc-frequency aggregation is map-side combined, and the
+    * duplicated-digest set — typically the small boilerplate tail — joins
+    * back without a hint so AQE broadcasts it when it is small and
+    * hash-shuffles when it is not. No collect_set posting lists, so a
+    * pathological million-document boilerplate shingle costs one counter,
+    * not one unbounded array.
     */
   def dupSpanFrac(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import s.implicits._
-    val sh = Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("ws")) // see docShingles note
-      .select($"doc_id", explode(shingles($"ws", n)).as("sg"))
-      .select($"doc_id", md5($"sg".cast("binary")).as("h"))
-      .distinct()
+    val sh = TextOps.docShingleHashes(s, dir, n)
       .cache() // feeds both the df aggregation and the per-doc rollup
     val dups = sh.groupBy($"h").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= 2)

@@ -339,8 +339,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     // Every exchange carries only (doc_id, digest)-shaped rows — the raw
-    // shingle string is collapsed to md5 before the first shuffle, so no
-    // exchange output schema mentions the shingle column.
+    // shingle string is collapsed to its strHash60 long before the first
+    // shuffle, so no exchange output schema mentions the shingle or token
+    // columns.
     val df = SparkEntry.queries("l39_dup_span_frac")(spark, sf)
     df.collect()
     val shuffles = expand(df.queryExecution.executedPlan).collect {
@@ -348,7 +349,7 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(shuffles.nonEmpty)
     val leaky = shuffles.filter(_.output.exists(a =>
-      a.name == "sg" || a.name == "ws" || a.name == "text"))
+      a.name == "s" || a.name == "sg" || a.name == "ws" || a.name == "text"))
     assert(leaky.isEmpty, shuffles.map(_.output.mkString(",")).mkString("; "))
   }
 

@@ -77,6 +77,17 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(2)._4 == hex(text.substring(384, 500)))
   }
 
+  test("fused quality verdict covers zero-token documents") {
+    // A doc with no [a-z0-9] characters has NO repetition/LM row; the
+    // left-join composition must still emit its rules-family verdict
+    // instead of silently dropping it (the inner-join failure mode).
+    val dir = docsFixture(Seq(1L -> "!!! ???", 2L -> ("word " * 40).trim))
+    val got = llmops.LlmQueries.queries("l40_quality_fused")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(5))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == ((1L, "rules:too_short")))
+  }
+
   test("fused quality verdict is total, consistent, and non-trivial") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
