@@ -288,6 +288,30 @@ object MultimodalOps {
     }.toDF("doc_id", "out_w", "out_h", "n_px", "mean_px")
   }
 
+  /** Audio resample over the audio rows: decode, decimate 2:1 by averaging
+    * each adjacent sample pair (a trailing odd sample drops, mirroring the
+    * resize's odd row/col), then RE-ENCODE to WAV and decode again — the
+    * audio twin of [[resizeImages]], exercising the PCM codec in both
+    * directions. Every source sample is a multiple of 256, so each pair
+    * mean is an exact integer (multiple of 128): no floor-vs-truncate
+    * divergence between Java's `/` and the oracle's `//` is possible, and
+    * the roundtrip is bit-exact. Partition-local end to end.
+    */
+  def resampleAudio(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val sm = decodeAudio(m.payload)
+      val on = sm.length / 2
+      val out = new Array[Int](on)
+      var i = 0
+      while (i < on) { out(i) = (sm(2 * i) + sm(2 * i + 1)) / 2; i += 1 }
+      val rt = decodeAudio(encodeWav(on, i => out(i.toInt)))
+      var s1 = 0L
+      rt.foreach(s1 += _)
+      (m.doc_id, sm.length.toLong, rt.length.toLong, s1.toDouble / rt.length)
+    }.toDF("doc_id", "n_in", "n_out", "mean_sample")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Driver-facing queries — all three oracle-checked since round 5 (the
@@ -324,6 +348,16 @@ object MultimodalOps {
       resizeImages(mediaTable(s, dir, onlyKind = Some("image")))
         .select($"doc_id", $"out_w", $"out_h", $"n_px",
           graft.Canon.sig6($"mean_px").as("mean_px"))
+    }),
+    // Resample: decode → 2:1 pair-mean decimation → re-encode → decode.
+    // The oracle restates each output sample as the exact pair mean in
+    // (doc_id, n_chars) arithmetic — an off-by-one in the PCM byte order
+    // or pair indexing shifts the sums and breaks the hash.
+    "m05_resample_audio" -> ((s, dir) => {
+      import s.implicits._
+      resampleAudio(mediaTable(s, dir, onlyKind = Some("audio")))
+        .select($"doc_id", $"n_in", $"n_out",
+          graft.Canon.sig6($"mean_sample").as("mean_sample"))
     }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself. The
@@ -423,6 +457,20 @@ object MultimodalOps {
          |       count(*) AS n_px,
          |       ${sig("CAST(sum(v) AS DOUBLE) / count(*)")} AS mean_px
          |FROM px GROUP BY doc_id, ow, oh""".stripMargin
+    },
+    "m05_resample_audio" -> {
+      s"""WITH aud AS (
+         |  SELECT doc_id, 256 + n_chars % 256 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |v AS (
+         |  SELECT doc_id, n,
+         |         ((((doc_id + 2 * i) % 256 - 128) * 256
+         |           + ((doc_id + 2 * i + 1) % 256 - 128) * 256) // 2) AS s
+         |  FROM (SELECT doc_id, n, unnest(range(n // 2)) AS i FROM aud))
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+         |       count(*) AS n_out,
+         |       ${graft.Canon.sig6Sql("CAST(sum(s) AS DOUBLE) / count(*)")} AS mean_sample
+         |FROM v GROUP BY doc_id, n""".stripMargin
     },
     "m03_media_meta" ->
       s"""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

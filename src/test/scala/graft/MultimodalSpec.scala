@@ -104,6 +104,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resample: pair means match a hand recompute through the real codec") {
+    val media = MultimodalOps.mediaTable(spark, dir, onlyKind = Some("audio"))
+    val clips = media.collect().map(m => m.doc_id -> m).toMap
+    val rows = MultimodalOps.resampleAudio(media).collect()
+    assert(rows.length == clips.size)
+    rows.sortBy(_.getLong(0)).take(5).foreach { r =>
+      val m = clips(r.getLong(0))
+      val n = m.width // audio rows carry the sample count as width
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == (n / 2).toLong)
+      // Recompute the pair mean straight from the sample formula — exact
+      // (every sample is a multiple of 256, so the pair mean is integral).
+      def s(i: Int) = (((m.doc_id + i) % 256).toInt - 128) * 256
+      val sum = (0 until n / 2).map(i => ((s(2 * i) + s(2 * i + 1)) / 2).toLong).sum
+      assert(r.getDouble(3) == sum.toDouble / (n / 2), s"doc ${m.doc_id}")
+    }
+  }
+
   test("frame sampling: one decoded row per (video, frame), exact means") {
     val fr = MultimodalOps.frameSample(MultimodalOps.mediaTable(spark, dir))
       .collect()
