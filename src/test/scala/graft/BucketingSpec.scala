@@ -63,4 +63,35 @@ class BucketingSpec extends AnyFunSuite {
       assert(pairs.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("hive-partitioned layout: a language filter prunes at the directory level") {
+    // The OTHER at-rest layout lever beside bucketing: a corpus written
+    // partitionBy(lang) turns per-language consumers (the l10/l19/l24
+    // family) into directory-pruned scans — at 100 TB a lang='de' read
+    // touches only that partition's files, decided at planning time from
+    // the directory listing, before any row or footer is read.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_fx").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"lang" === "de")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    // The predicate lands in PartitionFilters (pruning), NOT in a
+    // post-scan Filter over all partitions.
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // And the pruned scan reads strictly fewer files than the full table.
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      }.getOrElse(-1L)
+    val all = spark.read.parquet(dir)
+    all.collect()
+    assert(files(one) > 0 && files(all) > files(one),
+      s"pruned=${files(one)} full=${files(all)}")
+    val expected = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"lang" === "de").count()
+    assert(one.count() == expected)
+  }
 }
