@@ -71,7 +71,7 @@ class BucketingSpec extends AnyFunSuite {
     // touches only that partition's files, decided at planning time from
     // the directory listing, before any row or footer is read.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_part_fx").toString
+    val dir = TestSpark.tempDir("graft_part_fx")
     Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .write.partitionBy("lang").mode("overwrite").parquet(dir)
     val one = spark.read.parquet(dir).filter($"lang" === "de")

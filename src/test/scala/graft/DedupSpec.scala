@@ -108,7 +108,7 @@ class DedupSpec extends AnyFunSuite {
       val (_, lab, v) = base(i)
       (100L + i, lab, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_fx").toString
+    val dir = TestSpark.tempDir("graft_lsh_fx")
     (base ++ planted).toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -129,25 +129,17 @@ class DedupSpec extends AnyFunSuite {
       (1L, "the quick brown fox jumps over the lazy dog and the quick cat"),
       (2L, "aaaaaaaaaaaaaaaaaaaa"), // degenerate: all k-grams identical
       (3L, "short"))                // below k — must produce no rows
-    val dir = java.nio.file.Files.createTempDirectory("graft_win_fx").toString
+    val dir = TestSpark.tempDir("graft_win_fx")
     texts.map { case (id, t) => (id, t, "en", "fx", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = llmops.TextStats.winnowFingerprints(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // Independent reference: direct winnowing recompute.
-    val (k, w, b, p) = (8, 4, 257L, 1000000007L)
+    // Independent reference: the shared positional recompute (also the
+    // FunctionProperties law against the rolling kernel).
+    val (k, w) = (8, 4)
     val ref = texts.flatMap { case (id, t) =>
-      val n = t.length
-      if (n < k) Nil
-      else {
-        val hs = (0 to n - k).map(q =>
-          t.substring(q, q + k).foldLeft(0L)((acc, c) => (acc * b + c) % p))
-        (0 to hs.size - w).map { s =>
-          val (h, negp) = (0 until w).map(i => (hs(s + i), -(s + i))).min
-          (id, (-negp + 1).toLong, h)
-        }.toSet
-      }
+      WinnowReference.fingerprints(t, k, w).map { case (pos, h) => (id, pos, h) }
     }.toSet
     assert(got == ref, s"winnow mismatch: ${got.diff(ref)} / ${ref.diff(got)}")
     assert(!got.exists(_._1 == 3L))
@@ -176,7 +168,7 @@ class DedupSpec extends AnyFunSuite {
       val (_, lab, v) = base(i)
       (100L + i, lab, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_sem_fx").toString
+    val dir = TestSpark.tempDir("graft_sem_fx")
     (base ++ planted).toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // All-pairs brute force at the same threshold (no blocking at all).

@@ -22,19 +22,8 @@ object FunctionProperties extends Properties("graft.functions") {
     w <- Gen.choose(2, 5)
   } yield (cs.mkString, k, w)
 
-  /** Positional (non-rolling) reference: the l35 HOF/oracle formulation. */
-  private def reference(s: String, k: Int, w: Int): Set[(Long, Long)] = {
-    val n = s.length
-    if (n - k + 1 < w) Set.empty
-    else {
-      val hs = (0 to n - k).map(q =>
-        s.substring(q, q + k).foldLeft(0L)((acc, c) => (acc * Winnow.B + c) % Winnow.P))
-      (0 to hs.size - w).map { st =>
-        val (h, negp) = (0 until w).map(i => (hs(st + i), -(st + i))).min
-        ((-negp + 1).toLong, h)
-      }.toSet
-    }
-  }
+  private def reference(s: String, k: Int, w: Int): Set[(Long, Long)] =
+    WinnowReference.fingerprints(s, k, w)
 
   private def kernel(s: String, k: Int, w: Int): Set[(Long, Long)] =
     Winnow.packed(UTF8String.fromString(s), k, w).toLongArray()

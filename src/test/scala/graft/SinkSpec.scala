@@ -16,7 +16,7 @@ class SinkSpec extends AnyFunSuite {
 
   test("partitionBy write prunes partitions on filtered read-back") {
     import spark.implicits._
-    val out = Files.createTempDirectory("graft_sink").toString
+    val out = TestSpark.tempDir("graft_sink")
     Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
       .write.partitionBy("event_type").mode("overwrite").parquet(out)

@@ -175,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("checkpointed restart: file source → file sink is exactly-once") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val base = TestSpark.tempDir("graft-restart")
     val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     def runOnce(): Unit = {
       val q = spark.readStream

@@ -4,6 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all specs (Spark startup dominates test time). */
 object TestSpark {
+
+  /** A temp directory removed recursively at JVM exit — spec fixtures
+    * (parquet corpora, partitioned layouts) should allocate through this
+    * instead of bare Files.createTempDirectory, which leaks a tree per
+    * test run.
+    */
+  def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -16,5 +34,28 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+}
+
+/** The ONE positional (non-rolling) winnowing reference both DedupSpec and
+  * FunctionProperties check the production paths against — the l35 HOF /
+  * DuckDB-oracle formulation, kept in a single place so a change to the
+  * constants or the tie-break cannot leave one suite testing stale
+  * semantics.
+  */
+object WinnowReference {
+  def fingerprints(t: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val b = graft.functions.Winnow.B
+    val p = graft.functions.Winnow.P
+    val n = t.length
+    if (n - k + 1 < w) Set.empty
+    else {
+      val hs = (0 to n - k).map(q =>
+        t.substring(q, q + k).foldLeft(0L)((acc, c) => (acc * b + c) % p))
+      (0 to hs.size - w).map { st =>
+        val (h, negp) = (0 until w).map(i => (hs(st + i), -(st + i))).min
+        ((-negp + 1).toLong, h)
+      }.toSet
+    }
   }
 }

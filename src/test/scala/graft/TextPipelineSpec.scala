@@ -17,7 +17,7 @@ class TextPipelineSpec extends AnyFunSuite {
   /** Writes a documents.parquet fixture and returns its directory. */
   private def docsFixture(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_text_fx").toString
+    val dir = TestSpark.tempDir("graft_text_fx")
     rows.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
