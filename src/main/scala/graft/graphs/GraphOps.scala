@@ -152,6 +152,37 @@ object GraphOps {
     }
   }
 
+  /** Hop-bounded harmonic centrality on the directed graph:
+    * H4(v) = Σ_{u : 0 < d(u→v) ≤ 4} 1/d(u→v). Multi-source BFS unrolled to
+    * four distinct-frontier joins, min() collapsing walk revisits to true
+    * distances; per-source contributions summed in integer twelfths
+    * (12/d ∈ {12,6,4,3}) so the sum is order-independent and one final
+    * division lands on the rounding grid identically on every engine.
+    * Hop-bounding IS the scale posture: exact all-pairs distance is
+    * quadratic, a fixed-radius sweep grows with |E|·avg-4-hop-ball (at
+    * cluster scale the source set is additionally landmark-sampled).
+    */
+  def harmonic4(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.select($"src", $"dst")
+    val v = e.select($"src".as("id")).union(e.select($"dst")).distinct()
+    def step(prev: DataFrame): DataFrame =
+      prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
+        .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
+    val l0 = v.select($"id".as("u"), $"id".as("v"))
+    val levels = Iterator.iterate(l0)(step).take(5).toVector
+    val all = levels.zipWithIndex.map { case (df, d) =>
+      df.select($"u", $"v", lit(d).as("d")) }.reduce(_ union _)
+    all.groupBy($"u", $"v").agg(min($"d").as("d"))
+      .filter($"d" > 0)
+      .withColumn("w12",
+        when($"d" === 1, 12L).when($"d" === 2, 6L)
+          .when($"d" === 3, 4L).otherwise(3L))
+      .groupBy($"v".as("id"))
+      .agg(count(lit(1)).as("n_sources"),
+        graft.Canon.sig6(sum($"w12").cast("double") / 12.0).as("harmonic"))
+  }
+
   /** G2 — global triangle count (reference semantics: each triangle a<b<c
     * counted once, algorithms.h:117-195). Canonical-edge triple join — the
     * scalable rendering of the reference's adjacency-list-intersection

@@ -207,6 +207,10 @@ object GraphQueries {
         .orderBy($"cn".desc, $"a".asc, $"b".asc)
         .limit(20)
     }),
+    // Hop-bounded harmonic centrality: H4(v) = Σ_{u : 0 < d(u→v) ≤ 4} 1/d
+    // (semantics + scale posture in GraphOps.harmonic4's doc).
+    "g20_harmonic4" -> ((s, dir) =>
+      GraphOps.harmonic4(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -496,6 +500,26 @@ object GraphQueries {
          |FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
          |GROUP BY x.src, y.src
          |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+    // Same 4-level unroll, min() over walk revisits, integer-twelfth sum.
+    "g20_harmonic4" -> {
+      def lvl(k: Int) =
+        s"""l$k AS (SELECT DISTINCT p.u, e0.dst AS v
+           |  FROM l${k - 1} p JOIN e0 ON e0.src = p.v)""".stripMargin
+      val unions = (0 to 4).map(d => s"SELECT u, v, $d AS d FROM l$d")
+        .mkString("\n  UNION ALL ")
+      val w12 = "CASE WHEN d = 1 THEN 12 WHEN d = 2 THEN 6 " +
+        "WHEN d = 3 THEN 4 ELSE 3 END"
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |l0 AS (SELECT id AS u, id AS v FROM v),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}, ${lvl(4)},
+         |alld AS (
+         |  $unions),
+         |md AS (SELECT u, v, min(d) AS d FROM alld GROUP BY u, v)
+         |SELECT v AS id, count(*) AS n_sources,
+         |       ${graft.Canon.sig6Sql(s"CAST(sum($w12) AS DOUBLE) / 12.0")} AS harmonic
+         |FROM md WHERE d > 0 GROUP BY v""".stripMargin
+    },
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
     "g09_scc" -> sccOracle,

@@ -86,6 +86,10 @@ object LlmQueries {
             .otherwise(lit("ok")))
         .withColumn("keep", ($"reason" === "ok").cast("boolean"))
     }),
+    // Corpus-composition analysis: pairwise source 8-gram Jaccard — which
+    // sources mirror each other (and would be double-counted by l24's
+    // mixture weights).
+    "l41_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -661,6 +665,25 @@ object LlmQueries {
          |       ${sig6Sql("CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_frac
          |FROM sh s JOIN c USING (sg)
          |GROUP BY s.doc_id""".stripMargin
+    },
+    // Pairwise source overlap: distinct (source, strHash60(8-gram)) on both
+    // engines (the digest, not the string, so the relation is bit-identical
+    // to the Spark side), pair counts via self-join, Jaccard on the grid.
+    "l41_source_overlap" -> {
+      val g8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT source, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, ${TextOps.strHash60Sql(g8)} AS h
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |cnt AS (SELECT source, count(*) AS ns FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, ca.ns AS n_a, cb.ns AS n_b, n_shared,
+         |       ${sig6Sql("CAST(n_shared AS DOUBLE) / (ca.ns + cb.ns - n_shared)")} AS jaccard
+         |FROM inter JOIN cnt ca ON ca.source = src_a
+         |           JOIN cnt cb ON cb.source = src_b""".stripMargin
     },
     // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
     // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark

@@ -170,6 +170,46 @@ object Dedup {
         graft.Canon.sig6($"n_dup".cast("double") / $"n_shingles"))
   }
 
+  /** L41: pairwise source-overlap matrix — for every pair of corpus
+    * sources, the Jaccard similarity of their distinct word-8-gram shingle
+    * sets. The corpus-composition analysis run before mixing sources into
+    * a training set: a high-overlap pair means one source is (partially) a
+    * mirror of the other and their mixture weights double-count it (l24
+    * plans rates; this measures whether the sources are actually
+    * distinct). Same signal family as l39, aggregated source-level.
+    *
+    * Scale shape: shingles collapse to distinct (source, strHash60) BEFORE
+    * the first exchange — one shuffle of 8-byte digests keyed by hash, the
+    * same posting-list pattern as l03 but with posting lists bounded by
+    * the SOURCE count (dozens, not documents), so the in-row pair
+    * expansion is constant-size and the quadratic blowup l03 guards with
+    * `maxDf` cannot occur at all. Per-source totals broadcast back onto
+    * the pair counts.
+    */
+  def sourceOverlap(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"source", TextOps.tokens($"text").as("ws"))
+      .select($"source", explode(TextOps.shingles($"ws", n)).as("sg"))
+      .select($"source", TextOps.strHash60($"sg").as("h"))
+      .distinct()
+      .cache() // feeds both per-source totals and the pair counts
+    val counts = sh.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val inter = sh.groupBy($"h")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select(explode(pairExpand($"ss")).as("p"))
+      .groupBy($"p.pa".as("src_a"), $"p.pb".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(counts.as("ca"), $"src_a" === $"ca.source")
+      .join(counts.as("cb"), $"src_b" === $"cb.source")
+      .select($"src_a", $"src_b", $"ca.ns".as("n_a"), $"cb.ns".as("n_b"),
+        $"n_shared",
+        graft.Canon.sig6($"n_shared".cast("double") /
+          ($"ca.ns" + $"cb.ns" - $"n_shared")).as("jaccard"))
+  }
+
   /** Exact Jaccard similarity for all pairs sharing >=1 shingle, thresholded.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     *

@@ -515,6 +515,27 @@ object RelationalQueries {
         expr("try_element_at(array(o_orderstatus), 2)").as("oob"))
     }),
 
+    // Salted skew join behind the oracle gate: the fact side reaches the
+    // join with every key split across 8 deterministic sub-keys (the dim
+    // side replicated once per salt), so a pathological hot orderkey fans
+    // out over 8 tasks instead of serializing one. The oracle states the
+    // PLAIN join+agg — hash equality proves salting is semantics-free
+    // (operators/SkewJoin; OperatorsSpec pins equivalence on a hot-key
+    // fixture, this puts the operator on the driver's gate too).
+    "q58_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.operators.SkewJoin.saltedInner(
+          li, ord, "l_orderkey", salts = 8,
+          saltSource = Seq($"l_linenumber", $"l_partkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("revenue"))
+    }),
+
     // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
     // into (measure, value) long form. Pure row-local reshaping, no shuffle
     // until the final aggregation.
@@ -888,6 +909,13 @@ object RelationalQueries {
          |       ${sig6Sql("o_totalprice / (o_orderkey % 5)")} AS per_mod,
          |       ([o_orderstatus])[2] AS oob
          |FROM orders""".stripMargin,
+    // The oracle is the UNSALTED join — equality proves the salt/replicate/
+    // drop dance changes nothing.
+    "q58_skew_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |       ${sig6Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "q54_unpivot" ->
       s"""WITH u AS (
          |  SELECT l_orderkey, l_linenumber, measure, val

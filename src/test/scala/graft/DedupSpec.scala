@@ -123,6 +123,33 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"high-sim recall $recall (lsh $lsh vs exact $exact)")
   }
 
+  test("source overlap matches an independent self-join recompute") {
+    import spark.implicits._
+    // The operator expands pairs in-row from per-shingle posting lists;
+    // this recompute takes the classic self-join route over raw shingle
+    // STRINGS (no strHash60) — agreement checks both the pair expansion
+    // and that hashing introduced no collisions at this scale.
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", explode(llmops.TextOps.shingles(
+        llmops.TextOps.tokens($"text"), 8)).as("sg"))
+      .distinct().cache()
+    val cnt = sh.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("x"), col("b.source").as("y"))
+      .agg(count(lit(1)).as("inter")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    sh.unpersist()
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (p@(a, b), inter) =>
+      assert(got(p) == (cnt(a), cnt(b), inter), s"pair $p")
+    }
+  }
+
   test("winnowing fingerprints: reference-exact and every window covered") {
     import spark.implicits._
     val texts = Seq(

@@ -27,6 +27,22 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(perVertex / 3 == 2) // each triangle counted at its 3 corners
   }
 
+  test("harmonic4 on a directed 6-path: exact twelfth-sums, 4-hop cutoff") {
+    import spark.implicits._
+    // 0→1→2→3→4→5: vertex k is reached by the min(k, 4) nearest
+    // predecessors; vertex 5 must NOT see source 0 (d=5 > bound).
+    val e = (0 until 5).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val got = GraphOps.harmonic4(spark, e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Canon.sig6's 9-significant-digit grid; these values sit in [1, 10).
+    def h(n: Int) = (Seq(12, 6, 4, 3).take(n).sum / 12.0 * 1e8).round / 1e8
+    assert(got(1L) == (1L, 1.0))
+    assert(got(3L) == (3L, h(3))) // 1 + 1/2 + 1/3
+    assert(got(4L) == (4L, h(4))) // all four distances
+    assert(got(5L) == (4L, h(4))) // source 0 cut off by the hop bound
+    assert(!got.contains(0L)) // no in-edges within 4 hops
+  }
+
   test("SCC: cycle {1,2,3} collapses, appendage {4} is its own component") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
