@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Canon.sig6Sql
 
 /** Registry of the LLM-data-pipeline query surface (SURVEY §2.4 L1–L4 plus
-  * scale-path variants). Oracle SQL mirrors each Spark plan in DuckDB;
-  * LSH/SimHash variants are deliberately oracle-less (hash-function
-  * specific / sub-unit recall) and covered by ScalaTest equivalence specs.
+  * scale-path variants). Oracle SQL mirrors each Spark plan in DuckDB —
+  * including every sketch (MinHash/SimHash/SRP-LSH/IVF): their md5-derived
+  * base hashes and integer/inlined-literal arithmetic reproduce verbatim in
+  * SQL, so the oracles land the identical approximations, misses and all.
   */
 object LlmQueries {
 

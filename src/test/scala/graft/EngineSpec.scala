@@ -217,6 +217,23 @@ class EngineSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("b02 anchor checksum golden: the 8M-edge CSR-loop result is pinned") {
+    // The ≥8M-edge anchors are rows-only at the driver's gate (no DuckDB
+    // oracle is feasible there — RegistrySpec documents why), so this
+    // value-locks the full b02 computation end to end: generator, stats
+    // dispatch, and the single-task CSR loop at its real scale. The
+    // constants come from the gate-dumped parquet (also the driver's
+    // recorded spark_rows for b02 since round 3) — any change to the
+    // xxhash64 edge derivation, the hop semantics, or the loop's frontier
+    // handling moves at least one of them. (~4 s; the one deliberately
+    // heavy check in the suite.)
+    import spark.implicits._
+    val row = SparkEntry.queries("b02_sssp_rand8m")(spark, "unused")
+      .agg(count(lit(1)), sum($"dist"), max($"dist")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((999670L, 6830916L, 10L)))
+  }
+
   test("WCC dual runners agree on small.graph") {
     import spark.implicits._
     val sym = small.edges

@@ -353,6 +353,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(leaky.isEmpty, shuffles.map(_.output.mkString(",")).mkString("; "))
   }
 
+  test("l41 source overlap: only digests shuffle; no cartesian pair blowup") {
+    val plan = ranPlan("l41_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // Shingle strings collapse to strHash60 digests before the first
+    // exchange, and pairs come from in-row posting-list expansion (bounded
+    // by the source count) — never a self-join of the shingle relation.
+    val df = SparkEntry.queries("l41_source_overlap")(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.nonEmpty)
+    val leaky = shuffles.filter(_.output.exists(a =>
+      a.name == "sg" || a.name == "ws" || a.name == "text"))
+    assert(leaky.isEmpty, shuffles.map(_.output.mkString(",")).mkString("; "))
+  }
+
+  test("q58 skew join: the salt column reaches the join keys") {
+    // The operator's contract is structural: the join must key on
+    // (l_orderkey, _salt) — if a refactor drops the salt from the keys the
+    // query still returns correct rows but the hot-key fan-out is gone.
+    val df = SparkEntry.queries("q58_skew_join")(spark, sf)
+    df.collect()
+    val joins = expand(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.exists(_.exists(_.toString.contains("_salt"))),
+      joins.map(_.mkString(",")).mkString("; "))
+  }
+
   test("l26 decontamination: corpus probes the broadcast join unshuffled") {
     val df = SparkEntry.queries("l26_decontaminate")(spark, sf)
     df.collect()
