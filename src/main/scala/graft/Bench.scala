@@ -245,7 +245,18 @@ object Bench {
           "\"" + tag + s"\":[$batches,$rows]" }
         .mkString("{", ",", "}")
     }
+    // Host fingerprint (file artifact only): the 64M-edge anchors are
+    // memory-bandwidth/clock-bound, and the per-round VM varies — the same
+    // commit measured b03's loop at 19 s and 63 s on two boxes. Recording
+    // the host makes cross-round comparisons self-explaining.
+    val cpuModel = try {
+      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") =>
+          l.split(":", 2)(1).trim }.getOrElse("unknown")
+    } catch { case _: Throwable => "unknown" }
+    val memGb = Runtime.getRuntime.maxMemory() / (1L << 30)
     val fileJson = json.dropRight(1) +
+      s""","host_cpu":"${cpuModel.replace("\"", "")}","heap_gb":$memGb""" +
       s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs,"stream_batches_staterows":$streamQs}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
