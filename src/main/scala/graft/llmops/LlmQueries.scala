@@ -91,6 +91,10 @@ object LlmQueries {
     // sources mirror each other (and would be double-counted by l24's
     // mixture weights).
     "l41_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // BPE tokenizer TRAINING: three real merge rounds over the collapsed
+    // vocabulary (l36 counts one round's pairs; this picks, applies, and
+    // iterates — returning the merge table a tokenizer ships).
+    "l42_bpe_train" -> ((s, dir) => TextStats.bpeTrain(s, dir)),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -685,6 +689,38 @@ object LlmQueries {
          |       ${sig6Sql("CAST(n_shared AS DOUBLE) / (ca.ns + cb.ns - n_shared)")} AS jaccard
          |FROM inter JOIN cnt ca ON ca.source = src_a
          |           JOIN cnt cb ON cb.source = src_b""".stripMargin
+    },
+    // BPE training, three merge rounds statically unrolled. The merge
+    // applies as the same two-pass padded-string replace as the Spark side
+    // (pass one misses every second occurrence of an overlapping chain;
+    // pass two catches the now-isolated rest — exact simultaneous-merge
+    // semantics, verified identical in both engines).
+    "l42_bpe_train" -> {
+      def lvl(r: Int): String = {
+        val p = r - 1
+        s"""p$r AS (
+           |  SELECT ss[i] AS a, ss[i+1] AS b, sum(cnt) AS pair_count
+           |  FROM (SELECT string_split(trim(w), ' ') AS ss, cnt FROM v$p) x,
+           |       unnest(range(1, len(ss))) t(i)
+           |  GROUP BY 1, 2),
+           |t$r AS (SELECT $r AS round, a AS sym_a, b AS sym_b,
+           |               a || b AS merged, pair_count
+           |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+           |v$r AS (SELECT replace(replace(v$p.w,
+           |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
+           |          ' ' || t$r.merged || ' '),
+           |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
+           |          ' ' || t$r.merged || ' ') AS w, cnt
+           |        FROM v$p, t$r)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |v0 AS (
+         |  SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
+         |         count(*) AS cnt
+         |  FROM toks GROUP BY tok),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}
+         |SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         |UNION ALL SELECT * FROM t3""".stripMargin
     },
     // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
     // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark

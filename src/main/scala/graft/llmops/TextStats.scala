@@ -267,6 +267,71 @@ object TextStats {
       .limit(k)
   }
 
+  /** L42: BPE tokenizer TRAINING — `rounds` actual merge rounds, not just
+    * l36's single pair count. Each round: count adjacent symbol pairs over
+    * the vocabulary (count-weighted), pick the most frequent pair
+    * (deterministic ties: count desc, then pair lexicographic), merge it
+    * into one symbol everywhere, repeat. Returns the merge table — the
+    * artifact a BPE tokenizer ships.
+    *
+    * Scale shape (the classic BPE-trainer layout): the corpus collapses to
+    * its word vocabulary FIRST — one map-side-combined aggregation is the
+    * only corpus-scale pass — and every merge round then runs on the
+    * vocab relation (orders of magnitude smaller), as one pair aggregation
+    * plus a broadcast 1-row join. Words are spelled as space-delimited
+    * symbol strings and a merge applies as two literal `replace` passes on
+    * the padded string: one pass misses every second occurrence in an
+    * overlapping chain ("a b a b" shares the middle delimiter), and after
+    * pass one the missed occurrences are isolated, so pass two is exact —
+    * this reproduces BPE's simultaneous leftmost-greedy merge with
+    * identical semantics in Spark and DuckDB (both scan the source string
+    * left-to-right over non-overlapping literal matches).
+    */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        concat_ws(" ", filter(split($"tok", ""), c => c =!= "")),
+        lit(" ")).as("w"), $"cnt")
+      .cache()
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = split(trim($"w"), " ")
+      val top = vocab.select(syms.as("ss"), $"cnt")
+        .filter(size($"ss") >= 2)
+        .select(explode(transform(sequence(lit(1), size($"ss") - 1),
+          i => struct(element_at($"ss", i).as("a"),
+            element_at($"ss", i + 1).as("b")))).as("p"), $"cnt")
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("pair_count"))
+        .orderBy($"pair_count".desc, $"a".asc, $"b".asc)
+        .limit(1)
+        .select(lit(r).as("round"), $"a".as("sym_a"), $"b".as("sym_b"),
+          concat($"a", $"b").as("merged"), $"pair_count")
+        // Eager 1-row pin: later rounds unpersist this round's vocab, and
+        // an unpinned plan would re-derive the whole merge chain from the
+        // corpus when the final union materializes.
+        .localCheckpoint()
+      out += top
+      if (r < rounds) {
+        val pat = concat(lit(" "), $"sym_a", lit(" "), $"sym_b", lit(" "))
+        val rep = concat(lit(" "), $"merged", lit(" "))
+        val prev = vocab
+        vocab = vocab.crossJoin(broadcast(top))
+          .select(replace(replace($"w", pat, rep), pat, rep).as("w"), $"cnt")
+          .cache()
+        vocab.count() // materialize before freeing the parent
+        prev.unpersist()
+      }
+    }
+    // Every round's 1-row merge record is eagerly checkpointed above, so
+    // the working vocab cache can be freed before handing back the union.
+    vocab.unpersist()
+    out.result().reduce(_ union _)
+  }
+
   /** L4k (l38): per-document Shannon character entropy (nats) — the
     * information-density quality signal: near-zero for repeated-character
     * junk, high for natural text. Complements the rule-based (l16),

@@ -46,6 +46,33 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(full == expected)
   }
 
+  test("bpe train: weighted pick, chained merges, overlap-exact apply") {
+    // vocab: "ababab"×2, "ab"×1.
+    //  r1 pairs: (a,b) 3·2+1 = 7, (b,a) 2·2 = 4 → merge (a,b)→"ab" @7.
+    //    " a b a b a b " is the overlapping chain: pass one of the padded
+    //    replace catches occurrences 1 and 3, pass two the isolated middle.
+    //  r2: (ab,ab) 2·2 = 4 → "abab";  r3: (abab,ab) 1·2 = 2 → "ababab".
+    val dir = docsFixture(Seq(1L -> "ababab ababab", 2L -> "ab"))
+    val got = TextStats.bpeTrain(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "a", "b", "ab", 7L),
+      (2, "ab", "ab", "abab", 4L),
+      (3, "abab", "ab", "ababab", 2L)))
+  }
+
+  test("bpe train: equal-count tie breaks lexicographically") {
+    // (b,a) and (b,c) both count 2 → lexicographic tie-break picks (b,a).
+    val dir = docsFixture(Seq(1L -> "ba ba", 2L -> "bc bc"))
+    val got = TextStats.bpeTrain(spark, dir, rounds = 1).collect()
+    assert(got.length == 1)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(4)) ==
+      (("b", "a", 2L)))
+  }
+
   test("char entropy: exact values, zero floor, rounded-value keep flag") {
     val dir = docsFixture(Seq(
       1L -> "aaab", // -(3/4·ln 3/4 + 1/4·ln 1/4)
