@@ -95,6 +95,27 @@ object LlmQueries {
     // vocabulary (l36 counts one round's pairs; this picks, applies, and
     // iterates — returning the merge table a tokenizer ships).
     "l42_bpe_train" -> ((s, dir) => TextStats.bpeTrain(s, dir)),
+    // Bigram LM quality score — l27's unigram ladder rung up: phrase-level
+    // fluency, not just word rarity.
+    "l43_bigram_logprob" -> ((s, dir) => TextStats.bigramLogProb(s, dir)),
+    // Near-dup dedup MATERIALIZED: l25 reports the clusters; this applies
+    // them — survivor = each cluster's min doc_id (the WCC label itself),
+    // singletons all survive — and reports the post-dedup corpus by lang.
+    // The end-to-end "what actually ships to training" near-dedup step.
+    "l44_neardup_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup.jaccardPairs(s, dir)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      val lab = graft.graphs.GraphOps.wcc(s, pairs)
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      docs.join(lab, docs("doc_id") === lab("id"), "left")
+        .filter($"id".isNull || $"doc_id" === $"comp")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+    }),
     // Benchmark decontamination: the train/test-overlap scan (see
     // Dedup.decontaminate — benchmark shingles broadcast, corpus never
     // shuffles).
@@ -130,6 +151,38 @@ object LlmQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** l03's jaccard-pair relation fed through the g04-style min-label
+    * closure: `lab(id, comp)` labels every clustered doc with its
+    * cluster's min doc_id. Shared by l25 (cluster report) and l44 (the
+    * applied dedup — survivors + singletons).
+    */
+  private val neardupLabCtes: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+       |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)
+       |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+       |ue AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |       UNION SELECT doc_b, doc_a FROM pr),
+       |cc AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM ue
+       |  UNION
+       |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
+       |  WHERE cc.comp < ue.dst
+       |),
+       |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)""".stripMargin
 
   /** 8-gram overlap between the corpus slice and the benchmark slice;
     * argmax benchmark doc per contaminated corpus doc, ties to smallest id.
@@ -798,32 +851,34 @@ object LlmQueries {
     // l03's pair relation fed through the same min-label-closure CTE as the
     // g04 WCC oracle, grouped into clusters.
     "l25_neardup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $toksSql AS ws FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id,
-         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)
-         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pr AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
-         |ue AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |       UNION SELECT doc_b, doc_a FROM pr),
-         |cc AS (
-         |  SELECT DISTINCT src AS id, src AS comp FROM ue
-         |  UNION
-         |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
-         |  WHERE cc.comp < ue.dst
-         |),
-         |lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+      s"""$neardupLabCtes
          |SELECT comp AS cluster, count(*) AS n_docs FROM lab GROUP BY comp""".stripMargin,
+    // The SAME label relation APPLIED: survivors are the min-label docs
+    // (cluster label = min doc_id by construction) plus every unclustered
+    // singleton; the post-dedup corpus rolls up by lang like l19.
+    "l44_neardup_dedup" ->
+      s"""$neardupLabCtes
+         |SELECT d.lang, count(*) AS n_docs,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+         |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+         |WHERE lab.id IS NULL OR lab.comp = d.doc_id
+         |GROUP BY d.lang""".stripMargin,
+    // Bigram conditional logprob: both engines aggregate the identical
+    // doc-level (w1, w2, k) relation and compute the identical weighted
+    // mean Σ k·log10(bcnt/pcnt) / Σ k — same terms, integer weights, one
+    // final rounding on the shared sig grid.
+    "l43_bigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, count(*) AS k
+         |  FROM tk, unnest(range(1, len(ws))) t(i)
+         |  GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, sum(k) AS bcnt FROM bg GROUP BY 1, 2),
+         |pc AS (SELECT w1, sum(bcnt) AS pcnt FROM bc GROUP BY 1)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |       ${sig6Sql("sum(k * log10(bcnt / CAST(pcnt AS DOUBLE))) / sum(k)")} AS logprob
+         |FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1)
+         |GROUP BY doc_id""".stripMargin,
     "l19_clean_corpus" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

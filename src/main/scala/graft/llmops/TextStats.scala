@@ -242,6 +242,43 @@ object TextStats {
         graft.Canon.sig6(avg(log10($"cnt" / $"n"))).as("logprob"))
   }
 
+  /** L43: per-document mean bigram conditional log-probability under the
+    * corpus's own bigram model — the next rung up the CCNet-style quality
+    * ladder from l27's unigram score (a doc of real phrases scores high even
+    * when its individual words are rare; shuffled-word junk scores low even
+    * when every word is common). P(w2|w1) = c(w1 w2) / c(w1 ·), both counts
+    * from the corpus itself, no smoothing needed: every bigram being scored
+    * exists in the model by construction.
+    *
+    * Scale shape: documents collapse to DOC-LEVEL DISTINCT bigram rows
+    * (doc_id, w1, w2, k) in one map-side-combined aggregation — the only
+    * corpus-scale pass. The model relations derive from that relation (bcnt
+    * by re-aggregation, the prefix count pcnt from bcnt — vocabulary-sized,
+    * not corpus-sized), and the scoring join runs on doc-level rows with
+    * integer weights, so the weighted mean Σ k·log10(bcnt/pcnt) / Σ k
+    * touches each distinct per-doc bigram once regardless of repetition.
+    */
+  def bigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bi = Tables.load(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ts") - 1),
+        i => struct(element_at($"ts", i).as("w1"),
+          element_at($"ts", i + 1).as("w2")))).as("b"))
+      .groupBy($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("k"))
+      .cache()
+    val bc = bi.groupBy($"w1", $"w2").agg(sum($"k").as("bcnt"))
+    val pc = bc.groupBy($"w1").agg(sum($"bcnt").as("pcnt"))
+    val out = bi.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"),
+        graft.Canon.sig6(sum($"k" * log10($"bcnt" / $"pcnt")) / sum($"k"))
+          .as("logprob"))
+    out
+  }
+
   /** L4j (l36): one distributed BPE merge-counting round — the adjacent
     * symbol-pair frequencies that drive byte-pair-encoding vocabulary
     * induction, reported as the top-k pairs. Like production BPE trainers,

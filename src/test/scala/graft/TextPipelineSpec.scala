@@ -73,6 +73,39 @@ class TextPipelineSpec extends AnyFunSuite {
       (("b", "a", 2L)))
   }
 
+  test("bigram logprob: corpus-model conditionals, weighted doc mean") {
+    // Model from the corpus itself:
+    //   bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; prefix counts: a·=3, b·=2.
+    //   P(b|a)=1 → log10 0;  P(a|b)=P(c|b)=1/2 → log10 −log10(2).
+    // doc 1 "a b a b": 3 bigrams, mean = −log10(2)/3
+    // doc 2 "a b c":   2 bigrams, mean = −log10(2)/2
+    // doc 3 "x": no bigrams → absent from the result.
+    val dir = docsFixture(Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "x"))
+    val got = TextStats.bigramLogProb(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - (-math.log10(2) / 3)) < 1e-6)
+    assert(math.abs(got(2L)._2 - (-math.log10(2) / 2)) < 1e-6)
+  }
+
+  test("neardup dedup: cluster survivor is min doc_id, singletons survive") {
+    import spark.implicits._
+    // docs 1,2 are exact clones (jaccard 1 on 4-gram shingles → one
+    // cluster, survivor = min id = 1); doc 3 is an unclustered singleton.
+    val dir = TestSpark.tempDir("graft_text_fx")
+    Seq((1L, "one two three four five", "en"),
+        (2L, "one two three four five", "en"),
+        (3L, "alpha beta gamma delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("l44_neardup_dedup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("en", 1L, 5L), ("fr", 1L, 4L)))
+  }
+
   test("char entropy: exact values, zero floor, rounded-value keep flag") {
     val dir = docsFixture(Seq(
       1L -> "aaab", // -(3/4·ln 3/4 + 1/4·ln 1/4)
