@@ -287,6 +287,62 @@ object GraphOps {
     }
   }
 
+  /** k-truss: the maximal subgraph in which every edge closes at least
+    * k−2 triangles WITHIN the subgraph — the edge-cohesion analogue of
+    * [[kcore]]'s vertex peel, and the standard community-core mining
+    * primitive one rung stronger than connected components. Same
+    * iterated-aggregate shape: compute per-edge support (common-neighbor
+    * count via the wedge join), drop under-supported edges, repeat to the
+    * fixpoint; each round is one wedge join + aggregation on the SHRINKING
+    * edge list, so the expensive first round bounds the cost and the
+    * oracle's static unroll stays exact past convergence (converged rounds
+    * are idempotent). Shares [[lastPeelRounds]] with kcore for the same
+    * unroll-headroom pin.
+    *
+    * @param edgeDf directed edges; treated as undirected (symmetrized).
+    * @return surviving vertices with their within-truss degree.
+    */
+  def ktruss(s: SparkSession, edgeDf: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val symAll = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val m = symAll.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      var sym = symAll.localCheckpoint()
+      symAll.unpersist()
+      var done = false
+      var rounds = 0
+      while (!done) {
+        val canon = sym.filter($"src" < $"dst")
+        val sup = canon.as("t")
+          .join(sym.as("x"), $"t.src" === $"x.src")
+          .join(sym.as("y"), $"t.dst" === $"y.src" && $"y.dst" === $"x.dst")
+          .groupBy($"t.src".as("a"), $"t.dst".as("b"))
+          .agg(count(lit(1)).as("sup"))
+        // Left join, not inner: an edge with NO wedge at all has support 0
+        // and must peel too — an inner join would silently keep it forever.
+        val bad = canon.join(sup,
+            canon("src") === sup("a") && canon("dst") === sup("b"), "left")
+          .filter($"sup".isNull || $"sup" < k - 2)
+          .select(canon("src").as("bs"), canon("dst").as("bd"))
+          .localCheckpoint(eager = false)
+        if (bad.isEmpty) done = true
+        else {
+          rounds += 1
+          val badSym = bad.union(bad.select($"bd".as("bs"), $"bs".as("bd")))
+          sym = sym.join(badSym,
+              sym("src") === badSym("bs") && sym("dst") === badSym("bd"),
+              "left_anti")
+            .localCheckpoint()
+        }
+      }
+      lastPeelRounds = rounds
+      // Inside the block, like kcore: the closing aggregation must not
+      // replay at the restored session-wide partition cap.
+      sym.groupBy($"src".as("id")).agg(count(lit(1)).as("truss_deg"))
+        .localCheckpoint()
+    }
+  }
+
   /** Undirected view of a directed edge list: both orientations, dedup'd.
     * One definition for every operator that symmetrizes (wcc, lpa, kcore,
     * common-neighbors) so the semantics can't drift between them.

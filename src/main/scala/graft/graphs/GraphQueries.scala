@@ -193,6 +193,11 @@ object GraphQueries {
     // membership invariant.
     "g15_kcore3" -> ((s, dir) =>
       GraphOps.kcore(s, GraphOps.edges(s, dir), k = 3)),
+    // Edge-cohesion mining one rung up from g15: the 3-truss (every edge
+    // closes ≥1 triangle within the subgraph). Dense view, like g15 — the
+    // sparse view is triangle-free below sf0.1 and would peel to nothing.
+    "g21_ktruss3" -> ((s, dir) =>
+      GraphOps.ktruss(s, GraphOps.edges(s, dir), k = 3)),
     // Link prediction by common-neighbor count: top-20 vertex pairs sharing
     // the most neighbors (deterministic tiebreak on the pair itself). The
     // wedge join runs on the sparse view; top-k plans as TakeOrdered.
@@ -525,6 +530,7 @@ object GraphQueries {
     "g09_scc" -> sccOracle,
     "g19_scc_engine" -> sccOracle,
     "g15_kcore3" -> kcoreOracle(k = 3, rounds = 24),
+    "g21_ktruss3" -> ktrussOracle(k = 3, rounds = 10),
   )
 
   /** DuckDB oracle for g15: the degree-peel statically unrolled. Round r
@@ -552,6 +558,36 @@ object GraphQueries {
     s"""WITH $base,
        |$peels
        |SELECT s AS id, count(*) AS core_deg FROM sym$rounds GROUP BY s""".stripMargin
+  }
+
+  /** k-truss peel, statically unrolled like [[kcoreOracle]] — converged
+    * rounds are idempotent (the support recompute keeps every edge), so
+    * `rounds` only needs to exceed the measured fixpoint; GraphAlgoSpec
+    * pins `lastPeelRounds ≤ rounds/2` headroom on the gate's scale factor.
+    * Each round: wedge-join support per canonical edge, keep edges with
+    * support ≥ k−2, rebuild the symmetric view from the kept canon set.
+    */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val base =
+      s"""e0 AS ($edgesSql),
+         |sym0 AS MATERIALIZED (
+         |  SELECT s, d FROM (SELECT src AS s, dst AS d FROM e0
+         |                    UNION SELECT dst, src FROM e0) u
+         |  WHERE s <> d)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""keep$r AS (
+         |  SELECT t.s, t.d FROM sym$p t
+         |  JOIN sym$p x ON x.s = t.s
+         |  JOIN sym$p y ON y.s = t.d AND y.d = x.d
+         |  WHERE t.s < t.d
+         |  GROUP BY t.s, t.d HAVING count(*) >= ${k - 2}),
+         |sym$r AS MATERIALIZED (
+         |  SELECT s, d FROM keep$r UNION ALL SELECT d, s FROM keep$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$peels
+       |SELECT s AS id, count(*) AS truss_deg FROM sym$rounds GROUP BY s""".stripMargin
   }
 
   private lazy val sccOracle =

@@ -109,6 +109,52 @@ class GraphAlgoSpec extends AnyFunSuite {
         s"the gate")
   }
 
+  test("k-truss: triangle survives, pendant and bridged edges peel") {
+    import spark.implicits._
+    // Triangle {1,2,3} + pendant 3-4 + a second triangle {4,5,6} linked
+    // only through the 3-4 bridge. 3-truss: every edge must close ≥1
+    // triangle WITHIN the subgraph — both triangles survive, the bridge
+    // (support 0) peels in round 1, and nothing else is affected.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.ktruss(spark, edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L))
+    // 4-truss (every edge in ≥2 triangles): lone triangles peel to nothing.
+    assert(GraphOps.ktruss(spark, edges, k = 4).isEmpty)
+  }
+
+  test("k-truss cascade: support recomputes on the shrinking edge set") {
+    import spark.implicits._
+    // Two triangles sharing edge 2-3, plus vertex 5 attached to BOTH 1 and
+    // 4 but to nothing else: edges 1-5 and 4-5 close no triangle (5's two
+    // neighbors 1,4 are non-adjacent) and peel in round 1; everything in
+    // the bowtie {1,2,3,4} keeps ≥1 triangle and survives — the peel must
+    // not cascade past the fixpoint.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.ktruss(spark, edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("k-truss peel depth stays within half the g21 oracle's static unroll") {
+    import spark.implicits._
+    // Same empirical-bound pin as g15's: the g21 oracle unrolls 10 truss
+    // rounds; if the gate-scale data ever needs more than half that,
+    // fail HERE with the cause instead of a bare oracle hash mismatch.
+    GraphOps.ktruss(spark, GraphOps.edges(spark, "/root/testdata/sf0.01"),
+      k = 3).count()
+    val rounds = GraphOps.lastPeelRounds
+    assert(rounds <= 5,
+      s"k-truss peel took $rounds rounds at sf0.01 — the g21 DuckDB oracle " +
+        s"unrolls only 10; raise ktrussOracle(rounds = ...) before trusting " +
+        s"the gate")
+  }
+
   test("IVF top-k: high recall vs the exact scan, exact sims, full rows") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
