@@ -202,6 +202,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("l43 bigram LM: corpus pass aggregates partially map-side, no text in any exchange") {
+    // The only corpus-scale pass is the doc-level (doc_id, w1, w2) count —
+    // it must combine map-side, and no exchange may carry raw document
+    // text (the bigram explode projects it away pre-shuffle).
+    val df = SparkEntry.queries("l43_bigram_logprob")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    val shuffles = expand(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    shuffles.foreach { ex =>
+      assert(!ex.output.exists(_.name == "text"),
+        s"exchange carries text: ${ex.output.map(_.name)}")
+    }
+  }
+
   test("l32 BM25: query-term filter precedes the postings shuffle; top-k is TakeOrdered") {
     val plan = ranPlan("l32_bm25_topk")
     // Only postings for the 3 query terms may reach the tf aggregation —
