@@ -98,6 +98,10 @@ object LlmQueries {
     // Bigram LM quality score — l27's unigram ladder rung up: phrase-level
     // fluency, not just word rarity.
     "l43_bigram_logprob" -> ((s, dir) => TextStats.bigramLogProb(s, dir)),
+    // BPE tokenizer ENCODE: l42's trained merges applied back to the
+    // corpus — per-doc char and BPE-token counts, the compression-ratio
+    // curation signal.
+    "l45_bpe_encode" -> ((s, dir) => TextStats.bpeEncode(s, dir)),
     // Near-dup dedup MATERIALIZED: l25 reports the clusters; this applies
     // them — survivor = each cluster's min doc_id (the WCC label itself),
     // singletons all survive — and reports the post-dedup corpus by lang.
@@ -759,12 +763,13 @@ object LlmQueries {
            |t$r AS (SELECT $r AS round, a AS sym_a, b AS sym_b,
            |               a || b AS merged, pair_count
            |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
-           |v$r AS (SELECT replace(replace(v$p.w,
+           |v$r AS (SELECT CASE WHEN t$r.sym_a IS NULL THEN v$p.w
+           |          ELSE replace(replace(v$p.w,
            |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
            |          ' ' || t$r.merged || ' '),
            |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
-           |          ' ' || t$r.merged || ' ') AS w, cnt
-           |        FROM v$p, t$r)""".stripMargin
+           |          ' ' || t$r.merged || ' ') END AS w, cnt
+           |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
       }
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
          |v0 AS (
@@ -774,6 +779,43 @@ object LlmQueries {
          |${lvl(1)}, ${lvl(2)}, ${lvl(3)}
          |SELECT * FROM t1 UNION ALL SELECT * FROM t2
          |UNION ALL SELECT * FROM t3""".stripMargin
+    },
+    // BPE encode: the l42 merge rounds with `tok` carried through, then
+    // every document's token multiset joins the per-token symbol counts —
+    // all-integer arithmetic, so the compare is exact.
+    "l45_bpe_encode" -> {
+      def lvl(r: Int): String = {
+        val p = r - 1
+        s"""p$r AS (
+           |  SELECT ss[i] AS a, ss[i+1] AS b, sum(cnt) AS pair_count
+           |  FROM (SELECT string_split(trim(w), ' ') AS ss, cnt FROM v$p) x,
+           |       unnest(range(1, len(ss))) t(i)
+           |  GROUP BY 1, 2),
+           |t$r AS (SELECT a, b, a || b AS merged
+           |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+           |v$r AS (SELECT tok, CASE WHEN t$r.a IS NULL THEN v$p.w
+           |          ELSE replace(replace(v$p.w,
+           |          ' ' || t$r.a || ' ' || t$r.b || ' ',
+           |          ' ' || t$r.merged || ' '),
+           |          ' ' || t$r.a || ' ' || t$r.b || ' ',
+           |          ' ' || t$r.merged || ' ') END AS w, cnt
+           |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |v0 AS (
+         |  SELECT tok,
+         |         ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
+         |         count(*) AS cnt
+         |  FROM toks GROUP BY tok),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)},
+         |symc AS (SELECT tok, len(string_split(trim(w), ' ')) AS n_sym FROM v3),
+         |dt AS (
+         |  SELECT doc_id, tok, count(*) AS k
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(k * length(tok)) AS BIGINT) AS n_chars,
+         |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin
     },
     // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
     // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark

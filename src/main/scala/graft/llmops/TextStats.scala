@@ -325,16 +325,63 @@ object TextStats {
     * left-to-right over non-overlapping literal matches).
     */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (merges, fin) = bpeMergeRounds(s, dir, rounds)
+    // Every round's 1-row merge record is eagerly checkpointed inside the
+    // loop, so the working vocab cache can be freed before the union.
+    fin.unpersist()
+    merges.reduce(_ union _)
+  }
+
+  /** L45: BPE tokenizer ENCODE — applies the merge table [[bpeTrain]]
+    * learns back to the corpus and reports per-document character and
+    * BPE-token counts (the chars-per-token compression ratio is THE
+    * curation signal a trained tokenizer yields: natural text compresses,
+    * junk doesn't). Train and encode share one merge-round loop, so the
+    * applied vocabulary is the trained one by construction.
+    *
+    * Scale shape: the merge rounds run on the vocab relation (see
+    * [[bpeMergeRounds]]); encoding then needs NO corpus-scale string work
+    * at all — each document's token multiset (one map-side-combined agg)
+    * joins the per-token symbol-count relation and sums integer weights.
+    */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val (_, fin) = bpeMergeRounds(s, dir, rounds)
+    // Vocab-sized; pinned eagerly so the big cached vocab can be freed.
+    val symc = fin.select($"tok",
+        size(split(trim($"w"), " ")).as("n_sym"))
+      .localCheckpoint()
+    fin.unpersist()
+    val dt = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("k"))
+    dt.join(symc, "tok")
+      .groupBy($"doc_id")
+      .agg(sum($"k" * length($"tok")).as("n_chars"),
+        sum($"k" * $"n_sym").as("n_bpe_tokens"))
+  }
+
+  /** The shared BPE merge-round loop: collapse the corpus to its word
+    * vocabulary (tok, spelled `w`, cnt) — the only corpus-scale pass —
+    * then per round count pairs, pick the top merge, and apply it to the
+    * whole vocab via the overlap-exact two-pass padded replace. Returns
+    * (per-round 1-row merge tables, final CACHED vocab) — the caller owns
+    * unpersisting the vocab.
+    */
+  private def bpeMergeRounds(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     var vocab = Tables.load(s, dir, "documents")
       .select(explode(tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "),
+      .select($"tok", concat(lit(" "),
         concat_ws(" ", filter(split($"tok", ""), c => c =!= "")),
         lit(" ")).as("w"), $"cnt")
       .cache()
     val out = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val syms = split(trim($"w"), " ")
       val top = vocab.select(syms.as("ss"), $"cnt")
         .filter(size($"ss") >= 2)
@@ -351,22 +398,25 @@ object TextStats {
         // an unpinned plan would re-derive the whole merge chain from the
         // corpus when the final union materializes.
         .localCheckpoint()
-      out += top
-      if (r < rounds) {
+      // Exhausted vocabulary (every word already one symbol): no merge to
+      // learn or apply — a cross join against the empty top would silently
+      // WIPE the vocab. The oracles guard the same case with a LEFT JOIN.
+      if (top.isEmpty) exhausted = true
+      else {
+        out += top
         val pat = concat(lit(" "), $"sym_a", lit(" "), $"sym_b", lit(" "))
         val rep = concat(lit(" "), $"merged", lit(" "))
         val prev = vocab
         vocab = vocab.crossJoin(broadcast(top))
-          .select(replace(replace($"w", pat, rep), pat, rep).as("w"), $"cnt")
+          .select($"tok", replace(replace($"w", pat, rep), pat, rep).as("w"),
+            $"cnt")
           .cache()
         vocab.count() // materialize before freeing the parent
         prev.unpersist()
+        r += 1
       }
     }
-    // Every round's 1-row merge record is eagerly checkpointed above, so
-    // the working vocab cache can be freed before handing back the union.
-    vocab.unpersist()
-    out.result().reduce(_ union _)
+    (out.result(), vocab)
   }
 
   /** L4k (l38): per-document Shannon character entropy (nats) — the

@@ -64,6 +64,31 @@ class TextPipelineSpec extends AnyFunSuite {
       (3, "abab", "ab", "ababab", 2L)))
   }
 
+  test("bpe encode: trained merges collapse the corpus to whole-word symbols") {
+    // Same fixture as the train test: after the 3 learned merges both
+    // vocab words collapse to a single symbol ("ababab" via ab→abab→ababab,
+    // "ab" at round 1), so per-doc BPE token count = word count.
+    val dir = docsFixture(Seq(1L -> "ababab ababab", 2L -> "ab"))
+    val got = TextStats.bpeEncode(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((12L, 2L)), 2L -> ((2L, 1L))))
+  }
+
+  test("bpe encode: unmerged symbols still count per character") {
+    // One merge dominates ((a,b) count 2); "cd" never merges, so it
+    // encodes as 2 single-char symbols; "ab" encodes as 1 after round 1
+    // but rounds 2-3 find pairs only in unmerged words ("c d" count 2
+    // merges at round 2, leaving round 3 the exhausted-vocab case).
+    val dir = docsFixture(Seq(1L -> "ab ab cd", 2L -> "cd"))
+    val got = TextStats.bpeEncode(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L)._1 == 6L && got(2L)._1 == 2L)
+    // doc1: ab(1)+ab(1)+cd(1)=3 bpe tokens; doc2: cd = 1.
+    assert(got(1L)._2 == 3L && got(2L)._2 == 1L)
+  }
+
   test("bpe train: equal-count tie breaks lexicographically") {
     // (b,a) and (b,c) both count 2 → lexicographic tie-break picks (b,a).
     val dir = docsFixture(Seq(1L -> "ba ba", 2L -> "bc bc"))
