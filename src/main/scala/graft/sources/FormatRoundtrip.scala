@@ -67,6 +67,38 @@ object FormatRoundtrip {
       proj.write.mode("overwrite").orc(out)
       summarize(s.read.orc(out))
     }),
+    // The at-rest CO-LOCATION lever behind the oracle gate: both fact
+    // tables written bucketed on the join key, read back, and joined —
+    // the bucketed scan replaces the join's shuffle (pay the shuffle once
+    // at write time; every later fact⋈fact join on that key is
+    // exchange-free — THE posture for repeated 100 TB joins).
+    // Correctness: the oracle states the plain join over the parquet
+    // truth, so hash equality proves the bucketed layout is
+    // semantics-free. The plan property is pinned in PlanAuditSpec (with
+    // broadcast disabled, the join side plans no exchange and scans
+    // report `Bucketed: true`); table names carry (pid, sf) so concurrent
+    // Verify/Bench JVMs sharing ./spark-warehouse cannot collide.
+    "q59_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val pid = ProcessHandle.current().pid()
+      val to = s"b59_orders_p${pid}_$sf"
+      val tl = s"b59_lineitem_p${pid}_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $to")
+      s.sql(s"DROP TABLE IF EXISTS $tl")
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(to)
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(tl)
+      s.table(tl).join(s.table(to), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sig6(sum($"l_extendedprice" * $"l_quantity")).as("volume"))
+    }),
   )
 
   /** One oracle body: the formats must all reproduce the parquet truth. */
@@ -82,5 +114,12 @@ object FormatRoundtrip {
     "q46_csv_roundtrip" -> oracle,
     "q47_json_roundtrip" -> oracle,
     "q48_orc_roundtrip" -> oracle,
+    // The plain join over the parquet truth — bucketing must not change
+    // a single row.
+    "q59_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |       ${sig6Sql("sum(l_extendedprice * l_quantity)")} AS volume
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -202,6 +202,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q59 bucketed join: with broadcast off, the join plans no exchange") {
+    // The query's claim is the at-rest co-location lever: once both fact
+    // tables are bucketed on the join key, the join itself needs no
+    // shuffle. Disable broadcast (at fact⋈fact scale neither side
+    // broadcasts) and assert the only exchange left is the final
+    // low-cardinality aggregation, with both scans bucketed.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ranPlan("q59_bucketed_join")
+      assert(plan.contains("Bucketed: true"), plan)
+      val exchanges =
+        "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+      assert(exchanges.size == 1,
+        s"expected only the final agg exchange, got ${exchanges.size}:\n$plan")
+      assert(exchanges.head.contains("o_orderpriority"), exchanges.head)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("l43 bigram LM: corpus pass aggregates partially map-side, no text in any exchange") {
     // The only corpus-scale pass is the doc-level (doc_id, w1, w2) count —
     // it must combine map-side, and no exchange may carry raw document
