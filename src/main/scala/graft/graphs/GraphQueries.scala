@@ -198,6 +198,23 @@ object GraphQueries {
     // sparse view is triangle-free below sf0.1 and would peel to nothing.
     "g21_ktruss3" -> ((s, dir) =>
       GraphOps.ktruss(s, GraphOps.edges(s, dir), k = 3)),
+    // Bipartite projection: the order–part incidence graph (a REAL
+    // bipartite source, not the derived edge view) projected onto parts —
+    // co-purchase pair counts, the market-basket/recommender primitive.
+    // Scale shape: the self-join key is the order, so pair expansion is
+    // bounded by order size squared (≤7 lineitems in TPC-H shapes), never
+    // by part popularity; the top-k cut is a total order (cnt desc, pair
+    // asc) and plans as TakeOrdered.
+    "g22_copurchase" -> ((s, dir) => {
+      import s.implicits._
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_orders".desc, $"part_a".asc, $"part_b".asc)
+        .limit(20)
+    }),
     // Link prediction by common-neighbor count: top-20 vertex pairs sharing
     // the most neighbors (deterministic tiebreak on the pair itself). The
     // wedge join runs on the sparse view; top-k plans as TakeOrdered.
@@ -531,6 +548,13 @@ object GraphQueries {
     "g19_scc_engine" -> sccOracle,
     "g15_kcore3" -> kcoreOracle(k = 3, rounds = 24),
     "g21_ktruss3" -> ktrussOracle(k = 3, rounds = 10),
+    "g22_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
   )
 
   /** DuckDB oracle for g15: the degree-peel statically unrolled. Round r

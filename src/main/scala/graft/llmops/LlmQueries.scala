@@ -102,6 +102,9 @@ object LlmQueries {
     // corpus — per-doc char and BPE-token counts, the compression-ratio
     // curation signal.
     "l45_bpe_encode" -> ((s, dir) => TextStats.bpeEncode(s, dir)),
+    // Vocabulary coverage: per-language OOV rate under the corpus's own
+    // top-1000 token vocabulary — the tokenizer-design starvation check.
+    "l46_vocab_coverage" -> ((s, dir) => TextStats.vocabCoverage(s, dir)),
     // Near-dup dedup MATERIALIZED: l25 reports the clusters; this applies
     // them — survivor = each cluster's min doc_id (the WCC label itself),
     // singletons all survive — and reports the post-dedup corpus by lang.
@@ -817,6 +820,23 @@ object LlmQueries {
          |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin
     },
+    // Vocab coverage: identical (lang, tok, k) base relation, identical
+    // total-order vocab cut; all-integer counts, one final rounded ratio.
+    "l46_vocab_coverage" ->
+      s"""WITH tk AS (
+         |  SELECT lang, tok, count(*) AS k
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok FROM (SELECT tok, sum(k) AS cnt FROM tk GROUP BY tok)
+         |  ORDER BY cnt DESC, tok LIMIT 1000)
+         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN top.tok IS NULL THEN k ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       ${sig6Sql("CAST(sum(CASE WHEN top.tok IS NULL THEN k ELSE 0 END) AS DOUBLE) / sum(k)")}
+         |         AS oov_rate
+         |FROM tk LEFT JOIN top ON tk.tok = top.tok
+         |GROUP BY lang""".stripMargin,
     // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
     // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark
     // first-failing-family order exactly.

@@ -279,6 +279,36 @@ object TextStats {
     out
   }
 
+  /** L46: vocabulary coverage / OOV rate — fix the vocabulary to the
+    * corpus's top-`v` tokens (total order: count desc, token asc) and
+    * report per-language token counts, out-of-vocabulary counts, and the
+    * OOV rate. The standard tokenizer-design check: a vocab sized for the
+    * majority language starves the tail languages, and this is the query
+    * that shows it before training does.
+    *
+    * Scale shape: one corpus-scale (lang, tok) aggregation feeds both the
+    * global frequency cut and the per-language rollup; the top-`v` vocab
+    * is a TakeOrdered cut broadcast back, so the corpus never shuffles on
+    * token identity twice.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, v: Int = 1000): DataFrame = {
+    import s.implicits._
+    val tk = Tables.load(s, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("k"))
+      .cache()
+    val top = tk.groupBy($"tok").agg(sum($"k").as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(v)
+      .select($"tok", lit(1).as("in_v"))
+    tk.join(broadcast(top), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(sum($"k").as("n_tokens"),
+        sum(when($"in_v".isNull, $"k").otherwise(0L)).as("n_oov"),
+        graft.Canon.sig6(
+          sum(when($"in_v".isNull, $"k").otherwise(0L)).cast("double") /
+            sum($"k")).as("oov_rate"))
+  }
+
   /** L4j (l36): one distributed BPE merge-counting round — the adjacent
     * symbol-pair frequencies that drive byte-pair-encoding vocabulary
     * induction, reported as the top-k pairs. Like production BPE trainers,

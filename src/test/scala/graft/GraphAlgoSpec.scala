@@ -155,6 +155,21 @@ class GraphAlgoSpec extends AnyFunSuite {
         s"the gate")
   }
 
+  test("co-purchase projection: pair counts per order, dup lines collapse") {
+    import spark.implicits._
+    // Orders: 1 carries parts {10,20,30} (10 listed twice — distinct must
+    // collapse it), orders 2 and 3 both carry {10,20}.
+    // Pairs: (10,20)×3, (10,30)×1, (20,30)×1; total order on ties.
+    val dir = TestSpark.tempDir("graft_copurchase_fx")
+    Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+        (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("g22_copurchase")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
   test("IVF top-k: high recall vs the exact scan, exact sims, full rows") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

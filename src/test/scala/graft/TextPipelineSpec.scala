@@ -131,6 +131,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == Seq(("en", 1L, 5L), ("fr", 1L, 4L)))
   }
 
+  test("vocab coverage: total-order cut, per-lang OOV mass") {
+    import spark.implicits._
+    // freq: a:3, b:1, c:1, d:1 → top-2 = {a (count), b (tie broken asc)}.
+    // en: 4 tokens, OOV = the c → rate 0.25; fr: 2 tokens, OOV = d → 0.5.
+    val dir = TestSpark.tempDir("graft_vocab_fx")
+    Seq((1L, "a a b c", "en"), (2L, "a d", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.vocabCoverage(spark, dir, v = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map("en" -> ((4L, 1L, 0.25)), "fr" -> ((2L, 1L, 0.5))))
+  }
+
   test("char entropy: exact values, zero floor, rounded-value keep flag") {
     val dir = docsFixture(Seq(
       1L -> "aaab", // -(3/4·ln 3/4 + 1/4·ln 1/4)
