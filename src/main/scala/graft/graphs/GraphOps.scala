@@ -343,6 +343,36 @@ object GraphOps {
     }
   }
 
+  /** Local clustering coefficient: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple graph, for vertices of degree ≥ 2 — the
+    * per-vertex cohesion metric between g07's raw triangle counts and
+    * g21's truss mining. tri(v) counts TRIANGLE PARTICIPATION (each
+    * canonical triangle a<b<c credits all three corners), not g07's
+    * min-corner crediting.
+    *
+    * One canonical-edge wedge join enumerates each triangle once; the
+    * 3-corner explode and both rollups are integer; only the final ratio
+    * is floating, rounded on the shared sig grid.
+    */
+  def clusteringCoef(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val ue = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val tris = ue.as("e1").join(ue.as("e2"), $"e2.a" === $"e1.b")
+      .join(ue.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+    val part = tris.select(explode(array($"x", $"y", $"z")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("n_tri"))
+    val deg = ue.select($"a".as("id")).union(ue.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    deg.filter($"deg" >= 2)
+      .join(part, Seq("id"), "left")
+      .select($"id", $"deg", coalesce($"n_tri", lit(0L)).as("n_tri"),
+        graft.Canon.sig6(lit(2.0) * coalesce($"n_tri", lit(0L)) /
+          ($"deg" * ($"deg" - 1))).as("coef"))
+  }
+
   /** Undirected view of a directed edge list: both orientations, dedup'd.
     * One definition for every operator that symmetrizes (wcc, lpa, kcore,
     * common-neighbors) so the semantics can't drift between them.

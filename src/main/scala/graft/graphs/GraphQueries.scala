@@ -198,6 +198,11 @@ object GraphQueries {
     // sparse view is triangle-free below sf0.1 and would peel to nothing.
     "g21_ktruss3" -> ((s, dir) =>
       GraphOps.ktruss(s, GraphOps.edges(s, dir), k = 3)),
+    // Per-vertex local clustering coefficient (true triangle
+    // participation, all three corners credited) — dense view like
+    // g07/g15/g21.
+    "g23_clustering" -> ((s, dir) =>
+      GraphOps.clusteringCoef(s, GraphOps.edges(s, dir))),
     // Bipartite projection: the order–part incidence graph (a REAL
     // bipartite source, not the derived edge view) projected onto parts —
     // co-purchase pair counts, the market-basket/recommender primitive.
@@ -548,6 +553,26 @@ object GraphQueries {
     "g19_scc_engine" -> sccOracle,
     "g15_kcore3" -> kcoreOracle(k = 3, rounds = 24),
     "g21_ktruss3" -> ktrussOracle(k = 3, rounds = 10),
+    "g23_clustering" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst
+         |       UNION SELECT dst, src FROM e0 WHERE dst < src),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM ue e1
+         |        JOIN ue e2 ON e2.a = e1.b
+         |        JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |part AS (SELECT id, count(*) AS n_tri FROM (
+         |           SELECT x AS id FROM tri UNION ALL
+         |           SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+         |         GROUP BY id),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |          SELECT a AS id FROM ue UNION ALL SELECT b FROM ue) d
+         |        GROUP BY id)
+         |SELECT deg.id, CAST(deg AS BIGINT) AS deg,
+         |       CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+         |       ${graft.Canon.sig6Sql("2.0 * coalesce(n_tri, 0) / (deg * (deg - 1))")} AS coef
+         |FROM deg LEFT JOIN part ON part.id = deg.id
+         |WHERE deg >= 2""".stripMargin,
     "g22_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem)

@@ -155,6 +155,23 @@ class GraphAlgoSpec extends AnyFunSuite {
         s"the gate")
   }
 
+  test("clustering coefficient: all three corners credited, deg-1 excluded") {
+    import spark.implicits._
+    // Triangle {1,2,3} + pendant 3-4. Vertex 3 has deg 3 and ONE triangle
+    // → 2·1/(3·2) = 1/3 (min-corner crediting, g07's shape, would give
+    // vertex 3 zero); vertices 1,2 close their only wedge → 1.0; vertex 4
+    // (deg 1) is excluded, not reported as 0/0.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoef(spark, edges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
+    assert(math.abs(got(3L)._3 - 1.0 / 3) < 1e-6)
+  }
+
   test("co-purchase projection: pair counts per order, dup lines collapse") {
     import spark.implicits._
     // Orders: 1 carries parts {10,20,30} (10 listed twice — distinct must
