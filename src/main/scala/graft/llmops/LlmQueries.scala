@@ -751,10 +751,11 @@ object LlmQueries {
          |           JOIN cnt cb ON cb.source = src_b""".stripMargin
     },
     // BPE training, three merge rounds statically unrolled. The merge
-    // applies as the same two-pass padded-string replace as the Spark side
-    // (pass one misses every second occurrence of an overlapping chain;
-    // pass two catches the now-isolated rest — exact simultaneous-merge
-    // semantics, verified identical in both engines).
+    // applies as the same leftmost-greedy fold as the Spark side
+    // (list_reduce: push each symbol, pop-and-merge when the accumulator's
+    // last symbol is sym_a and the incoming one is sym_b — exact BPE
+    // apply semantics, verified identical in both engines and against a
+    // driver-side reference on random corpora).
     "l42_bpe_train" -> {
       def lvl(r: Int): String = {
         val p = r - 1
@@ -767,11 +768,14 @@ object LlmQueries {
            |               a || b AS merged, pair_count
            |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
            |v$r AS (SELECT CASE WHEN t$r.sym_a IS NULL THEN v$p.w
-           |          ELSE replace(replace(v$p.w,
-           |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
-           |          ' ' || t$r.merged || ' '),
-           |          ' ' || t$r.sym_a || ' ' || t$r.sym_b || ' ',
-           |          ' ' || t$r.merged || ' ') END AS w, cnt
+           |          ELSE list_reduce(
+           |            list_prepend('', string_split(trim(v$p.w), ' ')),
+           |            (acc, x) -> CASE WHEN x = t$r.sym_b
+           |                AND ends_with(acc, ' ' || t$r.sym_a)
+           |              THEN left(acc, len(acc) - len(t$r.sym_a) - 1) ||
+           |                   ' ' || t$r.merged
+           |              ELSE acc || ' ' || x END) || ' '
+           |          END AS w, cnt
            |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
       }
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
@@ -785,7 +789,8 @@ object LlmQueries {
     },
     // BPE encode: the l42 merge rounds with `tok` carried through, then
     // every document's token multiset joins the per-token symbol counts —
-    // all-integer arithmetic, so the compare is exact.
+    // all-integer arithmetic, so the compare is exact. Merge apply = the
+    // same leftmost-greedy list_reduce fold as l42's oracle.
     "l45_bpe_encode" -> {
       def lvl(r: Int): String = {
         val p = r - 1
@@ -797,11 +802,14 @@ object LlmQueries {
            |t$r AS (SELECT a, b, a || b AS merged
            |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
            |v$r AS (SELECT tok, CASE WHEN t$r.a IS NULL THEN v$p.w
-           |          ELSE replace(replace(v$p.w,
-           |          ' ' || t$r.a || ' ' || t$r.b || ' ',
-           |          ' ' || t$r.merged || ' '),
-           |          ' ' || t$r.a || ' ' || t$r.b || ' ',
-           |          ' ' || t$r.merged || ' ') END AS w, cnt
+           |          ELSE list_reduce(
+           |            list_prepend('', string_split(trim(v$p.w), ' ')),
+           |            (acc, x) -> CASE WHEN x = t$r.b
+           |                AND ends_with(acc, ' ' || t$r.a)
+           |              THEN left(acc, len(acc) - len(t$r.a) - 1) ||
+           |                   ' ' || t$r.merged
+           |              ELSE acc || ' ' || x END) || ' '
+           |          END AS w, cnt
            |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
       }
       s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),

@@ -346,13 +346,11 @@ object TextStats {
     * only corpus-scale pass — and every merge round then runs on the
     * vocab relation (orders of magnitude smaller), as one pair aggregation
     * plus a broadcast 1-row join. Words are spelled as space-delimited
-    * symbol strings and a merge applies as two literal `replace` passes on
-    * the padded string: one pass misses every second occurrence in an
-    * overlapping chain ("a b a b" shares the middle delimiter), and after
-    * pass one the missed occurrences are isolated, so pass two is exact —
-    * this reproduces BPE's simultaneous leftmost-greedy merge with
-    * identical semantics in Spark and DuckDB (both scan the source string
-    * left-to-right over non-overlapping literal matches).
+    * symbol strings and a merge applies as a leftmost-greedy
+    * string-accumulator fold (see [[bpeMergeRounds]]) — exact BPE apply
+    * semantics, identical in Spark (`aggregate` HOF) and DuckDB
+    * (`list_reduce`), and differentially tested against an independent
+    * driver-side implementation on random corpora.
     */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val (merges, fin) = bpeMergeRounds(s, dir, rounds)
@@ -394,9 +392,9 @@ object TextStats {
   /** The shared BPE merge-round loop: collapse the corpus to its word
     * vocabulary (tok, spelled `w`, cnt) — the only corpus-scale pass —
     * then per round count pairs, pick the top merge, and apply it to the
-    * whole vocab via the overlap-exact two-pass padded replace. Returns
-    * (per-round 1-row merge tables, final CACHED vocab) — the caller owns
-    * unpersisting the vocab.
+    * whole vocab via the leftmost-greedy fold (see the in-loop comment).
+    * Returns (per-round 1-row merge tables, final CACHED vocab) — the
+    * caller owns unpersisting the vocab.
     */
   private def bpeMergeRounds(s: SparkSession, dir: String, rounds: Int)
       : (Seq[DataFrame], DataFrame) = {
@@ -434,12 +432,30 @@ object TextStats {
       if (top.isEmpty) exhausted = true
       else {
         out += top
-        val pat = concat(lit(" "), $"sym_a", lit(" "), $"sym_b", lit(" "))
-        val rep = concat(lit(" "), $"merged", lit(" "))
+        // Leftmost-greedy merge apply as a string-accumulator fold: push
+        // each symbol; when the accumulator's LAST symbol is sym_a and the
+        // incoming one is sym_b, pop and push the merged symbol instead.
+        // This is exactly BPE's left-to-right non-overlapping scan (a
+        // freshly merged symbol can never equal sym_a again, so it cannot
+        // over-merge) — including odd same-symbol runs, where a literal
+        // " a b "→" ab " replace pairs the wrong occurrences ("b b b b b"
+        // must become "bb bb b", not "bb b bb"; caught by the
+        // differential spec). The oracle runs the identical fold via
+        // DuckDB list_reduce.
         val prev = vocab
+        val foldApply = {
+          val syms = split(trim($"w"), " ")
+          val folded = aggregate(syms, lit(""),
+            (acc, x) => when(x === $"sym_b" &&
+                endswith(acc, concat(lit(" "), $"sym_a")),
+              concat(acc.substr(lit(1),
+                length(acc) - length($"sym_a") - 1),
+                lit(" "), $"merged"))
+              .otherwise(concat(acc, lit(" "), x)))
+          concat(folded, lit(" "))
+        }
         vocab = vocab.crossJoin(broadcast(top))
-          .select($"tok", replace(replace($"w", pat, rep), pat, rep).as("w"),
-            $"cnt")
+          .select($"tok", foldApply.as("w"), $"cnt")
           .cache()
         vocab.count() // materialize before freeing the parent
         prev.unpersist()

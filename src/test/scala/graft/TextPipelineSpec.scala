@@ -46,11 +46,11 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(full == expected)
   }
 
-  test("bpe train: weighted pick, chained merges, overlap-exact apply") {
+  test("bpe train: weighted pick, chained merges, greedy overlap apply") {
     // vocab: "ababab"×2, "ab"×1.
     //  r1 pairs: (a,b) 3·2+1 = 7, (b,a) 2·2 = 4 → merge (a,b)→"ab" @7.
-    //    " a b a b a b " is the overlapping chain: pass one of the padded
-    //    replace catches occurrences 1 and 3, pass two the isolated middle.
+    //    "a b a b a b" is the overlapping chain: the greedy fold merges
+    //    occurrences 1, 2 and 3 left to right → "ab ab ab".
     //  r2: (ab,ab) 2·2 = 4 → "abab";  r3: (abab,ab) 1·2 = 2 → "ababab".
     val dir = docsFixture(Seq(1L -> "ababab ababab", 2L -> "ab"))
     val got = TextStats.bpeTrain(spark, dir)
@@ -87,6 +87,73 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(1L)._1 == 6L && got(2L)._1 == 2L)
     // doc1: ab(1)+ab(1)+cd(1)=3 bpe tokens; doc2: cd = 1.
     assert(got(1L)._2 == 3L && got(2L)._2 == 1L)
+  }
+
+  test("bpe train+encode match a driver-side reference on random corpora") {
+    // Differential check: an independent, obviously-correct driver-side
+    // BPE (explicit leftmost-greedy symbol-list merge, no string replace
+    // tricks) must agree with the distributed padded-replace pipeline on
+    // random small-alphabet corpora — repeated chars make overlapping
+    // chains ("ababab") and count ties common, exactly the paths hand
+    // fixtures under-sample. Seeded: failures reproduce.
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(docs: Seq[String], rounds: Int)
+        : (Seq[(Int, String, String, String, Long)], Map[String, Int]) = {
+      val words = docs.flatMap(_.split("[^a-z0-9]+").filter(_.nonEmpty))
+      var vocab: Map[String, (Vector[String], Long)] = words
+        .groupBy(identity).map { case (w, ws) =>
+          w -> ((w.split("").filter(_.nonEmpty).toVector, ws.size.toLong)) }
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var stop = false
+      while (r <= rounds && !stop) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((_, (syms, c)) <- vocab; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) =
+            pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pairs.isEmpty) stop = true
+        else {
+          val ((a, b), pc) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((r, a, b, a + b, pc))
+          vocab = vocab.map { case (w, (syms, c)) =>
+            w -> ((applyMerge(syms, a, b), c)) }
+          r += 1
+        }
+      }
+      (merges.result(), vocab.map { case (w, (syms, _)) => w -> syms.length })
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 6) {
+      val docs = Seq.fill(2 + rnd.nextInt(3))(
+        Seq.fill(3 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(6))(
+            if (rnd.nextBoolean()) "a" else "b").mkString).mkString(" "))
+      val dir = docsFixture(docs.zipWithIndex.map {
+        case (t, i) => (i + 1L) -> t })
+      val (expMerges, expSyms) = refBpe(docs, rounds = 3)
+      val gotMerges = TextStats.bpeTrain(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(gotMerges == expMerges, s"docs=$docs")
+      val gotEnc = TextStats.bpeEncode(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val expEnc = docs.zipWithIndex.map { case (t, i) =>
+        val ws = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+        (i + 1L) -> ((ws.map(_.length.toLong).sum,
+          ws.map(w => expSyms(w).toLong).sum))
+      }.toMap
+      assert(gotEnc == expEnc, s"docs=$docs")
+    }
   }
 
   test("bpe train: equal-count tie breaks lexicographically") {
