@@ -373,6 +373,30 @@ object GraphOps {
           ($"deg" * ($"deg" - 1))).as("coef"))
   }
 
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the symmetric edge set (each undirected edge contributes both
+    * orientations, the standard convention) — do hubs attach to hubs
+    * (r>0) or to leaves (r<0; a perfect star is −1)? All six sums are
+    * integers, so both engines aggregate exactly; only the closing
+    * formula is floating, rounded once on the shared grid.
+    */
+  def assortativity(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+    val dsrc = deg.select($"id".as("sid"), $"deg".as("dx"))
+    val ddst = deg.select($"id".as("did"), $"deg".as("dy"))
+    sym.join(dsrc, $"src" === $"sid").join(ddst, $"dst" === $"did")
+      .agg(count(lit(1)).as("n"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"))
+      .select($"n".as("n_edges"),
+        graft.Canon.sig6(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("assortativity"))
+  }
+
   /** Undirected view of a directed edge list: both orientations, dedup'd.
     * One definition for every operator that symmetrizes (wcc, lpa, kcore,
     * common-neighbors) so the semantics can't drift between them.

@@ -203,6 +203,14 @@ object GraphQueries {
     // g07/g15/g21.
     "g23_clustering" -> ((s, dir) =>
       GraphOps.clusteringCoef(s, GraphOps.edges(s, dir))),
+    // Degree assortativity: Pearson correlation of endpoint degrees over
+    // the symmetric edge set — do hubs attach to hubs? All sums are
+    // integers (exact on both engines); only the closing formula is
+    // floating, rounded once on the shared grid. One number for the whole
+    // graph, the structure signal the reference's degree histogram
+    // (g14, 实验数据.xlsx sheet5) stops short of.
+    "g24_assortativity" -> ((s, dir) =>
+      GraphOps.assortativity(s, GraphOps.edges(s, dir))),
     // Bipartite projection: the order–part incidence graph (a REAL
     // bipartite source, not the derived edge view) projected onto parts —
     // co-purchase pair counts, the market-basket/recommender primitive.
@@ -573,6 +581,22 @@ object GraphQueries {
          |       ${graft.Canon.sig6Sql("2.0 * coalesce(n_tri, 0) / (deg * (deg - 1))")} AS coef
          |FROM deg LEFT JOIN part ON part.id = deg.id
          |WHERE deg >= 2""".stripMargin,
+    "g24_assortativity" ->
+      s"""WITH e0 AS ($edgesSql),
+         |sym AS (SELECT s, d FROM (SELECT src AS s, dst AS d FROM e0
+         |                          UNION SELECT dst, src FROM e0) u
+         |        WHERE s <> d),
+         |deg AS (SELECT s AS id, count(*) AS deg FROM sym GROUP BY s),
+         |m AS (SELECT count(*) AS n, sum(a.deg) AS sx, sum(b.deg) AS sy,
+         |             sum(a.deg * b.deg) AS sxy,
+         |             sum(a.deg * a.deg) AS sxx, sum(b.deg * b.deg) AS syy
+         |      FROM sym JOIN deg a ON a.id = sym.s JOIN deg b ON b.id = sym.d)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         |       ${graft.Canon.sig6Sql(
+             "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+               "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+               "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")} AS assortativity
+         |FROM m""".stripMargin,
     "g22_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem)

@@ -172,6 +172,17 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(math.abs(got(3L)._3 - 1.0 / 3) < 1e-6)
   }
 
+  test("assortativity: a perfect star is exactly -1") {
+    import spark.implicits._
+    // Star K1,3: every edge joins the deg-3 hub to a deg-1 leaf — maximal
+    // disassortativity, r = −1 exactly (n=6 oriented edges; integer sums
+    // 12/12/18/30/30 give (6·18−144)/(√36·√36) = −1).
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = GraphOps.assortativity(spark, star).collect().head
+    assert(got.getLong(0) == 6L)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
   test("co-purchase projection: pair counts per order, dup lines collapse") {
     import spark.implicits._
     // Orders: 1 carries parts {10,20,30} (10 listed twice — distinct must
