@@ -259,6 +259,40 @@ object EventQueries {
       drain(s, EventStreams.enrich(src, dim), "s07", "append", dir)
     }),
 
+    // The transformWithState arbitrary-state API (the mapGroupsWithState
+    // successor) through the runtime: per-user ValueState tracks (running
+    // max, running count) ACROSS micro-batches — the replay is staged as
+    // TWO parquet files and drained with maxFilesPerTrigger=1, so the
+    // second batch's correctness depends on state persisted from the
+    // first (a lost ValueState would under-count). Emissions are monotone
+    // per user, so the per-key max over the drained relation equals the
+    // final state regardless of file arrival order, and the oracle is a
+    // plain per-user aggregate. transformWithState requires the RocksDB
+    // state store; the conf is scoped to this query's start().
+    "s08_stream_hwm" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val staged = stage(ev.filter($"event_id" % 2 === 0), "s08", dir)
+      ev.filter($"event_id" % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(staged)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val drained = try {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+          .as[EventStreams.Ev]
+        drain(s, EventStreams.highWatermark(src).toDF(), "s08", "append", dir)
+      } finally prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+      unstage(staged)
+      drained.groupBy($"user_id")
+        .agg(sig6(max($"max_value")).as("max_value"),
+          max($"n_events").as("n_events"))
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -405,6 +439,13 @@ object EventQueries {
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
         |       c.c_name AS dim_label
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
+    // The final per-user state must equal the plain batch aggregate — a
+    // ValueState lost between the two staged micro-batches would
+    // under-count n_events / under-max max_value and hash-mismatch.
+    "s08_stream_hwm" ->
+      s"""SELECT user_id, ${sig6Sql("max(value)")} AS max_value,
+         |       count(*) AS n_events
+         |FROM events GROUP BY user_id""".stripMargin,
   )
 
   private lazy val rangeJoinOracle =

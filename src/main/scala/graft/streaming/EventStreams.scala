@@ -118,6 +118,46 @@ object EventStreams {
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                            n_events: Int, total_value: Double)
 
+  final case class UserHwm(user_id: Long, max_value: Double, n_events: Long)
+
+  /** Per-user high-watermark tracking through `transformWithState` — the
+    * arbitrary-state API succeeding mapGroupsWithState (Spark 4): a typed
+    * `ValueState` carries (running max, running count) ACROSS micro-batches
+    * and each batch emits the key's updated running state. Both components
+    * are monotone, so the drained relation's per-key max equals the final
+    * state regardless of micro-batch arrival order — what makes a finite
+    * multi-batch replay oracle-checkable. TimeMode.None keeps state for the
+    * query's lifetime; a production deployment bounds it with a TTLConfig
+    * duration (the eviction lever at 100 TB key cardinality).
+    */
+  final class HwmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, UserHwm] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Double, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Double, Long)]("hwm",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserHwm] = {
+      var (mx, cnt) =
+        if (st.exists()) st.get() else (Double.NegativeInfinity, 0L)
+      rows.foreach { r => mx = math.max(mx, r.value); cnt += 1 }
+      st.update((mx, cnt))
+      Iterator.single(UserHwm(key, mx, cnt))
+    }
+  }
+
+  def highWatermark(events: Dataset[Ev]): Dataset[UserHwm] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HwmProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMs` event-time of the previous one.
     * Custom per-key state — the streaming analogue of the reference's

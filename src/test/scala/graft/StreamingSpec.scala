@@ -173,6 +173,28 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.Session(11, 10 * 60000L, 10 * 60000L, 1, 3.0)))
   }
 
+  test("transformWithState hwm: ValueState survives across two micro-batches") {
+    import spark.implicits._
+    // The registry query stages the replay as TWO files and drains with
+    // maxFilesPerTrigger=1 — correctness REQUIRES the per-user ValueState
+    // to persist across batches (a reset state under-counts n_events).
+    // The drain stats must therefore record >= 2 micro-batches with data.
+    val got = SparkEntry.queries("s08_stream_hwm")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val exp = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"user_id")
+      .agg(graft.Canon.sig6(max($"value")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(got == exp)
+    val (batches, _) = graft.streaming.EventQueries.lastDrainStats.get("s08")
+    assert(batches >= 2,
+      s"expected >=2 micro-batches (two staged files), got $batches")
+  }
+
   test("checkpointed restart: file source → file sink is exactly-once") {
     import spark.implicits._
     val base = TestSpark.tempDir("graft-restart")
