@@ -141,6 +141,44 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("k-truss matches a driver-side reference peel on random graphs") {
+    import spark.implicits._
+    // Differential check in the BPE-spec mould: an obviously-correct
+    // driver-side fixpoint peel (recompute supports from scratch each
+    // round) must agree with the distributed shrinking-edge-set loop on
+    // random graphs — cascades, isolated vertices, and multi-round peels
+    // arise naturally where hand fixtures stay small. Seeded.
+    def refTruss(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(p => p._1 != p._2)
+      var changed = true
+      while (changed) {
+        val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, s) => v -> s.map(_._2).toSet }
+        def nbrs(v: Long) = adj.getOrElse(v, Set.empty[Long])
+        val bad = es.filter { case (a, b) =>
+          nbrs(a).intersect(nbrs(b)).size < k - 2 }
+        changed = bad.nonEmpty
+        es --= bad
+      }
+      es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, l) => v -> l.size }
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 4; k <- Seq(3, 4)) {
+      val n = 8 + rnd.nextInt(5)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.35
+      } yield if (rnd.nextBoolean()) (a, b) else (b, a)).toSet
+      if (edges.nonEmpty) {
+        val got = GraphOps.ktruss(spark, edges.toSeq.toDF("src", "dst"), k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+        assert(got == refTruss(edges, k), s"k=$k edges=$edges")
+      }
+    }
+  }
+
   test("k-truss peel depth stays within half the g21 oracle's static unroll") {
     import spark.implicits._
     // Same empirical-bound pin as g15's: the g21 oracle unrolls 10 truss
