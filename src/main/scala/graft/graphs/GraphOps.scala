@@ -22,6 +22,7 @@ import graft.Tables
   */
 object GraphOps {
 
+  import graft.engine.LoopConf
   import graft.engine.LoopConf.{loopParallelism, withShuffleParts}
 
   /** Directed derived edges. Kept in sync with [[GraphQueries.edgesSql]]. */
@@ -306,7 +307,15 @@ object GraphOps {
     import s.implicits._
     val symAll = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
     val m = symAll.count()
-    withShuffleParts(s, loopParallelism(s, m)) {
+    // Sized to the WEDGE join, not the edge relation: each support round
+    // expands every canonical edge by its endpoint degree (~m·avgdeg
+    // intermediate rows), so sizing on m alone collapses a 260k-edge
+    // graph's 30M-row support aggregation onto ONE reduce task (the join
+    // itself survives via the broadcast edge side, which is why the local
+    // penalty is only ~20% — but at cluster scale the single-partition
+    // aggregation is the whole round). The ×64 amplification factor keeps
+    // fixture-sized graphs on one task while real graphs fan out.
+    withShuffleParts(s, LoopConf.sizedParallelism(s, m, 24 * 64)) {
       var sym = symAll.localCheckpoint()
       symAll.unpersist()
       var done = false
