@@ -105,6 +105,15 @@ object LlmQueries {
     // Vocabulary coverage: per-language OOV rate under the corpus's own
     // top-1000 token vocabulary — the tokenizer-design starvation check.
     "l46_vocab_coverage" -> ((s, dir) => TextStats.vocabCoverage(s, dir)),
+    // Language confusion matrix: declared lang × l13's language-ID vote —
+    // the audit that shows WHERE a lang classifier and the corpus metadata
+    // disagree before either is trusted for mixture planning.
+    "l48_lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextStats.langIdHeuristic(s, dir)
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     // Near-dup dedup MATERIALIZED: l25 reports the clusters; this applies
     // them — survivor = each cluster's min doc_id (the WCC label itself),
     // singletons all survive — and reports the post-dedup corpus by lang.
@@ -158,6 +167,27 @@ object LlmQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** The l13 language-ID argmax (scored marker evidence per candidate,
+    * row_number tie-break matching the Spark sort_array descending-struct
+    * order). Shared by l13 (per-doc votes) and l48 (confusion matrix).
+    */
+  private val langIdOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, 'en' AS cand,
+       |         CAST(len(list_filter(ws, w -> w IN ('the','and','of'))) AS DOUBLE) AS score FROM t
+       |  UNION ALL SELECT doc_id, lang, 'es',
+       |         CAST(len(list_filter(ws, w -> w IN ('el','la','de'))) AS DOUBLE) FROM t
+       |  UNION ALL SELECT doc_id, lang, 'fr',
+       |         CAST(len(list_filter(ws, w -> w IN ('le','la','et'))) AS DOUBLE) FROM t
+       |  UNION ALL SELECT doc_id, lang, 'de',
+       |         CAST(len(list_filter(ws, w -> w IN ('der','die','und'))) AS DOUBLE) FROM t
+       |  UNION ALL SELECT doc_id, lang, 'zh', 0.0 FROM t)
+       |SELECT doc_id, lang, cand AS lang_pred FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+       |  FROM sc) x WHERE rn = 1""".stripMargin
 
   /** l03's jaccard-pair relation fed through the g04-style min-label
     * closure: `lab(id, comp)` labels every clustered doc with its
@@ -355,22 +385,13 @@ object LlmQueries {
     // Marker-scoring language ID: per candidate language, count of its
     // marker tokens; argmax with the Spark side's exact tie order (score
     // DESC, then candidate code DESC — the struct sort in langIdHeuristic).
-    "l13_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
-         |sc AS (
-         |  SELECT doc_id, lang, 'en' AS cand,
-         |         CAST(len(list_filter(ws, w -> w IN ('the','and','of'))) AS DOUBLE) AS score FROM t
-         |  UNION ALL SELECT doc_id, lang, 'es',
-         |         CAST(len(list_filter(ws, w -> w IN ('el','la','de'))) AS DOUBLE) FROM t
-         |  UNION ALL SELECT doc_id, lang, 'fr',
-         |         CAST(len(list_filter(ws, w -> w IN ('le','la','et'))) AS DOUBLE) FROM t
-         |  UNION ALL SELECT doc_id, lang, 'de',
-         |         CAST(len(list_filter(ws, w -> w IN ('der','die','und'))) AS DOUBLE) FROM t
-         |  UNION ALL SELECT doc_id, lang, 'zh', 0.0 FROM t)
-         |SELECT doc_id, lang, cand AS lang_pred FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
-         |  FROM sc) x WHERE rn = 1""".stripMargin,
+    "l13_langid" -> langIdOracle,
+    // The same argmax relation rolled up to the (declared, predicted)
+    // matrix.
+    "l48_lang_confusion" ->
+      s"""WITH pred AS ($langIdOracle)
+         |SELECT lang, lang_pred, count(*) AS n_docs
+         |FROM pred GROUP BY lang, lang_pred""".stripMargin,
     "l16_quality_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

@@ -213,6 +213,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == Map("en" -> ((4L, 1L, 0.25)), "fr" -> ((2L, 1L, 0.5))))
   }
 
+  test("lang confusion: declared vs predicted matrix, zero-evidence tie") {
+    import spark.implicits._
+    // doc 1: en markers declared en (diagonal); doc 2: en markers declared
+    // fr (off-diagonal); doc 3: no markers at all → every score ties at 0
+    // and the DESC candidate tie-break picks 'zh' on both engines.
+    val dir = TestSpark.tempDir("graft_conf_fx")
+    Seq((1L, "the and of the", "en"), (2L, "the and of", "fr"),
+        (3L, "xyz qrs", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("l48_lang_confusion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("en", "en", 1L), ("fr", "en", 1L), ("zh", "zh", 1L)))
+  }
+
   test("char entropy: exact values, zero floor, rounded-value keep flag") {
     val dir = docsFixture(Seq(
       1L -> "aaab", // -(3/4·ln 3/4 + 1/4·ln 1/4)
