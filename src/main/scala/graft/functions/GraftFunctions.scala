@@ -68,6 +68,14 @@ object GraftFunctions {
           s"winnow_fps k and w must be positive, got k=$k w=$w")
         WinnowPacked(es(0), k, w)
       })),
+    (FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      arity("topk_agg", 3)(es => {
+        val k = foldableInt("topk_agg k", es(2))
+        require(k > 0 && k <= 1024,
+          s"topk_agg k must be in [1, 1024], got $k")
+        TopKAgg(es(0), es(1), k)
+      })),
     // Spark ships bloom-filter expressions for its own runtime-filter
     // injection but does not register them as SQL functions; exposing them
     // makes the classic "build sketch, prune map-side" pattern (l31
@@ -121,6 +129,13 @@ object GraftFunctions {
   def arraySumAgg(spark: SparkSession, v: Column): Column = {
     ensureRegistered(spark)
     call_function("array_sum_agg", v)
+  }
+
+  /** Bounded top-k aggregate: k smallest (ord, id) pairs, rank-ordered. */
+  def topkAgg(spark: SparkSession, ord: Column, id: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    call_function("topk_agg", ord, id,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Packed winnowing fingerprints (hash << 32 | pos) of a text column. */

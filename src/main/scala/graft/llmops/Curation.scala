@@ -142,4 +142,31 @@ object Curation {
         graft.Canon.sig6(
           least(lit(1.0), $"total" / ($"n_sources" * $"n"))).as("rate"))
   }
+
+  /** L47: per-source quota — keep the k longest documents of each source
+    * (longest-first, doc_id tie-break), the per-domain cap every crawl
+    * pipeline applies before heavy downstream stages.
+    *
+    * Deliberately NOT `row_number() OVER (PARTITION BY source ...)`: the
+    * window form shuffles the ENTIRE corpus to per-source partitions and
+    * sorts each source's full document set to keep k rows of it — at 100 TB
+    * with a handful of mega-sources that is a corpus-wide sort with a hot
+    * partition per big domain. [[graft.functions.TopKAgg]] instead folds
+    * (ord, doc_id) pairs into a constant 2k-long buffer that
+    * partial-aggregates map-side, so the exchange carries at most
+    * tasks x sources x k pairs and no task ever holds more than k rows per
+    * source. PlanAuditSpec pins the partial_topk_agg map-side phase;
+    * FunctionProperties pins rank-equality with the window form.
+    */
+  def sourceQuota(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"source", $"n_chars", $"doc_id")
+      .groupBy($"source")
+      .agg(graft.functions.GraftFunctions
+        .topkAgg(s, -$"n_chars", $"doc_id", k).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("doc_id"), (-$"col.ord").as("n_chars"))
+  }
 }

@@ -114,6 +114,10 @@ object LlmQueries {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // Per-source quota: keep each source's k longest documents via the
+    // bounded TopKAgg (map-side-partial constant state), not a
+    // corpus-sorting window — the per-domain cap of crawl pipelines.
+    "l47_source_quota" -> ((s, dir) => Curation.sourceQuota(s, dir)),
     // Near-dup dedup MATERIALIZED: l25 reports the clusters; this applies
     // them — survivor = each cluster's min doc_id (the WCC label itself),
     // singletons all survive — and reports the post-dedup corpus by lang.
@@ -392,6 +396,16 @@ object LlmQueries {
       s"""WITH pred AS ($langIdOracle)
          |SELECT lang, lang_pred, count(*) AS n_docs
          |FROM pred GROUP BY lang, lang_pred""".stripMargin,
+    // The quota relation is small (sources x k), so the oracle can afford
+    // the window form the Spark side deliberately avoids — their equality
+    // is exactly the "aggregate ≡ sort-then-take" claim.
+    "l47_source_quota" ->
+      """SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5""".stripMargin,
     "l16_quality_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

@@ -94,4 +94,23 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(rates.forall(r => r._3 > 0.0 && r._3 <= 1.0))
   }
+
+  test("source quota == the window formulation it replaces") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The bounded TopKAgg plan must land row-for-row on the
+    // row_number-window plan it is the scale-correct substitute for.
+    val agg = Curation.sourceQuota(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    val win = graft.Tables.load(spark, sf, "documents")
+      .select($"source", row_number().over(w).cast("long").as("rank"),
+        $"doc_id", $"n_chars")
+      .filter($"rank" <= 5)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(agg == win)
+    assert(agg.groupBy(_._1).forall(_._2.size == 5)) // full quota per source
+  }
 }

@@ -41,4 +41,36 @@ object FunctionProperties extends Properties("graft.functions") {
       (nk < w) || (1 to nk - w + 1).forall(st =>
         (st until st + w).exists(p => sel.contains(p.toLong)))
     }
+
+  // --- TopKState: the bounded buffer under l47's quota aggregate ---
+
+  private val genTopK: Gen[(Int, List[(Long, Long)], Int)] = for {
+    k <- Gen.choose(1, 6)
+    n <- Gen.choose(0, 40)
+    // Small value domain on purpose: ord ties are common, exercising the
+    // (ord, id) tie-break shift path.
+    ps <- Gen.listOfN(n, Gen.zip(
+      Gen.choose(-5L, 5L), Gen.choose(0L, 9L)))
+    cut <- Gen.choose(0, n)
+  } yield (k, ps, cut)
+
+  property("TopKState == sort-take reference (duplicates kept)") =
+    Prop.forAll(genTopK) { case (k, ps, _) =>
+      val st = new graft.functions.TopKState(k)
+      ps.foreach { case (o, i) => st.insert(o, i) }
+      val got = (0 until st.n).map(j => (st.ords(j), st.ids(j)))
+      got == ps.sorted.take(k)
+    }
+
+  property("TopKState merge of a split == single-pass (partial-agg law)") =
+    Prop.forAll(genTopK) { case (k, ps, cut) =>
+      val (a, b) = ps.splitAt(cut)
+      val sa = new graft.functions.TopKState(k)
+      a.foreach { case (o, i) => sa.insert(o, i) }
+      val sb = new graft.functions.TopKState(k)
+      b.foreach { case (o, i) => sb.insert(o, i) }
+      (0 until sb.n).foreach(j => sa.insert(sb.ords(j), sb.ids(j)))
+      val got = (0 until sa.n).map(j => (sa.ords(j), sa.ids(j)))
+      got == ps.sorted.take(k)
+    }
 }

@@ -437,4 +437,14 @@ class PlanAuditSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
     assert(probeShuffles.isEmpty, bhj.get.left.toString)
   }
+
+  test("l47 source quota: partial topk agg map-side, no window sort") {
+    val plan = ranPlan("l47_source_quota")
+    // The quota must be the bounded aggregate folding map-side (constant
+    // 2k-long state per source per task), not row_number's
+    // shuffle-everything-then-sort-each-source window.
+    assert(plan.contains("partial_topk_agg"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("row_number"), plan)
+  }
 }
