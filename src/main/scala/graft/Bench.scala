@@ -250,9 +250,11 @@ object Bench {
     // commit measured b03's loop at 19 s and 63 s on two boxes. Recording
     // the host makes cross-round comparisons self-explaining.
     val cpuModel = try {
-      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+      val srcFile = scala.io.Source.fromFile("/proc/cpuinfo")
+      try srcFile.getLines()
         .collectFirst { case l if l.startsWith("model name") =>
           l.split(":", 2)(1).trim }.getOrElse("unknown")
+      finally srcFile.close()
     } catch { case _: Throwable => "unknown" }
     val memGb = Runtime.getRuntime.maxMemory() / (1L << 30)
     val fileJson = json.dropRight(1) +

@@ -357,7 +357,19 @@ object TextStats {
     // Every round's 1-row merge record is eagerly checkpointed inside the
     // loop, so the working vocab cache can be freed before the union.
     fin.unpersist()
-    merges.reduce(_ union _)
+    if (merges.isEmpty) {
+      // Vocabulary exhausted before round 1 (every token a single symbol):
+      // no merges to report. The loop guards this mid-run; an unguarded
+      // reduce here would throw on the empty Seq while the oracle returns
+      // an empty relation for the same corpus.
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("round", IntegerType, nullable = false),
+          StructField("sym_a", StringType), StructField("sym_b", StringType),
+          StructField("merged", StringType),
+          StructField("pair_count", LongType))))
+    } else merges.reduce(_ union _)
   }
 
   /** L45: BPE tokenizer ENCODE — applies the merge table [[bpeTrain]]

@@ -31,6 +31,29 @@ object FormatRoundtrip {
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip/p$pid/$sf/$fmt"
   }
 
+  /** Delete q59 bucket-table directories whose owning pid is gone. Only
+    * dead-pid dirs are touched, so concurrent live JVMs sharing the
+    * warehouse keep their isolation; this JVM's own tables are reused via
+    * overwrite mode.
+    */
+  private def cleanupStaleBucketTables(s: SparkSession): Unit = {
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whUri = java.net.URI.create(whConf)
+    val wh = new java.io.File(
+      if (whUri.getScheme == null) whConf else whUri.getPath)
+    val pat = "b59_[a-z]+_p([0-9]+)_.*".r
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(wh.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(pid) if ProcessHandle.of(pid.toLong).isEmpty => rm(f)
+        case _ => ()
+      }
+    }
+  }
+
   private def projection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
@@ -80,8 +103,15 @@ object FormatRoundtrip {
     // Verify/Bench JVMs sharing ./spark-warehouse cannot collide.
     "q59_bucketed_join" -> ((s, dir) => {
       import s.implicits._
-      val sf = new java.io.File(dir).getName.replace(".", "_")
+      // Full identifier sanitization (any non-alphanumeric, not just the
+      // dot — a hyphenated dir basename would otherwise emit unparseable
+      // SQL), and a warehouse sweep of table dirs left by DEAD pids: the
+      // pid-keyed names that isolate concurrent JVMs also defeat DROP IF
+      // EXISTS across runs (each fresh in-memory catalog starts empty),
+      // so without the sweep every run leaks two bucketed fact copies.
+      val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val pid = ProcessHandle.current().pid()
+      cleanupStaleBucketTables(s)
       val to = s"b59_orders_p${pid}_$sf"
       val tl = s"b59_lineitem_p${pid}_$sf"
       s.sql(s"DROP TABLE IF EXISTS $to")

@@ -268,7 +268,7 @@ object EventQueries {
     // per user, so the per-key max over the drained relation equals the
     // final state regardless of file arrival order, and the oracle is a
     // plain per-user aggregate. transformWithState requires the RocksDB
-    // state store; the conf is scoped to this query's start().
+    // state store; the conf is scoped to a child session of this query.
     "s08_stream_hwm" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
@@ -277,16 +277,20 @@ object EventQueries {
       val staged = stage(ev.filter($"event_id" % 2 === 0), "s08", dir)
       ev.filter($"event_id" % 2 =!= 0)
         .coalesce(1).write.mode("append").parquet(staged)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      val drained = try {
-        val src = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", "1").parquet(staged)
-          .as[EventStreams.Ev]
-        drain(s, EventStreams.highWatermark(src).toDF(), "s08", "append", dir)
-      } finally prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+      // The RocksDB provider conf lives on a CHILD session: setting it on
+      // the shared session would race any concurrently-planned streaming
+      // query (Verify's pool overlaps queries), silently switching its
+      // state store. newSession() shares the context but isolates SQLConf,
+      // so the provider choice is scoped to this query by construction.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      val src = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .as[EventStreams.Ev]
+      val drained =
+        drain(s2, EventStreams.highWatermark(src).toDF(), "s08", "append", dir)
       unstage(staged)
       drained.groupBy($"user_id")
         .agg(sig6(max($"max_value")).as("max_value"),

@@ -111,6 +111,12 @@ class CurationSpec extends AnyFunSuite {
       .filter($"rank" <= 5)
       .as[(String, Long, Long, Long)].collect().toSet
     assert(agg == win)
-    assert(agg.groupBy(_._1).forall(_._2.size == 5)) // full quota per source
+    // Quota is min(5, source size) — computed from the fixture, not
+    // hard-coded, so a regenerated corpus with a small source can't fail
+    // this spuriously.
+    val perSource = graft.Tables.load(spark, sf, "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(agg.groupBy(_._1).forall { case (src, rows) =>
+      rows.size == math.min(5L, perSource(src)) })
   }
 }

@@ -64,6 +64,21 @@ class TextPipelineSpec extends AnyFunSuite {
       (3, "abab", "ab", "ababab", 2L)))
   }
 
+  test("bpe train: round-1-exhausted vocabulary yields an empty merge table") {
+    // Every token is a single character: no adjacent pair exists, so the
+    // loop exhausts before round 1. Must return zero rows with the merge
+    // schema (not throw on the empty union), matching the oracle's empty
+    // relation; encode must still count one symbol per token.
+    val dir = docsFixture(Seq(1L -> "a b c", 2L -> "a a"))
+    val merges = TextStats.bpeTrain(spark, dir)
+    assert(merges.columns.toSeq ==
+      Seq("round", "sym_a", "sym_b", "merged", "pair_count"))
+    assert(merges.count() == 0)
+    val enc = TextStats.bpeEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enc == Set((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
   test("bpe encode: trained merges collapse the corpus to whole-word symbols") {
     // Same fixture as the train test: after the 3 learned merges both
     // vocab words collapse to a single symbol ("ababab" via ab→abab→ababab,
