@@ -297,6 +297,36 @@ object EventQueries {
           max($"n_events").as("n_events"))
     }),
 
+    // CHAINED STATEFUL OPERATORS in one streaming query: watermarked dedup
+    // of a doubled replay feeding a tumbling event-time aggregation — the
+    // multi-stateful-operator pipeline (dedup state AND window state in
+    // the same query). Append mode is mandatory (the dedup cannot run
+    // under complete), so windows emit only once the watermark passes
+    // them: a single sentinel two hours past the last real event advances
+    // the watermark in the closing no-data batch, flushing every real
+    // window, while the sentinel's own window (whose end always trails
+    // the watermark it set) stays held in state, unreported. Oracle =
+    // s01's tumbling aggregate: the chain must collapse the doubled
+    // corpus exactly AND aggregate each event exactly once.
+    "s09_stream_dedup_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val sentinel = ev.agg(max($"ev_ts").as("mx"))
+        .select(lit(-1L).as("event_id"),
+          ($"mx" + expr("INTERVAL 2 HOURS")).as("ev_ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"))
+      val staged = stage(ev.unionByName(ev).unionByName(sentinel), "s09", dir)
+      val src = s.readStream.schema(ev.schema).parquet(staged)
+      val drained =
+        drain(s, EventStreams.dedupThenTumbling(src), "s09", "append", dir)
+      unstage(staged)
+      drained.filter($"event_type" =!= "flush")
+        .select($"wstart", $"event_type", $"cnt", sig6($"total").as("total"))
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -450,6 +480,10 @@ object EventQueries {
       s"""SELECT user_id, ${sig6Sql("max(value)")} AS max_value,
          |       count(*) AS n_events
          |FROM events GROUP BY user_id""".stripMargin,
+    // The chained dedup→agg must land exactly on the plain tumbling
+    // aggregate: any duplicate surviving the dedup doubles a cnt; any
+    // window lost to the watermark hold-back drops rows.
+    "s09_stream_dedup_agg" -> tumblingOracle,
   )
 
   private lazy val rangeJoinOracle =

@@ -59,6 +59,22 @@ object EventStreams {
       .withWatermark("ev_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Chained stateful pipeline: the watermarked dedup feeding the tumbling
+    * aggregation in ONE streaming query — two state stores (dedup keys and
+    * window state) under a single watermark, the multi-stateful-operator
+    * shape. Append-mode only: the dedup cannot run under complete, so
+    * windows emit once the watermark passes their end. Both stores stay
+    * watermark-bounded exactly as in the standalone operators.
+    */
+  def dedupThenTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ev_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"),
+        col("total"))
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides watermarked so the join state
     * is evictable — the streaming analogue of the as-of/interval join.

@@ -83,6 +83,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // each exactly once
   }
 
+  test("chained dedup → tumbling agg: two stateful operators in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupThenTumbling(mem.toDF())
+      .writeStream.format("memory").queryName("chain_test")
+      .outputMode("append").start()
+    // Replays arrive in the SAME batch as the originals (watermark still
+    // 0), so only the dedup state — not the late-row filter — can drop
+    // them: a dedup failure would double the counts.
+    mem.addData((evs ++ evs.take(4)): _*)
+    q.processAllAvailable()
+    // Sentinel advances the watermark past every real window end; its own
+    // window stays held (end always trails the watermark it set).
+    mem.addData(Ev(99, ts(10000), 12, "flush", 0.0))
+    q.processAllAvailable()
+    // The feature under test: BOTH state machines live in one query.
+    assert(q.lastProgress.stateOperators.length == 2)
+    val streamed = spark.table("chain_test")
+      .select($"wstart", $"event_type", $"cnt", $"total")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val expected = EventStreams.tumblingAgg(evs.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
