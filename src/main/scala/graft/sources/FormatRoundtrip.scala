@@ -54,6 +54,33 @@ object FormatRoundtrip {
     }
   }
 
+  /** Write lineitem's date-consumer projection range-partitioned AND
+    * sorted on l_shipdate: every parquet row group then covers a narrow,
+    * disjoint date slice, so footer min/max statistics let a date-range
+    * scan skip everything outside the predicate. One sort key needs no
+    * space-filling curve — this is the single-dimension case of
+    * Z-ordering, and the third at-rest layout lever beside q59's
+    * bucketing and the hive-partitioned directory pruning.
+    *
+    * The key is stored as DATE, not timestamp: every l_shipdate is
+    * midnight (BucketingSpec pins this), DATE is the natural warehouse
+    * sort key — and, measured on this Spark build, a TIMESTAMP_NTZ key's
+    * pushed range filters do NOT engage row-group stats pruning (6000/6000
+    * rows read) while the identical DATE predicate prunes to the one
+    * intersecting file (690/6000). The layout key type is load-bearing.
+    */
+  private def sortedLayout(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = scratch(dir, "sorted60")
+    Tables.load(s, dir, "lineitem")
+      .select(to_date($"l_shipdate").as("l_sdate"), $"l_returnflag",
+        $"l_extendedprice")
+      .repartitionByRange(8, $"l_sdate")
+      .sortWithinPartitions($"l_sdate")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   private def projection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
@@ -129,6 +156,21 @@ object FormatRoundtrip {
         .agg(count(lit(1)).as("cnt"),
           sig6(sum($"l_extendedprice" * $"l_quantity")).as("volume"))
     }),
+    // The SORT-ORDER layout lever behind the oracle gate: a date-range
+    // consumer over the [[sortedLayout]] copy. The pushed predicate prunes
+    // at the row-group level via footer min/max (BucketingSpec measures
+    // recordsRead collapsing versus an unsorted copy of the same rows);
+    // the oracle states the identical filter over the unsorted parquet
+    // truth, so hash equality proves the layout is semantics-free.
+    "q60_sort_skipping" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(sortedLayout(s, dir))
+        .filter($"l_sdate" >= lit("1996-01-01").cast("date") &&
+          $"l_sdate" < lit("1996-04-01").cast("date"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sig6(sum($"l_extendedprice")).as("rev"))
+    }),
   )
 
   /** One oracle body: the formats must all reproduce the parquet truth. */
@@ -151,5 +193,14 @@ object FormatRoundtrip {
          |       ${sig6Sql("sum(l_extendedprice * l_quantity)")} AS volume
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    // Same filter over the unsorted truth — sort-skipping must not move
+    // a single row.
+    "q60_sort_skipping" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |       ${sig6Sql("sum(l_extendedprice)")} AS rev
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'
+         |GROUP BY l_returnflag""".stripMargin,
   )
 }
