@@ -31,11 +31,6 @@ object GraftSession {
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
-    // Spark's legacy INT96 parquet timestamps carry NO min/max footer
-    // statistics, silently disabling row-group pruning on any timestamp
-    // sort/filter key this engine writes (the q60 sort-skipping layout).
-    // TIMESTAMP_MICROS is what the input test data itself uses.
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     "spark.ui.enabled" -> "false")
 
   def builder(master: String = s"local[${defaultCores}]",

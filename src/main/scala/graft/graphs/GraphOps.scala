@@ -153,6 +153,46 @@ object GraphOps {
     }
   }
 
+  /** Deterministic hash-seeded random walks — the node2vec-style corpus
+    * generator for graph-embedding training data (a walk per start vertex
+    * is the "sentence" an embedding model trains on). At step k the walker
+    * started at `start` sitting on vertex v moves to the out-neighbor w
+    * minimizing (md5-bucket("walk:k:start:v:w"), w) — per-(start, step)
+    * pseudo-randomness from the same md5 device as the curation splits
+    * (Curation.hashMod), so the corpus is bit-reproducible on any engine,
+    * append-stable, and free of RNG state. A walker on a sink vertex
+    * simply stops (its remaining steps are absent). Emits
+    * (start_id, step, vertex) rows, step 0 = the start itself.
+    *
+    * Scale: each step is one frontier⋈edges join plus an argmin
+    * aggregation keyed by start — walkers × avg-degree intermediate rows,
+    * partial-aggregated map-side; no per-walker state beyond the frontier
+    * row, so 10⁹ walkers is just a bigger frontier relation.
+    */
+  def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = 3)
+      : DataFrame = {
+    import s.implicits._
+    val e = edgeDf.select($"src", $"dst").cache()
+    var frontier = e.select($"src".as("start")).distinct()
+      .select($"start", $"start".as("cur"))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += frontier.select($"start".as("start_id"), lit(0L).as("step"),
+      $"cur".as("vertex"))
+    for (k <- 1 to steps) {
+      val h = conv(substring(md5(concat(
+        lit(s"walk:$k:"), $"start".cast("string"), lit(":"),
+        $"cur".cast("string"), lit(":"), $"dst".cast("string"))), 1, 8),
+        16, 10).cast("long")
+      frontier = frontier.join(e, frontier("cur") === e("src"))
+        .select($"start", $"dst", h.as("h"))
+        .groupBy($"start")
+        .agg(min_by($"dst", struct($"h", $"dst")).as("cur"))
+      outs += frontier.select($"start".as("start_id"),
+        lit(k.toLong).as("step"), $"cur".as("vertex"))
+    }
+    outs.result().reduce(_ unionByName _)
+  }
+
   /** Hop-bounded harmonic centrality on the directed graph:
     * H4(v) = Σ_{u : 0 < d(u→v) ≤ 4} 1/d(u→v). Multi-source BFS unrolled to
     * four distinct-frontier joins, min() collapsing walk revisits to true

@@ -211,6 +211,14 @@ object GraphQueries {
     // (g14, 实验数据.xlsx sheet5) stops short of.
     "g24_assortativity" -> ((s, dir) =>
       GraphOps.assortativity(s, GraphOps.edges(s, dir))),
+    // Deterministic hash-seeded random walks (node2vec-style embedding
+    // corpus): per-(start, step) argmin-md5 next-hop, 3 steps — the
+    // "sentences" a graph-embedding model trains on, reproducible
+    // bit-for-bit on any engine (no RNG state). Oracle = the same three
+    // steps unrolled with row_number argmin over the identical md5
+    // bucket arithmetic.
+    "g25_random_walks" -> ((s, dir) =>
+      GraphOps.randomWalks(s, GraphOps.edges(s, dir))),
     // Bipartite projection: the order–part incidence graph (a REAL
     // bipartite source, not the derived edge view) projected onto parts —
     // co-purchase pair counts, the market-basket/recommender primitive.
@@ -597,6 +605,30 @@ object GraphQueries {
                "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
                "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")} AS assortativity
          |FROM m""".stripMargin,
+    "g25_random_walks" -> {
+      // One walk step as a CTE: join the frontier to the edges, rank
+      // neighbors by the shared md5 bucket (ties by dst), keep rank 1.
+      def step(k: Int, prev: String) =
+        s"""s$k AS (SELECT start, cur FROM (
+           |  SELECT f.start, e.dst AS cur,
+           |         row_number() OVER (PARTITION BY f.start ORDER BY
+           |           CAST(concat('0x', substr(md5(
+           |             'walk:$k:' || CAST(f.start AS VARCHAR) || ':' ||
+           |             CAST(f.cur AS VARCHAR) || ':' ||
+           |             CAST(e.dst AS VARCHAR)), 1, 8)) AS BIGINT),
+           |           e.dst) AS rn
+           |  FROM $prev f JOIN e ON e.src = f.cur) t
+           |WHERE rn = 1)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |f0 AS (SELECT DISTINCT src AS start, src AS cur FROM e),
+         |${step(1, "f0")},
+         |${step(2, "s1")},
+         |${step(3, "s2")}
+         |SELECT start AS start_id, CAST(0 AS BIGINT) AS step, cur AS vertex FROM f0
+         |UNION ALL SELECT start, 1, cur FROM s1
+         |UNION ALL SELECT start, 2, cur FROM s2
+         |UNION ALL SELECT start, 3, cur FROM s3""".stripMargin
+    },
     "g22_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem)

@@ -193,6 +193,54 @@ class GraphAlgoSpec extends AnyFunSuite {
         s"the gate")
   }
 
+  test("random walks match a driver-side md5 recompute on random graphs") {
+    import spark.implicits._
+    // Differential check: the frontier-join/argmin pipeline must pick the
+    // exact (md5 bucket, dst)-minimal neighbor per (start, step) that an
+    // obviously-correct driver-side walk picks — including sink stops.
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def refWalks(edges: Set[(Long, Long)], steps: Int)
+        : Set[(Long, Long, Long)] = {
+      val adj = edges.groupBy(_._1).map { case (v, s) => v -> s.map(_._2) }
+      edges.map(_._1).flatMap { start =>
+        var cur = start
+        var out = List((start, 0L, start))
+        var k = 1
+        var alive = true
+        while (k <= steps && alive) {
+          adj.get(cur) match {
+            case Some(ns) =>
+              cur = ns.minBy(w => (bucket(s"walk:$k:$start:$cur:$w"), w))
+              out ::= ((start, k.toLong, cur))
+              k += 1
+            case None => alive = false
+          }
+        }
+        out
+      }
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 4) {
+      val n = 6 + rnd.nextInt(5)
+      val edges = (for {
+        a <- 1L to n; b <- 1L to n
+        if a != b && rnd.nextDouble() < 0.3
+      } yield (a, b)).toSet
+      if (edges.nonEmpty) {
+        val got = GraphOps.randomWalks(spark,
+          edges.toSeq.toDF("src", "dst"), steps = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == refWalks(edges, 3), s"edges=$edges")
+      }
+    }
+  }
+
   test("clustering coefficient: all three corners credited, deg-1 excluded") {
     import spark.implicits._
     // Triangle {1,2,3} + pendant 3-4. Vertex 3 has deg 3 and ONE triangle
