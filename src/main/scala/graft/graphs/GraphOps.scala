@@ -172,7 +172,12 @@ object GraphOps {
   def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = 3)
       : DataFrame = {
     import s.implicits._
-    val e = edgeDf.select($"src", $"dst").cache()
+    // No cache: the result is lazy (nothing here materializes, so a
+    // paired unpersist is impossible), each step's distinct/argmin
+    // exchange is a ReuseExchange target exactly as in harmonic4 (where
+    // level caching measured 1.5x SLOWER), and the repeated edge scans
+    // are pruned parquet reads.
+    val e = edgeDf.select($"src", $"dst")
     var frontier = e.select($"src".as("start")).distinct()
       .select($"start", $"start".as("cur"))
     val outs = Seq.newBuilder[DataFrame]

@@ -69,7 +69,7 @@ object FormatRoundtrip {
     * rows read) while the identical DATE predicate prunes to the one
     * intersecting file (690/6000). The layout key type is load-bearing.
     */
-  private def sortedLayout(s: SparkSession, dir: String): String = {
+  private[graft] def sortedLayout(s: SparkSession, dir: String): String = {
     import s.implicits._
     val out = scratch(dir, "sorted60")
     Tables.load(s, dir, "lineitem")

@@ -105,19 +105,20 @@ class BucketingSpec extends AnyFunSuite {
     // same rows — the filter itself cannot cause the difference, only
     // the layout can.
     import spark.implicits._
-    import org.apache.spark.sql.functions.{count, lit, to_date, hour, minute}
+    import org.apache.spark.sql.functions.{count, date_trunc, lit, to_date}
     val sfDir = "/root/testdata/sf0.001"
     val raw = Tables.load(spark, sfDir, "lineitem")
     // The DATE key is faithful only because every l_shipdate is midnight —
-    // pinned here, since to_date would silently truncate otherwise.
-    assert(raw.filter(hour($"l_shipdate") =!= 0 ||
-      minute($"l_shipdate") =!= 0).count() == 0)
+    // pinned to the full timestamp (not just hour/minute: a stray
+    // seconds field would make to_date lossy too).
+    assert(raw.filter(
+      $"l_shipdate" =!= date_trunc("day", $"l_shipdate")).count() == 0)
     val base = raw.select(to_date($"l_shipdate").as("l_sdate"),
       $"l_returnflag", $"l_extendedprice")
-    val sorted = TestSpark.tempDir("graft_sort60_fx")
-    base.repartitionByRange(8, $"l_sdate")
-      .sortWithinPartitions($"l_sdate")
-      .write.mode("overwrite").parquet(sorted)
+    // The PRODUCTION writer, not a private re-implementation: if the
+    // registry query's layout drifts (partition count, key type — the
+    // load-bearing DATE), this measurement fails with it.
+    val sorted = graft.sources.FormatRoundtrip.sortedLayout(spark, sfDir)
     val shuffled = TestSpark.tempDir("graft_shuf60_fx")
     base.repartition(8).write.mode("overwrite").parquet(shuffled)
 
