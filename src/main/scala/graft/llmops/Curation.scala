@@ -143,6 +143,31 @@ object Curation {
           least(lit(1.0), $"total" / ($"n_sources" * $"n"))).as("rate"))
   }
 
+  /** L49: temperature-based mixture rates — the multilingual-LM sampling
+    * classic: per-source keep probability ∝ n^(α−1) (α = 0.5), normalized
+    * so the SMALLEST source keeps 100%. Where [[mixRates]] flattens the
+    * mix entirely (α = 0), temperature sampling interpolates between
+    * proportional (α = 1) and uniform, preventing tiny sources from being
+    * drowned without starving the corpus of its bulk. Same broadcast
+    * one-row-normalizer shape as mixRates — the per-source relation never
+    * windows or re-shuffles; the expected post-sample count is reported
+    * beside the rate for mixture-plan auditing.
+    */
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.5)
+      : DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min($"n").as("n_min"))
+    counts.crossJoin(broadcast(minN))
+      .select($"source", $"n",
+        graft.Canon.sig6(
+          pow($"n_min".cast("double") / $"n", 1.0 - alpha)).as("rate"),
+        graft.Canon.sig6(
+          pow($"n_min".cast("double") / $"n", 1.0 - alpha) * $"n")
+          .as("expected_docs"))
+  }
+
   /** L47: per-source quota — keep the k longest documents of each source
     * (longest-first, doc_id tie-break), the per-domain cap every crawl
     * pipeline applies before heavy downstream stages.

@@ -114,6 +114,11 @@ object LlmQueries {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // Temperature mixture rates (α = 0.5): keep probability ∝ n^(α−1)
+    // normalized to the smallest source — the multilingual sampling
+    // interpolation between proportional and uniform that l24's full
+    // flattening is the α = 0 extreme of.
+    "l49_temperature_mix" -> ((s, dir) => Curation.temperatureMix(s, dir)),
     // Per-source quota: keep each source's k longest documents via the
     // bounded TopKAgg (map-side-partial constant state), not a
     // corpus-sorting window — the per-domain cap of crawl pipelines.
@@ -396,6 +401,15 @@ object LlmQueries {
       s"""WITH pred AS ($langIdOracle)
          |SELECT lang, lang_pred, count(*) AS n_docs
          |FROM pred GROUP BY lang, lang_pred""".stripMargin,
+    "l49_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |m AS (SELECT min(n) AS n_min FROM c)
+         |SELECT source, n,
+         |       ${graft.Canon.sig6Sql(
+             "pow(CAST(n_min AS DOUBLE) / n, 0.5)")} AS rate,
+         |       ${graft.Canon.sig6Sql(
+             "pow(CAST(n_min AS DOUBLE) / n, 0.5) * n")} AS expected_docs
+         |FROM c, m""".stripMargin,
     // The quota relation is small (sources x k), so the oracle can afford
     // the window form the Spark side deliberately avoids — their equality
     // is exactly the "aggregate ≡ sort-then-take" claim.

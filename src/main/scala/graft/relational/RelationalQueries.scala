@@ -536,6 +536,50 @@ object RelationalQueries {
             .as("revenue"))
     }),
 
+    // MERGE/UPSERT (CDC apply) — the mutation primitive warehouse engines
+    // spell MERGE INTO, composed from Spark's relational algebra: a
+    // deterministic change batch (updates, deletes, inserts derived from
+    // the snapshot by key residue) applied as a broadcast LEFT join for
+    // the matched ops — delete rows drop, update rows override with
+    // COALESCE — plus a UNION of the inserts, whose keys are disjoint by
+    // construction. NOT one full-outer join: Spark cannot broadcast
+    // either side of full-outer, so that formulation shuffles the entire
+    // snapshot; the left+union split keeps the 100 TB side exchange-free
+    // with the (small) change batch broadcast (PlanAuditSpec pins it).
+    // The oracle restates the merge as set operations over the unioned
+    // CTE, so hash equality proves the split implements MERGE semantics
+    // exactly.
+    "q61_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val snap = t(s, dir, "customer")
+        .select($"c_custkey".as("key"), $"c_name", $"c_acctbal")
+      // Change batch: key%7==0 → balance update (+100), %7==1 → delete,
+      // and an insert stream for %7==2 rows at keys shifted past the
+      // snapshot's max (data-derived — a fixed offset would collide with
+      // real keys at a large-enough SF and silently turn inserts into
+      // updates).
+      val mx = snap.agg(max($"key").as("mx"))
+      val changes =
+        snap.filter($"key" % 7 === 0)
+          .select($"key", lit("U").as("op"), lit(null).cast("string").as("new_name"),
+            ($"c_acctbal" + 100.0).as("new_bal"))
+        .unionByName(snap.filter($"key" % 7 === 1)
+          .select($"key", lit("D").as("op"), lit(null).cast("string").as("new_name"),
+            lit(null).cast("double").as("new_bal")))
+        .unionByName(snap.filter($"key" % 7 === 2).crossJoin(broadcast(mx))
+          .select(($"key" + $"mx" + 1L).as("key"), lit("I").as("op"),
+            concat(lit("New#"), ($"key" + $"mx" + 1L).cast("string")).as("new_name"),
+            lit(0.0).as("new_bal")))
+      snap.join(broadcast(changes.filter($"op" =!= "I")), Seq("key"), "left")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select($"key",
+          coalesce($"new_name", $"c_name").as("name"),
+          sig6(coalesce($"new_bal", $"c_acctbal")).as("acctbal"))
+        .unionByName(changes.filter($"op" === "I")
+          .select($"key", $"new_name".as("name"),
+            sig6($"new_bal").as("acctbal")))
+    }),
+
     // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
     // into (measure, value) long form. Pure row-local reshaping, no shuffle
     // until the final aggregation.
@@ -916,6 +960,25 @@ object RelationalQueries {
          |       ${sig6Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    // MERGE restated as set operations: survivors = (snapshot minus
+    // deleted/updated keys) ∪ updated rows ∪ inserts — any divergence
+    // from the Spark side's one-pass outer-join formulation breaks the
+    // hash.
+    "q61_merge_upsert" ->
+      s"""WITH snap AS (SELECT c_custkey AS key, c_name, c_acctbal FROM customer),
+         |upd AS (SELECT key, c_name, c_acctbal + 100.0 AS bal FROM snap WHERE key % 7 = 0),
+         |del AS (SELECT key FROM snap WHERE key % 7 = 1),
+         |mx AS (SELECT max(key) + 1 AS off FROM snap),
+         |ins AS (SELECT key + off AS key,
+         |               'New#' || CAST(key + off AS VARCHAR) AS c_name,
+         |               0.0 AS bal
+         |        FROM snap, mx WHERE key % 7 = 2)
+         |SELECT key, c_name AS name, ${sig6Sql("c_acctbal")} AS acctbal
+         |FROM snap WHERE key % 7 NOT IN (0, 1)
+         |UNION ALL
+         |SELECT key, c_name AS name, ${sig6Sql("bal")} AS acctbal FROM upd
+         |UNION ALL
+         |SELECT key, c_name AS name, ${sig6Sql("bal")} AS acctbal FROM ins""".stripMargin,
     "q54_unpivot" ->
       s"""WITH u AS (
          |  SELECT l_orderkey, l_linenumber, measure, val

@@ -438,6 +438,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probeShuffles.isEmpty, bhj.get.left.toString)
   }
 
+  test("q61 merge: changes broadcast, the snapshot side never shuffles") {
+    val df = SparkEntry.queries("q61_merge_upsert")(spark, sf)
+    df.collect()
+    val all = expand(df.queryExecution.executedPlan)
+    val bhj = all.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isDefined, all.head.toString)
+    // MERGE's scale posture: the (small) change batch broadcasts, the
+    // snapshot streams through the outer join with no exchange.
+    val streamShuffles = expand(bhj.get.left).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(streamShuffles.isEmpty, bhj.get.left.toString)
+  }
+
   test("l47 source quota: partial topk agg map-side, no window sort") {
     val plan = ranPlan("l47_source_quota")
     // The quota must be the bounded aggregate folding map-side (constant
