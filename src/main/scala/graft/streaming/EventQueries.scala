@@ -327,6 +327,63 @@ object EventQueries {
         .select($"wstart", $"event_type", $"cnt", sig6($"total").as("total"))
     }),
 
+    // Streaming CDC apply through a foreachBatch sink — the lakehouse
+    // "MERGE per micro-batch" pattern (q61's merge primitive driven by
+    // the streaming runtime). Two staged change files replay with
+    // maxFilesPerTrigger=1, so the merge applies TWICE and the second
+    // batch must compose with state produced by the first: updates are
+    // DELTAS (+100 each batch → +200 total, commutative so the file
+    // arrival order cannot matter), deletes drop, inserts (disjoint
+    // keys past the snapshot max) append. The snapshot side stays a
+    // broadcast LEFT join inside every batch exactly as in q61; the
+    // oracle states the composed end state, so a lost batch, a
+    // double-applied batch, or a non-composing merge all hash-mismatch.
+    "s10_stream_cdc_merge" -> ((s, dir) => {
+      import s.implicits._
+      val snap = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("key"), $"c_name", $"c_acctbal")
+      val mx = snap.agg(max($"key")).as[Long].head()
+      def upd = snap.filter($"key" % 7 === 0)
+        .select($"key", lit("U").as("op"),
+          lit(null).cast("string").as("new_name"),
+          lit(100.0).as("delta"))
+      val b1 = upd.unionByName(snap.filter($"key" % 7 === 1)
+        .select($"key", lit("D").as("op"),
+          lit(null).cast("string").as("new_name"),
+          lit(null).cast("double").as("delta")))
+      val b2 = upd.unionByName(snap.filter($"key" % 7 === 2)
+        .select(($"key" + mx + 1L).as("key"), lit("I").as("op"),
+          concat(lit("New#"), ($"key" + mx + 1L).cast("string")).as("new_name"),
+          lit(0.0).as("delta")))
+      val staged = stage(b1, "s10", dir)
+      b2.coalesce(1).write.mode("append").parquet(staged)
+      var state = snap.localCheckpoint()
+      var batches = 0
+      val q = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (ch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val chp = ch.localCheckpoint()
+          batches += 1
+          state = state
+            .join(broadcast(chp.filter($"op" =!= "I")), Seq("key"), "left")
+            .filter($"op".isNull || $"op" =!= "D")
+            .select($"key", $"c_name",
+              ($"c_acctbal" + coalesce($"delta", lit(0.0))).as("c_acctbal"))
+            .unionByName(chp.filter($"op" === "I")
+              .select($"key", $"new_name".as("c_name"),
+                $"delta".as("c_acctbal")))
+            .localCheckpoint()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastDrainStats.put("s10", (batches, 0L))
+      unstage(staged)
+      state.select($"key", $"c_name".as("name"), sig6($"c_acctbal").as("acctbal"))
+    }),
+
     // Gap-based sessionization in batch: a session breaks when >30 min of
     // event time passes between a user's consecutive events. lag → running
     // sum of session starts → group; the exact batch twin of the
@@ -484,6 +541,23 @@ object EventQueries {
     // aggregate: any duplicate surviving the dedup doubles a cnt; any
     // window lost to the watermark hold-back drops rows.
     "s09_stream_dedup_agg" -> tumblingOracle,
+    // The COMPOSED end state after both change batches: +200 for the
+    // twice-updated keys, deletes gone, inserts present. A lost or
+    // double-applied micro-batch shifts the balances and breaks the hash.
+    "s10_stream_cdc_merge" ->
+      s"""WITH snap AS (SELECT c_custkey AS key, c_name, c_acctbal FROM customer),
+         |mx AS (SELECT max(key) + 1 AS off FROM snap)
+         |SELECT key, c_name AS name,
+         |       ${sig6Sql("c_acctbal + 200.0")} AS acctbal
+         |FROM snap WHERE key % 7 = 0
+         |UNION ALL
+         |SELECT key, c_name AS name, ${sig6Sql("c_acctbal")} AS acctbal
+         |FROM snap WHERE key % 7 NOT IN (0, 1)
+         |UNION ALL
+         |SELECT key + off AS key,
+         |       'New#' || CAST(key + off AS VARCHAR) AS name,
+         |       ${sig6Sql("0.0")} AS acctbal
+         |FROM snap, mx WHERE key % 7 = 2""".stripMargin,
   )
 
   private lazy val rangeJoinOracle =

@@ -111,6 +111,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("s10 CDC merge: two micro-batches compose; end state matches batch merge") {
+    import spark.implicits._
+    // The registry query replays two change files with
+    // maxFilesPerTrigger=1 — state produced by batch 1 must feed batch 2
+    // (delta updates compose to +200). Run it end-to-end and pin BOTH the
+    // batch count (a single-batch drain would pass the oracle only if the
+    // runtime coalesced files, hiding the cross-batch composition) and
+    // the +200 composition on a twice-updated key.
+    val out = graft.SparkEntry.queries("s10_stream_cdc_merge")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double)].collect()
+    assert(graft.streaming.EventQueries.lastDrainStats.get("s10")._1 == 2)
+    val snap = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    val k0 = snap.keys.filter(_ % 7 == 0).min
+    val got = out.find(_._1 == k0).get._3
+    // Output balances are sig6-rounded; at ~1000s magnitude that grid is
+    // ~0.01 wide.
+    assert(math.abs(got - (snap(k0) + 200.0)) < 0.02, s"key=$k0 got=$got")
+    // Deletes gone (snapshot-range keys only — insert keys live past mx
+    // and may land on any residue), inserts present.
+    val mxKey = snap.keys.max
+    assert(!out.exists(r => r._1 <= mxKey && r._1 % 7 == 1))
+    assert(out.exists(_._2.startsWith("New#")))
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
