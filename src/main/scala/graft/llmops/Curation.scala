@@ -153,7 +153,12 @@ object Curation {
     * windows or re-shuffles; the expected post-sample count is reported
     * beside the rate for mixture-plan auditing.
     */
-  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.5)
+  /** The registry's sampling temperature — shared with the l49 oracle SQL
+    * so the exponent cannot drift between engines if it is ever tuned.
+    */
+  val TempAlpha = 0.5
+
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = TempAlpha)
       : DataFrame = {
     import s.implicits._
     val counts = Tables.load(s, dir, "documents")

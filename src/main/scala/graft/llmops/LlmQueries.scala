@@ -401,15 +401,18 @@ object LlmQueries {
       s"""WITH pred AS ($langIdOracle)
          |SELECT lang, lang_pred, count(*) AS n_docs
          |FROM pred GROUP BY lang, lang_pred""".stripMargin,
-    "l49_temperature_mix" ->
+    // The exponent interpolates from the SAME constant the Spark side
+    // defaults to (Curation.TempAlpha) — a tuned temperature cannot
+    // desynchronize the oracle.
+    "l49_temperature_mix" -> {
+      val ex = s"pow(CAST(n_min AS DOUBLE) / n, ${1.0 - Curation.TempAlpha})"
       s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          |m AS (SELECT min(n) AS n_min FROM c)
          |SELECT source, n,
-         |       ${graft.Canon.sig6Sql(
-             "pow(CAST(n_min AS DOUBLE) / n, 0.5)")} AS rate,
-         |       ${graft.Canon.sig6Sql(
-             "pow(CAST(n_min AS DOUBLE) / n, 0.5) * n")} AS expected_docs
-         |FROM c, m""".stripMargin,
+         |       ${graft.Canon.sig6Sql(ex)} AS rate,
+         |       ${graft.Canon.sig6Sql(s"$ex * n")} AS expected_docs
+         |FROM c, m""".stripMargin
+    },
     // The quota relation is small (sources x k), so the oracle can afford
     // the window form the Spark side deliberately avoids — their equality
     // is exactly the "aggregate ≡ sort-then-take" claim.

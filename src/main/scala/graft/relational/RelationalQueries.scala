@@ -545,10 +545,14 @@ object RelationalQueries {
     // construction. NOT one full-outer join: Spark cannot broadcast
     // either side of full-outer, so that formulation shuffles the entire
     // snapshot; the left+union split keeps the 100 TB side exchange-free
-    // with the (small) change batch broadcast (PlanAuditSpec pins it).
-    // The oracle restates the merge as set operations over the unioned
-    // CTE, so hash equality proves the split implements MERGE semantics
-    // exactly.
+    // with the change batch broadcast (PlanAuditSpec pins it). The
+    // gate's synthetic batch is snapshot-PROPORTIONAL (key residues, so
+    // every op class is exercised at any SF); real CDC batches are small
+    // and absolute, and if one ever outgrew the broadcast limit the
+    // split stays valid under a shuffled left join — only the broadcast()
+    // hint is the small-batch choice. The oracle restates the merge as
+    // set operations over the unioned CTE, so hash equality proves the
+    // split implements MERGE semantics exactly.
     "q61_merge_upsert" -> ((s, dir) => {
       import s.implicits._
       val snap = t(s, dir, "customer")
@@ -962,8 +966,8 @@ object RelationalQueries {
          |GROUP BY o_orderpriority""".stripMargin,
     // MERGE restated as set operations: survivors = (snapshot minus
     // deleted/updated keys) ∪ updated rows ∪ inserts — any divergence
-    // from the Spark side's one-pass outer-join formulation breaks the
-    // hash.
+    // from the Spark side's left-join+union split (NOT a full-outer
+    // join; see the query comment) breaks the hash.
     "q61_merge_upsert" ->
       s"""WITH snap AS (SELECT c_custkey AS key, c_name, c_acctbal FROM customer),
          |upd AS (SELECT key, c_name, c_acctbal + 100.0 AS bal FROM snap WHERE key % 7 = 0),

@@ -127,8 +127,8 @@ class StreamingSpec extends AnyFunSuite {
       .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
     val k0 = snap.keys.filter(_ % 7 == 0).min
     val got = out.find(_._1 == k0).get._3
-    // Output balances are sig6-rounded; at ~1000s magnitude that grid is
-    // ~0.01 wide.
+    // Output balances are Canon-rounded (9 significant digits — ~1e-5
+    // grid at this magnitude); 0.02 is comfortably above it.
     assert(math.abs(got - (snap(k0) + 200.0)) < 0.02, s"key=$k0 got=$got")
     // Deletes gone (snapshot-range keys only — insert keys live past mx
     // and may land on any residue), inserts present.
