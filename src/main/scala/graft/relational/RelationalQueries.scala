@@ -587,6 +587,50 @@ object RelationalQueries {
     // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
     // into (measure, value) long form. Pure row-local reshaping, no shuffle
     // until the final aggregation.
+    // Data PROFILING (the ANALYZE-style pre-training audit): per-column
+    // null count, exact distinct count, and numeric min/max for a column
+    // set, in ONE aggregation pass — the wide one-row aggregate reshapes
+    // to long (column, metric...) rows via an inline array, so adding a
+    // column is one more struct entry, not another scan. Exact
+    // multi-column distincts plan through Spark's Expand (one duplicated
+    // stream per distinct — the oracle-able choice; a 100 TB deployment
+    // swaps approx_count_distinct per column and loses the Expand, the
+    // q12 trade documented there). Non-numeric columns report null
+    // min/max rather than engine-specific string renderings.
+    "q62_profile" -> ((s, dir) => {
+      import s.implicits._
+      val nul = lit(null).cast("double")
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"l_quantity".isNull.cast("long")).as("null_qty"),
+          countDistinct($"l_quantity").as("dist_qty"),
+          sig6(min($"l_quantity")).as("min_qty"),
+          sig6(max($"l_quantity")).as("max_qty"),
+          sum($"l_orderkey".isNull.cast("long")).as("null_ok"),
+          countDistinct($"l_orderkey").as("dist_ok"),
+          min($"l_orderkey").cast("double").as("min_ok"),
+          max($"l_orderkey").cast("double").as("max_ok"),
+          sum($"l_returnflag".isNull.cast("long")).as("null_rf"),
+          countDistinct($"l_returnflag").as("dist_rf"),
+          sum($"l_shipdate".isNull.cast("long")).as("null_sd"),
+          countDistinct($"l_shipdate").as("dist_sd"))
+        .select(explode(array(
+          struct(lit("l_quantity").as("column"), $"n", $"null_qty".as("n_null"),
+            $"dist_qty".as("n_distinct"), $"min_qty".as("min_val"),
+            $"max_qty".as("max_val")),
+          struct(lit("l_orderkey").as("column"), $"n", $"null_ok".as("n_null"),
+            $"dist_ok".as("n_distinct"), $"min_ok".as("min_val"),
+            $"max_ok".as("max_val")),
+          struct(lit("l_returnflag").as("column"), $"n", $"null_rf".as("n_null"),
+            $"dist_rf".as("n_distinct"), nul.as("min_val"), nul.as("max_val")),
+          struct(lit("l_shipdate").as("column"), $"n", $"null_sd".as("n_null"),
+            $"dist_sd".as("n_distinct"), nul.as("min_val"), nul.as("max_val"))
+        )).as("p"))
+        .select($"p.column", $"p.n", $"p.n_null", $"p.n_distinct",
+          $"p.min_val", $"p.max_val")
+    }),
+
     "q54_unpivot" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
@@ -983,6 +1027,33 @@ object RelationalQueries {
          |SELECT key, c_name AS name, ${sig6Sql("bal")} AS acctbal FROM upd
          |UNION ALL
          |SELECT key, c_name AS name, ${sig6Sql("bal")} AS acctbal FROM ins""".stripMargin,
+    // One aggregate row per metric set, reshaped long exactly like the
+    // Spark side.
+    "q62_profile" ->
+      s"""WITH a AS (
+         |  SELECT count(*) AS n,
+         |         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+         |         count(DISTINCT l_quantity) AS dist_qty,
+         |         ${sig6Sql("min(l_quantity)")} AS min_qty,
+         |         ${sig6Sql("max(l_quantity)")} AS max_qty,
+         |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok,
+         |         count(DISTINCT l_orderkey) AS dist_ok,
+         |         CAST(min(l_orderkey) AS DOUBLE) AS min_ok,
+         |         CAST(max(l_orderkey) AS DOUBLE) AS max_ok,
+         |         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+         |         count(DISTINCT l_returnflag) AS dist_rf,
+         |         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_sd,
+         |         count(DISTINCT l_shipdate) AS dist_sd
+         |  FROM lineitem)
+         |SELECT 'l_quantity' AS "column", n, null_qty AS n_null,
+         |       dist_qty AS n_distinct, min_qty AS min_val, max_qty AS max_val
+         |FROM a
+         |UNION ALL
+         |SELECT 'l_orderkey', n, null_ok, dist_ok, min_ok, max_ok FROM a
+         |UNION ALL
+         |SELECT 'l_returnflag', n, null_rf, dist_rf, NULL, NULL FROM a
+         |UNION ALL
+         |SELECT 'l_shipdate', n, null_sd, dist_sd, NULL, NULL FROM a""".stripMargin,
     "q54_unpivot" ->
       s"""WITH u AS (
          |  SELECT l_orderkey, l_linenumber, measure, val

@@ -453,6 +453,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(streamShuffles.isEmpty, bhj.get.left.toString)
   }
 
+  test("q62 profile: one scan, Expand-planned multi-distinct, partial aggs") {
+    val plan = ranPlan("q62_profile")
+    // Four exact per-column distincts in ONE pass: Spark plans them as an
+    // Expand (one duplicated stream per distinct) over a single scan with
+    // map-side partial aggregation — not four scans.
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("partial_"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("l47 source quota: partial topk agg map-side, no window sort") {
     val plan = ranPlan("l47_source_quota")
     // The quota must be the bounded aggregate folding map-side (constant
