@@ -47,6 +47,14 @@ final class TopKState(val k: Int) {
   * shuffle carries tasks x groups x k pairs instead of the full relation —
   * the difference between a per-domain quota costing a corpus-wide sort and
   * costing a map-side fold at 100 TB.
+  *
+  * NULL semantics: rows with a NULL ord or id are IGNORED (standard
+  * aggregate-input behavior), which diverges from the window form — there
+  * `ORDER BY ord, id` ranks NULLs last and they can still land inside the
+  * top k when the group is small. Callers needing the window's behavior
+  * must coalesce NULLs to a sentinel first; the l47 registry input
+  * (documents.n_chars, doc_id) is non-null, so the equivalence claim
+  * holds there.
   */
 case class TopKAgg(
     ord: Expression,

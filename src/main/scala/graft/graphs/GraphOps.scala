@@ -169,7 +169,13 @@ object GraphOps {
     * partial-aggregated map-side; no per-walker state beyond the frontier
     * row, so 10⁹ walkers is just a bigger frontier relation.
     */
-  def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = 3)
+  /** The registry's walk length — the g25 oracle unrolls its step CTEs
+    * from this same constant, so a tuned length cannot desynchronize the
+    * engines.
+    */
+  val WalkSteps = 3
+
+  def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = WalkSteps)
       : DataFrame = {
     import s.implicits._
     // No cache: the result is lazy (nothing here materializes, so a

@@ -608,6 +608,9 @@ object GraphQueries {
     "g25_random_walks" -> {
       // One walk step as a CTE: join the frontier to the edges, rank
       // neighbors by the shared md5 bucket (ties by dst), keep rank 1.
+      // The chain unrolls from GraphOps.WalkSteps — the SAME constant the
+      // Spark side defaults to — so a tuned walk length cannot
+      // desynchronize the oracle.
       def step(k: Int, prev: String) =
         s"""s$k AS (SELECT start, cur FROM (
            |  SELECT f.start, e.dst AS cur,
@@ -619,15 +622,18 @@ object GraphQueries {
            |           e.dst) AS rn
            |  FROM $prev f JOIN e ON e.src = f.cur) t
            |WHERE rn = 1)""".stripMargin
+      val n = GraphOps.WalkSteps
+      val ctes = (1 to n)
+        .map(k => step(k, if (k == 1) "f0" else s"s${k - 1}"))
+        .mkString(",\n")
+      val tails = (1 to n)
+        .map(k => s"UNION ALL SELECT start, $k, cur FROM s$k")
+        .mkString("\n")
       s"""WITH e AS ($edgesSql),
          |f0 AS (SELECT DISTINCT src AS start, src AS cur FROM e),
-         |${step(1, "f0")},
-         |${step(2, "s1")},
-         |${step(3, "s2")}
+         |$ctes
          |SELECT start AS start_id, CAST(0 AS BIGINT) AS step, cur AS vertex FROM f0
-         |UNION ALL SELECT start, 1, cur FROM s1
-         |UNION ALL SELECT start, 2, cur FROM s2
-         |UNION ALL SELECT start, 3, cur FROM s3""".stripMargin
+         |$tails""".stripMargin
     },
     "g22_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -143,6 +143,11 @@ object Curation {
           least(lit(1.0), $"total" / ($"n_sources" * $"n"))).as("rate"))
   }
 
+  /** The registry's sampling temperature — shared with the l49 oracle SQL
+    * so the exponent cannot drift between engines if it is ever tuned.
+    */
+  val TempAlpha = 0.5
+
   /** L49: temperature-based mixture rates — the multilingual-LM sampling
     * classic: per-source keep probability ∝ n^(α−1) (α = 0.5), normalized
     * so the SMALLEST source keeps 100%. Where [[mixRates]] flattens the
@@ -153,11 +158,6 @@ object Curation {
     * windows or re-shuffles; the expected post-sample count is reported
     * beside the rate for mixture-plan auditing.
     */
-  /** The registry's sampling temperature — shared with the l49 oracle SQL
-    * so the exponent cannot drift between engines if it is ever tuned.
-    */
-  val TempAlpha = 0.5
-
   def temperatureMix(s: SparkSession, dir: String, alpha: Double = TempAlpha)
       : DataFrame = {
     import s.implicits._
@@ -188,7 +188,12 @@ object Curation {
     * source. PlanAuditSpec pins the partial_topk_agg map-side phase;
     * FunctionProperties pins rank-equality with the window form.
     */
-  def sourceQuota(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The registry's quota — shared with the l47 oracle SQL and
+    * CurationSpec so a tuned k cannot desynchronize the engines.
+    */
+  val QuotaK = 5
+
+  def sourceQuota(s: SparkSession, dir: String, k: Int = QuotaK): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"source", $"n_chars", $"doc_id")

@@ -415,14 +415,15 @@ object LlmQueries {
     },
     // The quota relation is small (sources x k), so the oracle can afford
     // the window form the Spark side deliberately avoids — their equality
-    // is exactly the "aggregate ≡ sort-then-take" claim.
+    // is exactly the "aggregate ≡ sort-then-take" claim. k interpolates
+    // from the SAME constant the Spark side defaults to.
     "l47_source_quota" ->
-      """SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
-        |  SELECT source, doc_id, n_chars,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY n_chars DESC, doc_id) AS rank
-        |  FROM documents) t
-        |WHERE rank <= 5""".stripMargin,
+      s"""SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM documents) t
+         |WHERE rank <= ${Curation.QuotaK}""".stripMargin,
     "l16_quality_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,

@@ -555,33 +555,18 @@ object RelationalQueries {
     // split implements MERGE semantics exactly.
     "q61_merge_upsert" -> ((s, dir) => {
       import s.implicits._
+      import graft.operators.CdcMerge
       val snap = t(s, dir, "customer")
         .select($"c_custkey".as("key"), $"c_name", $"c_acctbal")
-      // Change batch: key%7==0 → balance update (+100), %7==1 → delete,
-      // and an insert stream for %7==2 rows at keys shifted past the
-      // snapshot's max (data-derived — a fixed offset would collide with
-      // real keys at a large-enough SF and silently turn inserts into
-      // updates).
-      val mx = snap.agg(max($"key").as("mx"))
-      val changes =
-        snap.filter($"key" % 7 === 0)
-          .select($"key", lit("U").as("op"), lit(null).cast("string").as("new_name"),
-            ($"c_acctbal" + 100.0).as("new_bal"))
-        .unionByName(snap.filter($"key" % 7 === 1)
-          .select($"key", lit("D").as("op"), lit(null).cast("string").as("new_name"),
-            lit(null).cast("double").as("new_bal")))
-        .unionByName(snap.filter($"key" % 7 === 2).crossJoin(broadcast(mx))
-          .select(($"key" + $"mx" + 1L).as("key"), lit("I").as("op"),
-            concat(lit("New#"), ($"key" + $"mx" + 1L).cast("string")).as("new_name"),
-            lit(0.0).as("new_bal")))
-      snap.join(broadcast(changes.filter($"op" =!= "I")), Seq("key"), "left")
-        .filter($"op".isNull || $"op" =!= "D")
-        .select($"key",
-          coalesce($"new_name", $"c_name").as("name"),
-          sig6(coalesce($"new_bal", $"c_acctbal")).as("acctbal"))
-        .unionByName(changes.filter($"op" === "I")
-          .select($"key", $"new_name".as("name"),
-            sig6($"new_bal").as("acctbal")))
+      // Change batch (the SHARED CdcMerge builders — s10 drives the same
+      // primitive per micro-batch): key%7==0 → +100 balance delta,
+      // %7==1 → delete, %7==2 → insert past the snapshot max.
+      val mx = snap.agg(max($"key")).as[Long].head()
+      val changes = CdcMerge.updates(snap.filter($"key" % 7 === 0), 100.0)
+        .unionByName(CdcMerge.deletes(snap.filter($"key" % 7 === 1)))
+        .unionByName(CdcMerge.inserts(snap.filter($"key" % 7 === 2), mx + 1L))
+      CdcMerge.apply(snap, changes)
+        .select($"key", $"c_name".as("name"), sig6($"c_acctbal").as("acctbal"))
     }),
 
     // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted

@@ -340,21 +340,17 @@ object EventQueries {
     // double-applied batch, or a non-composing merge all hash-mismatch.
     "s10_stream_cdc_merge" -> ((s, dir) => {
       import s.implicits._
+      import graft.operators.CdcMerge
       val snap = Tables.load(s, dir, "customer")
         .select($"c_custkey".as("key"), $"c_name", $"c_acctbal")
       val mx = snap.agg(max($"key")).as[Long].head()
-      def upd = snap.filter($"key" % 7 === 0)
-        .select($"key", lit("U").as("op"),
-          lit(null).cast("string").as("new_name"),
-          lit(100.0).as("delta"))
-      val b1 = upd.unionByName(snap.filter($"key" % 7 === 1)
-        .select($"key", lit("D").as("op"),
-          lit(null).cast("string").as("new_name"),
-          lit(null).cast("double").as("delta")))
-      val b2 = upd.unionByName(snap.filter($"key" % 7 === 2)
-        .select(($"key" + mx + 1L).as("key"), lit("I").as("op"),
-          concat(lit("New#"), ($"key" + mx + 1L).cast("string")).as("new_name"),
-          lit(0.0).as("delta")))
+      // Change batches from the SHARED CdcMerge builders (q61's
+      // primitive): +100 delta per batch for key%7==0 (composing to
+      // +200), deletes in batch 1, inserts in batch 2.
+      def upd = CdcMerge.updates(snap.filter($"key" % 7 === 0), 100.0)
+      val b1 = upd.unionByName(CdcMerge.deletes(snap.filter($"key" % 7 === 1)))
+      val b2 = upd.unionByName(
+        CdcMerge.inserts(snap.filter($"key" % 7 === 2), mx + 1L))
       val staged = stage(b1, "s10", dir)
       b2.coalesce(1).write.mode("append").parquet(staged)
       var state = snap.localCheckpoint()
@@ -363,17 +359,8 @@ object EventQueries {
         .option("maxFilesPerTrigger", "1").parquet(staged)
         .writeStream
         .foreachBatch { (ch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val chp = ch.localCheckpoint()
           batches += 1
-          state = state
-            .join(broadcast(chp.filter($"op" =!= "I")), Seq("key"), "left")
-            .filter($"op".isNull || $"op" =!= "D")
-            .select($"key", $"c_name",
-              ($"c_acctbal" + coalesce($"delta", lit(0.0))).as("c_acctbal"))
-            .unionByName(chp.filter($"op" === "I")
-              .select($"key", $"new_name".as("c_name"),
-                $"delta".as("c_acctbal")))
-            .localCheckpoint()
+          state = CdcMerge.apply(state, ch.localCheckpoint()).localCheckpoint()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

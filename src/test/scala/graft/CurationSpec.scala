@@ -103,20 +103,21 @@ class CurationSpec extends AnyFunSuite {
     // row_number-window plan it is the scale-correct substitute for.
     val agg = Curation.sourceQuota(spark, sf)
       .as[(String, Long, Long, Long)].collect().toSet
+    val k = Curation.QuotaK // the shared registry constant, not a literal
     val w = Window.partitionBy($"source")
       .orderBy($"n_chars".desc, $"doc_id")
     val win = graft.Tables.load(spark, sf, "documents")
       .select($"source", row_number().over(w).cast("long").as("rank"),
         $"doc_id", $"n_chars")
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .as[(String, Long, Long, Long)].collect().toSet
     assert(agg == win)
-    // Quota is min(5, source size) — computed from the fixture, not
+    // Quota is min(k, source size) — computed from the fixture, not
     // hard-coded, so a regenerated corpus with a small source can't fail
     // this spuriously.
     val perSource = graft.Tables.load(spark, sf, "documents")
       .groupBy($"source").count().as[(String, Long)].collect().toMap
     assert(agg.groupBy(_._1).forall { case (src, rows) =>
-      rows.size == math.min(5L, perSource(src)) })
+      rows.size == math.min(k.toLong, perSource(src)) })
   }
 }
