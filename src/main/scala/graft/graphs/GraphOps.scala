@@ -175,6 +175,74 @@ object GraphOps {
     */
   val WalkSteps = 3
 
+  /** The g26 oracle's static unroll depth. The loop itself runs to the
+    * true fixpoint (termination is guaranteed: the globally min-priority
+    * remaining edge is selected every round, so each round retires ≥2
+    * vertices); converged rounds are idempotent, so any unroll past the
+    * measured fixpoint is exact — GraphAlgoSpec pins measured rounds at
+    * ≤ half this depth, the g21 headroom convention.
+    */
+  val MatchRounds = 12
+
+  /** Rounds the most recent [[maximalMatching]] run took to its fixpoint. */
+  @volatile var lastMatchRounds: Int = 0
+
+  /** Deterministic MAXIMAL MATCHING — Luby-style distributed symmetry
+    * breaking: each round every remaining edge draws a priority
+    * (md5-bucket of (round, a, b) — the same engine-portable device as
+    * the walks/splits — tie-broken by (a, b) into a total order), an edge
+    * is selected iff it holds the MINIMUM priority at BOTH endpoints
+    * (locally checkable, no coordination), selected endpoints retire, and
+    * the loop repeats on the shrinking remainder to the fixpoint. With
+    * hash priorities the expected round count is O(log n); every round is
+    * one per-endpoint argmin aggregation plus an anti-join — no global
+    * ordering anywhere. Returns the symmetric (id, mate) relation.
+    */
+  def maximalMatching(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val canon0 = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val m = canon0.count()
+    withShuffleParts(s, LoopConf.sizedParallelism(s, m, 24)) {
+      var rem = canon0.localCheckpoint()
+      canon0.unpersist()
+      var matched = rem.limit(0).select($"a".as("id"), $"b".as("mate"))
+      var rounds = 0
+      while (!rem.isEmpty) {
+        rounds += 1
+        val h = conv(substring(md5(concat(lit(s"match:$rounds:"),
+          $"a".cast("string"), lit(":"), $"b".cast("string"))), 1, 8), 16, 10)
+          .cast("long")
+        val pri = struct($"h", $"a", $"b")
+        val he = rem.withColumn("h", h)
+        // Per-VERTEX minima over BOTH orientations: a vertex appears as
+        // `a` in some canonical edges and as `b` in others, so grouping
+        // the two sides separately would let it "win" twice and
+        // double-match (caught by the differential spec). Explode each
+        // edge to its two endpoints, take one min per vertex.
+        val minV = he
+          .select(explode(array($"a", $"b")).as("v"), pri.as("p"))
+          .groupBy($"v").agg(min($"p").as("mp"))
+        val sel = he
+          .join(minV.select($"v".as("a"), $"mp".as("pa")), Seq("a"))
+          .join(minV.select($"v".as("b"), $"mp".as("pb")), Seq("b"))
+          .filter(pri === $"pa" && pri === $"pb")
+          .select($"a", $"b").localCheckpoint()
+        matched = matched
+          .unionByName(sel.select($"a".as("id"), $"b".as("mate")))
+          .unionByName(sel.select($"b".as("id"), $"a".as("mate")))
+          .localCheckpoint()
+        val mv = sel.select($"a".as("v")).union(sel.select($"b")).distinct()
+          .localCheckpoint(eager = false)
+        rem = rem.join(mv, rem("a") === mv("v"), "left_anti")
+        rem = rem.join(mv, rem("b") === mv("v"), "left_anti").localCheckpoint()
+      }
+      lastMatchRounds = rounds
+      matched
+    }
+  }
+
   def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = WalkSteps)
       : DataFrame = {
     import s.implicits._

@@ -211,6 +211,13 @@ object GraphQueries {
     // (g14, 实验数据.xlsx sheet5) stops short of.
     "g24_assortativity" -> ((s, dir) =>
       GraphOps.assortativity(s, GraphOps.edges(s, dir))),
+    // Deterministic MAXIMAL MATCHING (Luby-style symmetry breaking):
+    // min-priority-at-both-endpoints selection per round on the shrinking
+    // remainder, to the fixpoint. Oracle = the same rounds statically
+    // unrolled (GraphOps.MatchRounds deep — converged rounds are
+    // idempotent) with row_number argmins over identical md5 priorities.
+    "g26_matching" -> ((s, dir) =>
+      GraphOps.maximalMatching(s, GraphOps.edges(s, dir))),
     // Deterministic hash-seeded random walks (node2vec-style embedding
     // corpus): per-(start, step) argmin-md5 next-hop, 3 steps — the
     // "sentences" a graph-embedding model trains on, reproducible
@@ -605,6 +612,47 @@ object GraphQueries {
                "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
                "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")} AS assortativity
          |FROM m""".stripMargin,
+    "g26_matching" -> {
+      // One matching round: per-edge md5 priority, row_number argmin per
+      // endpoint (ORDER BY h, a, b ≡ the Spark side's struct-min total
+      // order), selection where both ranks are 1, remainder = edges
+      // touching no selected endpoint. Unrolled GraphOps.MatchRounds deep
+      // from the SAME constant; rounds past the fixpoint see an empty
+      // remainder and are no-ops.
+      def round(k: Int, prev: String) =
+        // NOTE: no generated line may START with "||" — the outer
+        // template stripMargins the combined text a second time and
+        // would eat one pipe of the operator; keep "||" at line ends.
+        s"""p$k AS MATERIALIZED (SELECT a, b,
+           |  CAST(concat('0x', substr(md5('match:$k:' ||
+           |    CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))
+           |    AS BIGINT) AS h
+           |  FROM $prev),
+           |v$k AS (SELECT a AS v, h, a, b FROM p$k
+           |        UNION ALL SELECT b, h, a, b FROM p$k),
+           |r$k AS (SELECT v, a, b,
+           |  row_number() OVER (PARTITION BY v ORDER BY h, a, b) AS rn
+           |  FROM v$k),
+           |sel$k AS MATERIALIZED (SELECT a, b FROM r$k WHERE rn = 1
+           |          GROUP BY a, b HAVING count(*) = 2),
+           |mv$k AS MATERIALIZED (SELECT a AS v FROM sel$k UNION SELECT b FROM sel$k),
+           |rem$k AS MATERIALIZED (SELECT t.a, t.b FROM $prev t
+           |  WHERE t.a NOT IN (SELECT v FROM mv$k)
+           |    AND t.b NOT IN (SELECT v FROM mv$k))""".stripMargin
+      val n = GraphOps.MatchRounds
+      val ctes = (1 to n)
+        .map(k => round(k, if (k == 1) "c0" else s"rem${k - 1}"))
+        .mkString(",\n")
+      val sels = (1 to n).flatMap(k => Seq(
+        s"SELECT a AS id, b AS mate FROM sel$k",
+        s"SELECT b AS id, a AS mate FROM sel$k"))
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS ($edgesSql),
+         |c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM e WHERE src <> dst),
+         |$ctes
+         |$sels""".stripMargin
+    },
     "g25_random_walks" -> {
       // One walk step as a CTE: join the frontier to the edges, rank
       // neighbors by the shared md5 bucket (ties by dst), keep rank 1.

@@ -241,6 +241,65 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("maximal matching: differential vs driver recompute; maximality holds") {
+    import spark.implicits._
+    def bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // Obviously-correct driver-side fixpoint with the identical priority
+    // device: per round select edges min-at-both-endpoints, retire, loop.
+    def refMatch(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      var rem = edges.map { case (x, y) => if (x < y) (x, y) else (y, x) }
+        .filter(p => p._1 != p._2)
+      var out = Set.empty[(Long, Long)]
+      var k = 0
+      while (rem.nonEmpty) {
+        k += 1
+        val pri = rem.map { case (a, b) =>
+          (a, b) -> ((bucket(s"match:$k:$a:$b"), a, b)) }.toMap
+        val sel = rem.filter { case e @ (a, b) =>
+          rem.filter(o => o._1 == a || o._2 == a).map(pri).min == pri(e) &&
+          rem.filter(o => o._1 == b || o._2 == b).map(pri).min == pri(e) }
+        out ++= sel.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val mv = sel.flatMap { case (a, b) => Seq(a, b) }
+        rem = rem.filterNot { case (a, b) => mv(a) || mv(b) }
+      }
+      out
+    }
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 4) {
+      val n = 6 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.35
+      } yield if (rnd.nextBoolean()) (a, b) else (b, a)).toSet
+      if (edges.nonEmpty) {
+        val got = GraphOps.maximalMatching(spark,
+          edges.toSeq.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toSet
+        assert(got == refMatch(edges), s"edges=$edges")
+        // A matching: each vertex has at most one mate, symmetric pairs.
+        val deg = got.groupBy(_._1).map(_._2.size)
+        assert(deg.forall(_ == 1))
+        assert(got.forall { case (a, b) => got.contains((b, a)) })
+        // MAXIMAL: no remaining edge joins two unmatched vertices.
+        val mv = got.map(_._1)
+        assert(!edges.exists { case (a, b) =>
+          a != b && !mv(a) && !mv(b) })
+      }
+    }
+  }
+
+  test("matching fixpoint stays within half the g26 oracle's static unroll") {
+    GraphOps.maximalMatching(spark,
+      GraphOps.edges(spark, "/root/testdata/sf0.001")).collect()
+    assert(GraphOps.lastMatchRounds > 0 &&
+      GraphOps.lastMatchRounds * 2 <= GraphOps.MatchRounds,
+      s"rounds=${GraphOps.lastMatchRounds} cap=${GraphOps.MatchRounds}")
+  }
+
   test("clustering coefficient: all three corners credited, deg-1 excluded") {
     import spark.implicits._
     // Triangle {1,2,3} + pendant 3-4. Vertex 3 has deg 3 and ONE triangle
