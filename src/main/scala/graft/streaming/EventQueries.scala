@@ -48,6 +48,34 @@ object EventQueries {
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
     }),
 
+    // Time-series GAP FILL / resample — the standard warehouse
+    // densification: bucket events to an hourly grid per type, generate
+    // the full per-type time SPINE (sequence over [min, max] — the grid
+    // is span-bounded, never data-bounded), left-join the aggregates
+    // onto it, and FORWARD-FILL the holes with a partitioned
+    // last-ignoreNulls window. Scale shape: the spine is types × hours
+    // rows regardless of event volume, the join keys on (type, bucket)
+    // so the window partitions stay span-sized, and nothing is ever
+    // globally ordered. is_gap flags the filled rows for auditing.
+    "q63_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.load(s, dir, "events")
+        .select($"event_type",
+          date_trunc("hour", $"ts".cast("timestamp")).as("b"), $"value")
+        .groupBy($"event_type", $"b").agg(avg($"value").as("v"))
+      val spine = agg.groupBy($"event_type")
+        .agg(min($"b").as("mn"), max($"b").as("mx"))
+        .select($"event_type",
+          explode(sequence($"mn", $"mx", expr("INTERVAL 1 HOUR"))).as("b"))
+      val w = Window.partitionBy($"event_type").orderBy($"b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(agg, Seq("event_type", "b"), "left")
+        .select($"event_type", $"b".as("wstart"),
+          $"v".isNull.cast("long").as("is_gap"),
+          sig6(last($"v", ignoreNulls = true).over(w)).as("filled"))
+    }),
+
     // Sliding 1-hour windows every 15 minutes (the batch twin of
     // EventStreams.slidingAgg): each event belongs to 4 overlapping
     // windows. Spark's window() generates the assignment; the oracle
@@ -493,6 +521,28 @@ object EventQueries {
         |SELECT event_id, user_id, ev_ms, o_orderkey, order_ms
         |FROM cand WHERE rn = 1""".stripMargin,
     "q24_tumbling_window" -> tumblingOracle,
+    // Same spine/ffill in DuckDB: generate_series for the grid,
+    // last_value IGNORE NULLS over the identical partitioned frame.
+    "q63_gap_fill" -> {
+      val ffill = "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type " +
+        "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH agg AS (
+         |  SELECT event_type,
+         |         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS b,
+         |         avg(value) AS v
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(b) AS mn, max(b) AS mx
+         |           FROM agg GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |                 unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS b
+         |          FROM bounds),
+         |j AS (SELECT s.event_type, s.b, a.v FROM spine s
+         |      LEFT JOIN agg a ON a.event_type = s.event_type AND a.b = s.b)
+         |SELECT event_type, b AS wstart,
+         |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+         |       ${sig6Sql(ffill)} AS filled
+         |FROM j""".stripMargin
+    },
     "s01_stream_tumbling" -> tumblingOracle,
     "q51_sliding_window" -> slidingOracle,
     "s02_stream_sliding" -> slidingOracle,

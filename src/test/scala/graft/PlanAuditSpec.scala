@@ -109,6 +109,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("q63 gap fill: the forward-fill window is partitioned, never global") {
+    // The ffill must run per event_type — a global window would serialize
+    // the whole spine through one task.
+    val plan = ranPlan("q63_gap_fill")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("l24 mix rates broadcasts the one-row totals") {
     val plan = ranPlan("l24_mix_rates")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
