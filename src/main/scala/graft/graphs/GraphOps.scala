@@ -184,8 +184,12 @@ object GraphOps {
     */
   val MatchRounds = 12
 
-  /** Rounds the most recent [[maximalMatching]] run took to its fixpoint. */
-  @volatile var lastMatchRounds: Int = 0
+  /** A [[maximalMatchingRun]] result: the symmetric (id, mate) relation
+    * plus the number of rounds the loop took to its fixpoint — returned
+    * per call (not via shared state) so concurrent runs (Verify's thread
+    * pool) can each check their own depth against [[MatchRounds]].
+    */
+  final case class Matching(pairs: DataFrame, rounds: Int)
 
   /** Deterministic MAXIMAL MATCHING — Luby-style distributed symmetry
     * breaking: each round every remaining edge draws a priority
@@ -198,7 +202,11 @@ object GraphOps {
     * one per-endpoint argmin aggregation plus an anti-join — no global
     * ordering anywhere. Returns the symmetric (id, mate) relation.
     */
-  def maximalMatching(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+  def maximalMatching(s: SparkSession, edgeDf: DataFrame): DataFrame =
+    maximalMatchingRun(s, edgeDf).pairs
+
+  /** [[maximalMatching]] plus the measured fixpoint depth. */
+  def maximalMatchingRun(s: SparkSession, edgeDf: DataFrame): Matching = {
     import s.implicits._
     val canon0 = edgeDf
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
@@ -238,8 +246,7 @@ object GraphOps {
         rem = rem.join(mv, rem("a") === mv("v"), "left_anti")
         rem = rem.join(mv, rem("b") === mv("v"), "left_anti").localCheckpoint()
       }
-      lastMatchRounds = rounds
-      matched
+      Matching(matched, rounds)
     }
   }
 

@@ -216,8 +216,18 @@ object GraphQueries {
     // remainder, to the fixpoint. Oracle = the same rounds statically
     // unrolled (GraphOps.MatchRounds deep — converged rounds are
     // idempotent) with row_number argmins over identical md5 priorities.
-    "g26_matching" -> ((s, dir) =>
-      GraphOps.maximalMatching(s, GraphOps.edges(s, dir))),
+    // The engine loops to the TRUE fixpoint, so a graph needing more than
+    // the oracle's static unroll must fail HERE with a depth error, not
+    // downstream as an inscrutable hash mismatch; ×2 headroom keeps the
+    // guard ahead of gradual graph growth.
+    "g26_matching" -> ((s, dir) => {
+      val run = GraphOps.maximalMatchingRun(s, GraphOps.edges(s, dir))
+      require(run.rounds * 2 <= GraphOps.MatchRounds,
+        s"matching fixpoint ${run.rounds} rounds exceeds half the g26 " +
+          s"oracle's static unroll (${GraphOps.MatchRounds}) — deepen " +
+          "GraphOps.MatchRounds")
+      run.pairs
+    }),
     // Deterministic hash-seeded random walks (node2vec-style embedding
     // corpus): per-(start, step) argmin-md5 next-hop, 3 steps — the
     // "sentences" a graph-embedding model trains on, reproducible

@@ -177,6 +177,74 @@ object LlmQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared BPE merge-round CTE chain for the l42 (train) / l45 (encode)
+    * oracles. Words are VARCHAR[] symbol lists; each round counts adjacent
+    * pairs (`p\$r`), picks the top merge with the Spark side's exact
+    * tie-break (`t\$r`), and applies it with window functions (`s/m/v\$r`).
+    *
+    * The greedy leftmost fold has a closed form that needs no fold at all:
+    * a position is a merge CANDIDATE iff (sym[i], sym[i+1]) = (a, b). For
+    * a ≠ b candidates can never be adjacent (that would force a = b), so
+    * every candidate merges; for a = b candidates chain within runs of
+    * `a`s and greedy takes the odd-ranked ones in each consecutive run.
+    * So: gaps-and-islands over the candidate flag, merge at odd rank,
+    * drop the following (consumed) symbol, reassemble with list(ORDER BY).
+    *
+    * Written this way for cross-version robustness: the previous
+    * list_reduce string-accumulator fold and `string_split(tok, '')`
+    * empty-separator char split are exactly the constructs whose semantics
+    * have drifted across DuckDB releases (the round-5 gate failed l42 on a
+    * DuckDB where the local 1.0.0 mirror passed). Everything here —
+    * substring, range+unnest, ROW_NUMBER/lag, list(ORDER BY) — is stable
+    * SQL. pair_count is CAST to BIGINT because DuckDB types sum() as
+    * HUGEINT, which reaches pandas as float64 and renders differently
+    * from Spark's int64 under str()-style canonicalizers.
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    def lvl(r: Int): String = {
+      val p = r - 1
+      s"""p$r AS (
+         |  SELECT ss[i] AS a, ss[i + 1] AS b,
+         |         CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM v$p, unnest(range(1, len(ss))) t(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT $r AS round, a AS sym_a, b AS sym_b,
+         |               a || b AS merged, pair_count
+         |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT v.tok, v.cnt, u.i, v.ss[u.i] AS sym, t.merged AS mg,
+         |         (t.sym_a IS NOT NULL AND v.ss[u.i] = t.sym_a
+         |            AND u.i < len(v.ss) AND v.ss[u.i + 1] = t.sym_b) AS c
+         |  FROM v$p v LEFT JOIN t$r t ON TRUE,
+         |       unnest(range(1, len(v.ss) + 1)) u(i)),
+         |m$r AS (
+         |  SELECT tok, cnt, i, sym, mg,
+         |         c AND (ROW_NUMBER() OVER (
+         |             PARTITION BY tok, c, i - rnc ORDER BY i) % 2 = 1)
+         |           AS mstart
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |            PARTITION BY tok, c ORDER BY i) AS rnc
+         |        FROM s$r) z$r),
+         |v$r AS (
+         |  SELECT tok,
+         |         list(CASE WHEN mstart THEN mg ELSE sym END ORDER BY i) AS ss,
+         |         cnt
+         |  FROM (SELECT tok, cnt, i, sym, mg, mstart,
+         |               coalesce(lag(mstart) OVER (
+         |                   PARTITION BY tok ORDER BY i), FALSE) AS consumed
+         |        FROM m$r) y$r
+         |  WHERE NOT consumed
+         |  GROUP BY tok, cnt)""".stripMargin
+    }
+    s"""toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |w0 AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |v0 AS (
+       |  SELECT tok, list(substring(tok, i, 1) ORDER BY i) AS ss, cnt
+       |  FROM w0, unnest(range(1, length(tok) + 1)) t(i)
+       |  GROUP BY tok, cnt),
+       |${(1 to rounds).map(lvl).mkString(",\n")}""".stripMargin
+  }
+
   /** The l13 language-ID argmax (scored marker evidence per candidate,
     * row_number tie-break matching the Spark sort_array descending-struct
     * order). Shared by l13 (per-doc votes) and l48 (confusion matrix).
@@ -803,84 +871,26 @@ object LlmQueries {
          |FROM inter JOIN cnt ca ON ca.source = src_a
          |           JOIN cnt cb ON cb.source = src_b""".stripMargin
     },
-    // BPE training, three merge rounds statically unrolled. The merge
-    // applies as the same leftmost-greedy fold as the Spark side
-    // (list_reduce: push each symbol, pop-and-merge when the accumulator's
-    // last symbol is sym_a and the incoming one is sym_b — exact BPE
-    // apply semantics, verified identical in both engines and against a
-    // driver-side reference on random corpora).
-    "l42_bpe_train" -> {
-      def lvl(r: Int): String = {
-        val p = r - 1
-        s"""p$r AS (
-           |  SELECT ss[i] AS a, ss[i+1] AS b, sum(cnt) AS pair_count
-           |  FROM (SELECT string_split(trim(w), ' ') AS ss, cnt FROM v$p) x,
-           |       unnest(range(1, len(ss))) t(i)
-           |  GROUP BY 1, 2),
-           |t$r AS (SELECT $r AS round, a AS sym_a, b AS sym_b,
-           |               a || b AS merged, pair_count
-           |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
-           |v$r AS (SELECT CASE WHEN t$r.sym_a IS NULL THEN v$p.w
-           |          ELSE list_reduce(
-           |            list_prepend('', string_split(trim(v$p.w), ' ')),
-           |            (acc, x) -> CASE WHEN x = t$r.sym_b
-           |                AND ends_with(acc, ' ' || t$r.sym_a)
-           |              THEN left(acc, len(acc) - len(t$r.sym_a) - 1) ||
-           |                   ' ' || t$r.merged
-           |              ELSE acc || ' ' || x END) || ' '
-           |          END AS w, cnt
-           |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
-      }
-      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |v0 AS (
-         |  SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
-         |         count(*) AS cnt
-         |  FROM toks GROUP BY tok),
-         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}
+    // BPE training, three merge rounds statically unrolled via
+    // [[bpeOracleCtes]] — see its doc for the greedy-apply closed form and
+    // why it avoids list_reduce / empty-separator splits.
+    "l42_bpe_train" ->
+      s"""WITH ${bpeOracleCtes(3)}
          |SELECT * FROM t1 UNION ALL SELECT * FROM t2
-         |UNION ALL SELECT * FROM t3""".stripMargin
-    },
-    // BPE encode: the l42 merge rounds with `tok` carried through, then
-    // every document's token multiset joins the per-token symbol counts —
-    // all-integer arithmetic, so the compare is exact. Merge apply = the
-    // same leftmost-greedy list_reduce fold as l42's oracle.
-    "l45_bpe_encode" -> {
-      def lvl(r: Int): String = {
-        val p = r - 1
-        s"""p$r AS (
-           |  SELECT ss[i] AS a, ss[i+1] AS b, sum(cnt) AS pair_count
-           |  FROM (SELECT string_split(trim(w), ' ') AS ss, cnt FROM v$p) x,
-           |       unnest(range(1, len(ss))) t(i)
-           |  GROUP BY 1, 2),
-           |t$r AS (SELECT a, b, a || b AS merged
-           |        FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
-           |v$r AS (SELECT tok, CASE WHEN t$r.a IS NULL THEN v$p.w
-           |          ELSE list_reduce(
-           |            list_prepend('', string_split(trim(v$p.w), ' ')),
-           |            (acc, x) -> CASE WHEN x = t$r.b
-           |                AND ends_with(acc, ' ' || t$r.a)
-           |              THEN left(acc, len(acc) - len(t$r.a) - 1) ||
-           |                   ' ' || t$r.merged
-           |              ELSE acc || ' ' || x END) || ' '
-           |          END AS w, cnt
-           |        FROM v$p LEFT JOIN t$r ON TRUE)""".stripMargin
-      }
-      s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
-         |v0 AS (
-         |  SELECT tok,
-         |         ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
-         |         count(*) AS cnt
-         |  FROM toks GROUP BY tok),
-         |${lvl(1)}, ${lvl(2)}, ${lvl(3)},
-         |symc AS (SELECT tok, len(string_split(trim(w), ' ')) AS n_sym FROM v3),
+         |UNION ALL SELECT * FROM t3""".stripMargin,
+    // BPE encode: the l42 merge rounds (shared CTE chain), then every
+    // document's token multiset joins the per-token symbol counts —
+    // all-integer arithmetic, so the compare is exact.
+    "l45_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(3)},
+         |symc AS (SELECT tok, len(ss) AS n_sym FROM v3),
          |dt AS (
          |  SELECT doc_id, tok, count(*) AS k
          |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) z
          |  GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(k * length(tok)) AS BIGINT) AS n_chars,
          |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens
-         |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin
-    },
+         |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin,
     // Vocab coverage: identical (lang, tok, k) base relation, identical
     // total-order vocab cut; all-integer counts, one final rounded ratio.
     "l46_vocab_coverage" ->

@@ -45,14 +45,27 @@ object CdcMerge {
       concat(lit("New#"), (col("key") + off).cast("string")).as("new_name"),
       lit(0.0).as("delta"))
 
-  /** Apply one change batch to a (key, c_name, c_acctbal) state. */
-  def apply(state: DataFrame, changes: DataFrame): DataFrame =
-    state.join(broadcast(changes.filter(col("op") =!= "I")),
-        Seq("key"), "left")
-      .filter(col("op").isNull || col("op") =!= "D")
+  /** Apply one change batch to a (key, c_name, c_acctbal) state.
+    *
+    * A batch may carry SEVERAL matched changes for one key (a left join on
+    * a duplicated key would silently duplicate snapshot rows): the batch
+    * is first collapsed per key with deterministic merge semantics — any
+    * `D` wins, otherwise the `U` deltas SUM (deltas compose, so the
+    * collapse order cannot matter). The collapse is an aggregation on the
+    * already-small broadcast side; the snapshot side stays exchange-free.
+    */
+  def apply(state: DataFrame, changes: DataFrame): DataFrame = {
+    val matched = changes.filter(col("op") =!= "I")
+      .groupBy(col("key"))
+      .agg(max(col("op") === "D").as("del"),
+        sum(when(col("op") === "U", col("delta")).otherwise(lit(0.0)))
+          .as("delta"))
+    state.join(broadcast(matched), Seq("key"), "left")
+      .filter(col("del").isNull || !col("del"))
       .select(col("key"), col("c_name"),
         (col("c_acctbal") + coalesce(col("delta"), lit(0.0))).as("c_acctbal"))
       .unionByName(changes.filter(col("op") === "I")
         .select(col("key"), col("new_name").as("c_name"),
           col("delta").as("c_acctbal")))
+  }
 }

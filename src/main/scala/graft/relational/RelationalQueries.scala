@@ -569,9 +569,6 @@ object RelationalQueries {
         .select($"key", $"c_name".as("name"), sig6($"c_acctbal").as("acctbal"))
     }),
 
-    // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
-    // into (measure, value) long form. Pure row-local reshaping, no shuffle
-    // until the final aggregation.
     // Data PROFILING (the ANALYZE-style pre-training audit): per-column
     // null count, exact distinct count, and numeric min/max for a column
     // set, in ONE aggregation pass — the wide one-row aggregate reshapes
@@ -616,6 +613,9 @@ object RelationalQueries {
           $"p.min_val", $"p.max_val")
     }),
 
+    // UNPIVOT — the inverse of q29's pivot: wide per-row measures melted
+    // into (measure, value) long form. Pure row-local reshaping, no shuffle
+    // until the final aggregation.
     "q54_unpivot" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
@@ -1015,19 +1015,25 @@ object RelationalQueries {
     // One aggregate row per metric set, reshaped long exactly like the
     // Spark side.
     "q62_profile" ->
+      // Every integer sum is CAST to BIGINT: DuckDB types sum(INTEGER) as
+      // HUGEINT, which the python client hands to pandas as float64 —
+      // int64-vs-float64 renders differently under str()-style
+      // canonicalizers even when the values are equal. Spark's side is
+      // LongType, so the oracle must pin BIGINT too. Same reason the
+      // min/max go through an explicit DOUBLE cast before sig6.
       s"""WITH a AS (
          |  SELECT count(*) AS n,
-         |         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+         |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
          |         count(DISTINCT l_quantity) AS dist_qty,
-         |         ${sig6Sql("min(l_quantity)")} AS min_qty,
-         |         ${sig6Sql("max(l_quantity)")} AS max_qty,
-         |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok,
+         |         ${sig6Sql("CAST(min(l_quantity) AS DOUBLE)")} AS min_qty,
+         |         ${sig6Sql("CAST(max(l_quantity) AS DOUBLE)")} AS max_qty,
+         |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
          |         count(DISTINCT l_orderkey) AS dist_ok,
          |         CAST(min(l_orderkey) AS DOUBLE) AS min_ok,
          |         CAST(max(l_orderkey) AS DOUBLE) AS max_ok,
-         |         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+         |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rf,
          |         count(DISTINCT l_returnflag) AS dist_rf,
-         |         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_sd,
+         |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_sd,
          |         count(DISTINCT l_shipdate) AS dist_sd
          |  FROM lineitem)
          |SELECT 'l_quantity' AS "column", n, null_qty AS n_null,
@@ -1036,9 +1042,11 @@ object RelationalQueries {
          |UNION ALL
          |SELECT 'l_orderkey', n, null_ok, dist_ok, min_ok, max_ok FROM a
          |UNION ALL
-         |SELECT 'l_returnflag', n, null_rf, dist_rf, NULL, NULL FROM a
+         |SELECT 'l_returnflag', n, null_rf, dist_rf,
+         |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
          |UNION ALL
-         |SELECT 'l_shipdate', n, null_sd, dist_sd, NULL, NULL FROM a""".stripMargin,
+         |SELECT 'l_shipdate', n, null_sd, dist_sd,
+         |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a""".stripMargin,
     "q54_unpivot" ->
       s"""WITH u AS (
          |  SELECT l_orderkey, l_linenumber, measure, val

@@ -28,7 +28,12 @@ object FormatRoundtrip {
   private def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
     val pid = ProcessHandle.current().pid()
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/p$pid/$sf/$fmt"
+    // Per-call UUID: every scratch dir is write-then-read within ONE query
+    // invocation, and two concurrent same-process runs of the same query
+    // (Verify's thread pool re-entering, a dev double-submit) must not
+    // overwrite the directory the other is still reading.
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/p$pid/$sf/${fmt}_$run"
   }
 
   /** Delete q59 bucket-table directories whose owning pid is gone. Only

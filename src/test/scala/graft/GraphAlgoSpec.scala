@@ -293,11 +293,11 @@ class GraphAlgoSpec extends AnyFunSuite {
   }
 
   test("matching fixpoint stays within half the g26 oracle's static unroll") {
-    GraphOps.maximalMatching(spark,
-      GraphOps.edges(spark, "/root/testdata/sf0.001")).collect()
-    assert(GraphOps.lastMatchRounds > 0 &&
-      GraphOps.lastMatchRounds * 2 <= GraphOps.MatchRounds,
-      s"rounds=${GraphOps.lastMatchRounds} cap=${GraphOps.MatchRounds}")
+    val run = GraphOps.maximalMatchingRun(spark,
+      GraphOps.edges(spark, "/root/testdata/sf0.001"))
+    run.pairs.collect()
+    assert(run.rounds > 0 && run.rounds * 2 <= GraphOps.MatchRounds,
+      s"rounds=${run.rounds} cap=${GraphOps.MatchRounds}")
   }
 
   test("clustering coefficient: all three corners credited, deg-1 excluded") {
