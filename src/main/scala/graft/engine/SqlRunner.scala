@@ -142,7 +142,11 @@ object SqlRunner {
         .getOrElse(math.max(HubDegreePartitionFactor * meanPartEdges,
           HubMinDegreeFloor))
       val hubs: Array[(Long, Long)] =
-        if (m < HubProbeMinEdges && hubMinDegreeOverride.isEmpty)
+        // Override ≤ 0 disables the probe outright (the pre-probe code
+        // path) — the diagnostic A/B knob for attributing anchor-time
+        // movement to the probe vs the box.
+        if (hubMinDegreeOverride.exists(_ <= 0L) ||
+            (m < HubProbeMinEdges && hubMinDegreeOverride.isEmpty))
           Array.empty
         else
           sel.sample(withReplacement = false, HubSampleFraction, seed = 42)

@@ -104,7 +104,10 @@ object GraphOps {
     // instead of paying several distributed rounds for a few thousand
     // edges. The distributed loop below is the at-scale path (and stays
     // oracle-gated through g06/g12's SqlRunner/GraphXRunner WCC).
-    val threshold = 1000000
+    // 100k edge rows ≈ 10 MB of driver objects — comfortably bounded;
+    // the earlier 1M cap was ~100 MB of Row overhead for a tier whose
+    // whole point is "too small to bother the cluster with".
+    val threshold = 100000
     val sampled = sym.limit(threshold + 1).collect()
     if (sampled.length <= threshold) {
       sym.unpersist()

@@ -20,6 +20,19 @@ object GraphQueries {
     */
   private[graft] val AnchorNV = 4000000L
 
+  /** Pinned per-depth frontier-size vectors (dist → vertex count) for the
+    * 64M-edge anchors — recorded once from the deterministic generators
+    * and REQUIRE-checked on every gate run. Any change to the xxhash64
+    * edge derivation, the dispatch, or the superstep loop's distance
+    * semantics moves at least one entry; the count/sum/max summary these
+    * replace could mask compensating errors.
+    */
+  private val B03DepthGolden: Map[Long, Long] = Map(
+    0L -> 1L, 1L -> 16L, 2L -> 256L, 3L -> 4094L, 4L -> 64884L,
+    5L -> 899081L, 6L -> 2948399L, 7L -> 83268L, 8L -> 1L)
+  private val B04DepthGolden: Map[Long, Long] = Map(
+    0L -> 1L, 1L -> 1389164L, 2L -> 2603464L, 3L -> 7370L)
+
   private[graft] def uniformEdges64M(s: SparkSession): DataFrame = {
     import s.implicits._
     s.range(16L * AnchorNV)
@@ -332,21 +345,28 @@ object GraphQueries {
     // Total edge relaxations ≈ |E| (unit-weight SSSP activates each
     // vertex once), so edges/s ≈ 64M / seconds — comparable to
     // BASELINE.md's ~7.1M edge-relaxations/s soc-LiveJournal1 anchor
-    // (log.txt:53-55). Output is a one-row summary (deterministic graph →
-    // deterministic distances); runner equality vs the local CSR loop is
-    // pinned by EngineSpec on the same generator.
+    // (log.txt:53-55). Output is the per-depth frontier-size vector
+    // (deterministic graph → deterministic distances), REQUIRE-pinned
+    // against the recorded golden: a wrong-distance regression at the
+    // 64M-edge distributed tier fails the gate run loudly instead of
+    // hiding inside a 1-row count/sum/max summary. Runner equality vs the
+    // local CSR loop is additionally pinned by EngineSpec at 8M edges.
     "b03_sssp_rand64m" -> ((s, dir) => {
       import s.implicits._
       val nV = AnchorNV
       val m = 16L * nV
       val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
-      GmrRunner.auto(s, v, e, Algorithms.Sssp,
+      val hist = GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(nV, source = 1L), numEdges = m)
         .filter($"value" =!= Double.PositiveInfinity)
-        .agg(count(lit(1)).as("n_reached"),
-          sum($"value").cast("long").as("sum_dist"),
-          max($"value").cast("long").as("max_dist"))
+        .groupBy($"value".cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .localCheckpoint()
+      val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(got == B03DepthGolden,
+        s"b03 depth histogram drifted from the pinned golden: $got")
+      hist
     }),
     // BENCH anchor 4: the distributed tier under POWER-LAW OUT-DEGREE SKEW
     // — the regime the reference's own degree-histogram artifact motivates
@@ -358,21 +378,26 @@ object GraphQueries {
     // SqlRunner's degree-probe detects the hubs and salts their edge lists
     // (see the SKEW PROBE block in SqlRunner) — the bench persists
     // b04_salted_hubs/b04_salt_factor beside the throughput so the
-    // engagement is a recorded artifact. Rows-only like b02/b03 (the
-    // 64M-edge oracle is infeasible; EngineSpec pins salted-vs-local
-    // equality on the same skew shape at 200k edges).
+    // engagement is a recorded artifact. Like b03, the output is the
+    // REQUIRE-pinned per-depth frontier vector — the salted scatter path
+    // is value-locked at its real 64M scale, not just at EngineSpec's
+    // 200k-edge miniature.
     "b04_sssp_skew64m" -> ((s, dir) => {
       import s.implicits._
       val nV = AnchorNV
       val m = 16L * nV
       val e = skewEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
-      GmrRunner.auto(s, v, e, Algorithms.Sssp,
+      val hist = GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(nV, source = 1L), numEdges = m)
         .filter($"value" =!= Double.PositiveInfinity)
-        .agg(count(lit(1)).as("n_reached"),
-          sum($"value").cast("long").as("sum_dist"),
-          max($"value").cast("long").as("max_dist"))
+        .groupBy($"value".cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .localCheckpoint()
+      val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(got == B04DepthGolden,
+        s"b04 depth histogram drifted from the pinned golden: $got")
+      hist
     }),
     // BENCH anchor 5: PageRank (2 fixed rounds, no convergence dependence)
     // on the SAME skewed graph — every vertex sends every round, so each

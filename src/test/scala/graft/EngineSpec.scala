@@ -217,21 +217,49 @@ class EngineSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
-  test("b02 anchor checksum golden: the 8M-edge CSR-loop result is pinned") {
+  /** The 8M-edge BFS expansion vector (dist → vertex count), recorded from
+    * the gate-dumped b02 parquet. Strictly stronger than the count/sum/max
+    * triple it replaced: compensating per-depth errors cannot cancel.
+    */
+  private val B02DepthGolden: Map[Long, Long] = Map(
+    0L -> 1L, 1L -> 8L, 2L -> 64L, 3L -> 512L, 4L -> 4089L, 5L -> 32065L,
+    6L -> 218185L, 7L -> 615096L, 8L -> 129072L, 9L -> 575L, 10L -> 3L)
+
+  test("b02 anchor depth-histogram golden: the 8M-edge CSR-loop is pinned") {
     // The ≥8M-edge anchors are rows-only at the driver's gate (no DuckDB
     // oracle is feasible there — RegistrySpec documents why), so this
     // value-locks the full b02 computation end to end: generator, stats
-    // dispatch, and the single-task CSR loop at its real scale. The
-    // constants come from the gate-dumped parquet (also the driver's
-    // recorded spark_rows for b02 since round 3) — any change to the
-    // xxhash64 edge derivation, the hop semantics, or the loop's frontier
-    // handling moves at least one of them. (~4 s; the one deliberately
-    // heavy check in the suite.)
+    // dispatch, and the single-task CSR loop at its real scale. (~4 s;
+    // deliberately heavy.)
     import spark.implicits._
-    val row = SparkEntry.queries("b02_sssp_rand8m")(spark, "unused")
-      .agg(count(lit(1)), sum($"dist"), max($"dist")).head()
-    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
-      ((999670L, 6830916L, 10L)))
+    val got = SparkEntry.queries("b02_sssp_rand8m")(spark, "unused")
+      .groupBy($"dist").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == B02DepthGolden)
+  }
+
+  test("distributed tier matches the 8M-edge depth golden (SqlRunner)") {
+    // Runner equality AT the ≥8M-edge tier, not just the 200k miniature:
+    // the same b02 generator forced through the distributed superstep
+    // path must reproduce the identical expansion vector. This is the
+    // suite's heavyweight (~30-40 s) — the price of a real correctness
+    // gate on the plan the 64M anchors actually run.
+    import spark.implicits._
+    val nV = 1000000L
+    val e = spark.range(8L * nV)
+      .select(($"id" % nV).as("src"),
+        pmod(xxhash64($"id"), lit(nV)).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+    val v = spark.range(nV).select($"id")
+    val got = SqlRunner
+      .run(spark, v, e, Algorithms.Sssp, GraphMeta(nV, source = 1L),
+        numEdges = 8L * nV)
+      .filter($"value" =!= Double.PositiveInfinity)
+      .groupBy($"value".cast("long").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == B02DepthGolden)
   }
 
   test("WCC dual runners agree on small.graph") {

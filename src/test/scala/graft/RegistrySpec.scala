@@ -38,9 +38,12 @@ class RegistrySpec extends AnyFunSuite {
       "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
                             // EngineSpec pins runner equality at 200k)
       "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
-                            // forced through SqlRunner past the 32M threshold)
+                            // forced through SqlRunner past the 32M threshold;
+                            // self-pinned: the query REQUIREs its depth
+                            // histogram against a recorded golden)
       "b04_sssp_skew64m",   // 64M-edge POWER-LAW-skew anchor (EngineSpec pins
-                            // salted-vs-local equality at 200k on the same shape)
+                            // salted-vs-local equality at 200k on the same
+                            // shape; self-pinned like b03)
       "b05_pagerank_skew64m", // fixed-2-round PageRank on the skewed graph —
                             // full-relation superstep throughput under skew
       "q12_approx_distinct", // approximate by design
