@@ -182,10 +182,13 @@ object GraphOps {
     * true fixpoint (termination is guaranteed: the globally min-priority
     * remaining edge is selected every round, so each round retires ≥2
     * vertices); converged rounds are idempotent, so any unroll past the
-    * measured fixpoint is exact — GraphAlgoSpec pins measured rounds at
-    * ≤ half this depth, the g21 headroom convention.
+    * measured fixpoint is exact — the g26 registry entry REQUIREs
+    * fixpoint ≤ half this depth per run, and GraphAlgoSpec pins the same
+    * headroom at BOTH gate SFs (the g21 convention). 16 because the
+    * sf0.1 derived graph (≈1k vertices, ≈140k edges) measures a 7-round
+    * fixpoint — 12 left it under 2× headroom there.
     */
-  val MatchRounds = 12
+  val MatchRounds = 16
 
   /** A [[maximalMatchingRun]] result: the symmetric (id, mate) relation
     * plus the number of rounds the loop took to its fixpoint — returned
