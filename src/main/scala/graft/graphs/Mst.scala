@@ -63,7 +63,10 @@ object Mst {
         // One action decides the branch: pull up to threshold+1 pairs; an
         // overflow row means "too big, go distributed" without a separate
         // count() pass over `nominated`.
-        val threshold = 1000000
+        // 100k pair rows ≈ 10 MB of driver objects (same bound as
+        // GraphOps.wcc's tier — 1M Rows was ~100 MB of object overhead
+        // for a "too small to distribute" branch).
+        val threshold = 100000
         val sampled = mergePairs.limit(threshold + 1).collect()
         val mapping: DataFrame =
           if (sampled.length <= threshold) {
