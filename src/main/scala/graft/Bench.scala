@@ -182,7 +182,12 @@ object Bench {
         val eipsTotal = if (dt > 0) edges.toDouble * iters / dt else -1.0
         val eipsLoop = if (loopSec > 0) edges.toDouble * iters / loopSec else -1.0
         f""","${key}_edges":$edges,"${key}_iters":$iters,"${key}_loop_sec":$loopSec%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_salted_hubs":$hubs,"${key}_salt_factor":$saltF"""
-    }.mkString
+    }.mkString +
+      // b02 runs the single-task CSR tier (no SqlRunner sidecar); its round
+      // count is implied by the spec-pinned depth golden — recorded here so
+      // tools/sync_anchors.py derives throughput from the artifact alone.
+      s""","b02_iters":${graphs.GraphQueries.goldenRounds(
+        graphs.GraphQueries.B02DepthGolden)}"""
     // Sketch-quality sidecar: measured recall of the LSH variants against
     // their exact twins on THIS run's data — a hash-function or banding
     // regression moves these numbers even though the LSH queries are

@@ -27,11 +27,55 @@ object GraphQueries {
     * semantics moves at least one entry; the count/sum/max summary these
     * replace could mask compensating errors.
     */
+  private[graft] val B02DepthGolden: Map[Long, Long] = Map(
+    0L -> 1L, 1L -> 8L, 2L -> 64L, 3L -> 512L, 4L -> 4089L, 5L -> 32065L,
+    6L -> 218185L, 7L -> 615096L, 8L -> 129072L, 9L -> 575L, 10L -> 3L)
   private val B03DepthGolden: Map[Long, Long] = Map(
     0L -> 1L, 1L -> 16L, 2L -> 256L, 3L -> 4094L, 4L -> 64884L,
     5L -> 899081L, 6L -> 2948399L, 7L -> 83268L, 8L -> 1L)
   private val B04DepthGolden: Map[Long, Long] = Map(
     0L -> 1L, 1L -> 1389164L, 2L -> 2603464L, 3L -> 7370L)
+
+  /** BFS/SSSP round count implied by a depth golden (max depth + 1 rounds
+    * to exhaust the frontier) — Bench records b02's as a sidecar so the
+    * doc-anchor generator derives throughput from the SAME source of truth
+    * as the spec golden instead of a hand-synced constant.
+    */
+  private[graft] def goldenRounds(g: Map[Long, Long]): Int =
+    g.keys.max.toInt + 1
+
+  private[graft] val B02NV = 1000000L
+
+  /** The b02 8M-edge generator — ONE definition shared by the registry
+    * query and EngineSpec's distributed-tier equality test, so an edit
+    * cannot leave the test validating a stale copy.
+    */
+  private[graft] def uniformEdges8M(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(8L * B02NV)
+      .select(($"id" % B02NV).as("src"),
+        pmod(xxhash64($"id"), lit(B02NV)).as("dst"))
+      .filter($"src" =!= $"dst")
+  }
+
+  /** Compute the per-depth frontier vector of an engine SSSP result and
+    * REQUIRE it against the recorded golden — the shared pinning block of
+    * the b03/b04 anchors (a wrong-distance regression at the real 64M
+    * scale must fail the gate run loudly, not hide in a summary).
+    */
+  private def pinnedDepthHist(result: DataFrame, golden: Map[Long, Long],
+                              tag: String): DataFrame = {
+    import result.sparkSession.implicits._
+    val hist = result
+      .filter($"value" =!= Double.PositiveInfinity)
+      .groupBy($"value".cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .localCheckpoint()
+    val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(got == golden,
+      s"$tag depth histogram drifted from the pinned golden: $got")
+    hist
+  }
 
   private[graft] def uniformEdges64M(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -325,15 +369,10 @@ object GraphQueries {
     // equality on the same generator at 200k edges).
     "b02_sssp_rand8m" -> ((s, dir) => {
       import s.implicits._
-      val nV = 1000000L
-      val e = s.range(8L * nV)
-        .select(($"id" % nV).as("src"),
-          pmod(xxhash64($"id"), lit(nV)).as("dst"))
-        .filter($"src" =!= $"dst")
-        .withColumn("weight", lit(1.0))
-      val v = s.range(nV).select($"id")
+      val e = uniformEdges8M(s).withColumn("weight", lit(1.0))
+      val v = s.range(B02NV).select($"id")
       GmrRunner.auto(s, v, e, Algorithms.Sssp,
-          GraphMeta(nV, source = 1L), numEdges = 8L * nV)
+          GraphMeta(B02NV, source = 1L), numEdges = 8L * B02NV)
         .filter($"value" =!= Double.PositiveInfinity)
         .select($"id", $"value".cast("long").as("dist"))
     }),
@@ -357,16 +396,8 @@ object GraphQueries {
       val m = 16L * nV
       val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
-      val hist = GmrRunner.auto(s, v, e, Algorithms.Sssp,
-          GraphMeta(nV, source = 1L), numEdges = m)
-        .filter($"value" =!= Double.PositiveInfinity)
-        .groupBy($"value".cast("long").as("dist"))
-        .agg(count(lit(1)).as("n_vertices"))
-        .localCheckpoint()
-      val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      require(got == B03DepthGolden,
-        s"b03 depth histogram drifted from the pinned golden: $got")
-      hist
+      pinnedDepthHist(GmrRunner.auto(s, v, e, Algorithms.Sssp,
+        GraphMeta(nV, source = 1L), numEdges = m), B03DepthGolden, "b03")
     }),
     // BENCH anchor 4: the distributed tier under POWER-LAW OUT-DEGREE SKEW
     // — the regime the reference's own degree-histogram artifact motivates
@@ -388,16 +419,8 @@ object GraphQueries {
       val m = 16L * nV
       val e = skewEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(nV).select($"id")
-      val hist = GmrRunner.auto(s, v, e, Algorithms.Sssp,
-          GraphMeta(nV, source = 1L), numEdges = m)
-        .filter($"value" =!= Double.PositiveInfinity)
-        .groupBy($"value".cast("long").as("dist"))
-        .agg(count(lit(1)).as("n_vertices"))
-        .localCheckpoint()
-      val got = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      require(got == B04DepthGolden,
-        s"b04 depth histogram drifted from the pinned golden: $got")
-      hist
+      pinnedDepthHist(GmrRunner.auto(s, v, e, Algorithms.Sssp,
+        GraphMeta(nV, source = 1L), numEdges = m), B04DepthGolden, "b04")
     }),
     // BENCH anchor 5: PageRank (2 fixed rounds, no convergence dependence)
     // on the SAME skewed graph — every vertex sends every round, so each

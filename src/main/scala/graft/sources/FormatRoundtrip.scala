@@ -25,15 +25,40 @@ object FormatRoundtrip {
     * other's round-trip data mid-read; the sf segment isolates scale
     * factors within one JVM.
     */
+  private def recursiveDelete(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(recursiveDelete)
+    f.delete(): Unit
+  }
+
+  /** This JVM's scratch root is swept once at exit, and dead-pid roots from
+    * crashed JVMs are swept on first use — the per-call UUID dirs below
+    * would otherwise accumulate in /tmp without bound across bench rounds.
+    */
+  private lazy val scratchRoot: java.io.File = {
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_roundtrip")
+    val mine = new java.io.File(base, s"p${ProcessHandle.current().pid()}")
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case s if s.startsWith("p") && s.drop(1).forall(_.isDigit) &&
+          ProcessHandle.of(s.drop(1).toLong).isEmpty => recursiveDelete(f)
+        case _ => ()
+      }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      recursiveDelete(mine)))
+    mine
+  }
+
   private def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
-    val pid = ProcessHandle.current().pid()
     // Per-call UUID: every scratch dir is write-then-read within ONE query
     // invocation, and two concurrent same-process runs of the same query
     // (Verify's thread pool re-entering, a dev double-submit) must not
-    // overwrite the directory the other is still reading.
+    // overwrite the directory the other is still reading. Bounded: the
+    // JVM's whole root dies with the JVM (shutdown hook above).
     val run = java.util.UUID.randomUUID().toString.take(8)
-    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/p$pid/$sf/${fmt}_$run"
+    s"$scratchRoot/$sf/${fmt}_$run"
   }
 
   /** Delete q59 bucket-table directories whose owning pid is gone. Only

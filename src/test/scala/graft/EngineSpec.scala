@@ -218,12 +218,11 @@ class EngineSpec extends AnyFunSuite {
   }
 
   /** The 8M-edge BFS expansion vector (dist → vertex count), recorded from
-    * the gate-dumped b02 parquet. Strictly stronger than the count/sum/max
+    * the gate-dumped b02 parquet — shared with GraphQueries (Bench derives
+    * b02's round count from it). Strictly stronger than the count/sum/max
     * triple it replaced: compensating per-depth errors cannot cancel.
     */
-  private val B02DepthGolden: Map[Long, Long] = Map(
-    0L -> 1L, 1L -> 8L, 2L -> 64L, 3L -> 512L, 4L -> 4089L, 5L -> 32065L,
-    6L -> 218185L, 7L -> 615096L, 8L -> 129072L, 9L -> 575L, 10L -> 3L)
+  private val B02DepthGolden = graft.graphs.GraphQueries.B02DepthGolden
 
   test("b02 anchor depth-histogram golden: the 8M-edge CSR-loop is pinned") {
     // The ≥8M-edge anchors are rows-only at the driver's gate (no DuckDB
@@ -245,11 +244,8 @@ class EngineSpec extends AnyFunSuite {
     // suite's heavyweight (~30-40 s) — the price of a real correctness
     // gate on the plan the 64M anchors actually run.
     import spark.implicits._
-    val nV = 1000000L
-    val e = spark.range(8L * nV)
-      .select(($"id" % nV).as("src"),
-        pmod(xxhash64($"id"), lit(nV)).as("dst"))
-      .filter($"src" =!= $"dst")
+    val nV = graft.graphs.GraphQueries.B02NV
+    val e = graft.graphs.GraphQueries.uniformEdges8M(spark)
       .withColumn("weight", lit(1.0))
     val v = spark.range(nV).select($"id")
     val got = SqlRunner

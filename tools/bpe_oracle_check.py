@@ -65,8 +65,9 @@ def main(out_dir):
         con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
         for i, d in enumerate(docs):
             con.execute("INSERT INTO documents VALUES (?, ?)", [i, d])
-        got = [tuple(r) for r in con.execute(train).fetchall()]
-        want = greedy_ref(docs)
+        # UNION ALL gives no row-order guarantee: sort both sides by round.
+        got = sorted(tuple(r) for r in con.execute(train).fetchall())
+        want = sorted(greedy_ref(docs))
         if got != want:
             print(f"FAIL corpus {ci}: oracle {got} != reference {want}")
             bad += 1

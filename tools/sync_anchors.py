@@ -24,11 +24,13 @@ def block():
     rows.append("|---|---|---|---|---|")
     rows.append(f"| b01 4elt SSSP (reference replay) | {Q['b01_sssp_4elt']:.3f} "
                 f"| — | — | native baseline 0.2806 s |")
-    # b02: CSR tier. BASELINE.md's convention is |E|*iters/wall; b02's
-    # round count is pinned at 11 by the depth golden (max dist 10 + 1).
+    # b02: CSR tier. BASELINE.md's convention is |E|*iters/wall; the round
+    # count comes from the artifact (Bench derives it from the spec-pinned
+    # depth golden), with 11 only as a legacy-artifact fallback.
+    it02 = B.get("b02_iters", 11)
     rows.append(f"| b02 8M uniform SSSP (CSR tier) | {Q['b02_sssp_rand8m']:.2f} "
-                f"| {m(8e6 * 11 / Q['b02_sssp_rand8m'])} | — "
-                f"| auto-dispatch local loop, iters=11 |")
+                f"| {m(8e6 * it02 / Q['b02_sssp_rand8m'])} | — "
+                f"| auto-dispatch local loop, iters={it02} |")
     for tag, label in [("b03", "b03 64M uniform SSSP (distributed)"),
                        ("b04", "b04 64M skew SSSP (salted)"),
                        ("b05", "b05 64M skew PageRank ×2")]:
