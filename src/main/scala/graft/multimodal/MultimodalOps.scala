@@ -33,6 +33,15 @@ import graft.Tables
   */
 object MultimodalOps {
 
+  // ImageIO's default ImageInputStream/OutputStream cache is DISK-backed: a
+  // temp file in java.io.tmpdir per encode/decode. At thousands of small
+  // images per query that is pure syscall overhead, and it couples codec
+  // throughput to /tmp contention (measured: m01/m04 swung 2.7-4x between
+  // identical-code bench runs while concurrent jobs wrote /tmp). The
+  // payloads here are KB-sized — memory-backed streams are strictly better.
+  // Object-init runs on every JVM that loads the codec (executors included).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
                             width: Int, height: Int)
   final case class MediaFeatures(doc_id: Long, kind: String, n_units: Long,

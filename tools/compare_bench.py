@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Host-normalized round-over-round bench comparison.
+
+The per-round driver VM differs in clock/memory bandwidth, so raw per-query
+deltas mislead (the same commit measured b03's loop anywhere from 19 s to
+94 s across boxes). This tool divides every per-query ratio by the MEDIAN
+ratio — the median absorbs the host factor, so what remains is per-query
+movement worth investigating.
+
+Usage: python3 tools/compare_bench.py OLD.json NEW.json [norm_threshold]
+Accepts either a full bench artifact ({"queries": ...}) or a driver
+BENCH_r{N}.json wrapper ({"parsed": {...}} — falls back to git history if
+parsed is null). Flags queries whose normalized ratio exceeds the threshold
+(default 1.5) in either direction and prints the eips sidecars side by side.
+"""
+import json, statistics, sys
+
+
+def load(path):
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    p = d.get("parsed")
+    if isinstance(p, dict) and "queries" in p:
+        return p
+    raise SystemExit(f"{path}: no usable 'queries' (driver tail-only "
+                     "artifact — use the committed BENCH_LOCAL.json of that "
+                     "round instead, e.g. `git show <commit>:BENCH_LOCAL.json`)")
+
+
+def main(old_path, new_path, thr=1.5):
+    old, new = load(old_path), load(new_path)
+    qo, qn = old["queries"], new["queries"]
+    ratios = {k: qn[k] / qo[k] for k in qn
+              if k in qo and qo[k] > 0.3 and qn[k] > 0}
+    med = statistics.median(ratios.values())
+    print(f"median wall ratio new/old = {med:.2f} (host factor)")
+    flagged = False
+    for k, v in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        n = v / med
+        if (n > thr and qn[k] > 1.0) or (n < 1 / thr and qo[k] > 1.0):
+            word = "SLOWER" if n > 1 else "faster"
+            print(f"  {k}: {word} x{max(n, 1/n):.2f} normalized "
+                  f"({qo[k]:.2f}s -> {qn[k]:.2f}s)")
+            flagged = True
+    if not flagged:
+        print("  no per-query movement beyond host variance")
+    for key in sorted(set(old) | set(new)):
+        if "eips" in key or "salted" in key or key.endswith("_iters"):
+            print(f"  {key}: {old.get(key)} -> {new.get(key)}")
+    print(f"hosts: {old.get('host_cpu', '?')} -> {new.get('host_cpu', '?')}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 1.5)
