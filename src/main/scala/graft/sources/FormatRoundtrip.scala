@@ -34,17 +34,24 @@ object FormatRoundtrip {
     * crashed JVMs are swept on first use — the per-call UUID dirs below
     * would otherwise accumulate in /tmp without bound across bench rounds.
     */
-  private lazy val scratchRoot: java.io.File = {
-    val base = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_roundtrip")
-    val mine = new java.io.File(base, s"p${ProcessHandle.current().pid()}")
+  /** Delete pid-keyed roots under `base` whose owning process is gone —
+    * shared by the lazy init below and its spec.
+    */
+  private[sources] def sweepDeadPidRoots(base: java.io.File): Unit =
     Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
-        case s if s.startsWith("p") && s.drop(1).forall(_.isDigit) &&
+        case s if s.startsWith("p") && s.length > 1 &&
+          s.drop(1).forall(_.isDigit) &&
           ProcessHandle.of(s.drop(1).toLong).isEmpty => recursiveDelete(f)
         case _ => ()
       }
     }
+
+  private lazy val scratchRoot: java.io.File = {
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_roundtrip")
+    val mine = new java.io.File(base, s"p${ProcessHandle.current().pid()}")
+    sweepDeadPidRoots(base)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       recursiveDelete(mine)))
     mine
