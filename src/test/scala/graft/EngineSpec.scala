@@ -258,6 +258,29 @@ class EngineSpec extends AnyFunSuite {
     assert(got == B02DepthGolden)
   }
 
+  test("zero-edge graph: all three runners degenerate correctly") {
+    // Vertices with NO edges — the degenerate input a loop must terminate
+    // on immediately: SSSP leaves everything but the source at infinity,
+    // WCC gives every vertex its own component.
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    val meta = GraphMeta(3, source = 1L)
+    val wantSssp = Map(1L -> 0.0, 2L -> Double.PositiveInfinity,
+      3L -> Double.PositiveInfinity)
+    assert(toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      == wantSssp)
+    assert(toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      == wantSssp)
+    assert(toMap(GraphXRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      == wantSssp)
+    val wantWcc = Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    assert(toMap(SqlRunner.run(spark, verts, edges, Algorithms.Wcc,
+      GraphMeta(3))) == wantWcc)
+    assert(toMap(LocalRunner.run(spark, verts, edges, Algorithms.Wcc,
+      GraphMeta(3))) == wantWcc)
+  }
+
   test("WCC dual runners agree on small.graph") {
     import spark.implicits._
     val sym = small.edges
