@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Canon.{sig6, sig6Sql}
@@ -118,6 +118,71 @@ object FormatRoundtrip {
     out
   }
 
+  /** Morton/Z-value: interleave the low `bits` bits of two non-negative
+    * long columns — bit i of `a` lands at position 2i+1, of `b` at 2i.
+    * Plain long shift/mask arithmetic, whole-stage-codegen'd end to end;
+    * no UDF.
+    */
+  private[graft] def mortonZ(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ORDERED layout: lineitem's (ship date × quantity) projection
+    * clustered along a 2-D Morton curve, the multi-dimension
+    * generalization of [[sortedLayout]]'s single sort key (what
+    * Delta/Iceberg call OPTIMIZE ZORDER). Range-partitioning + sorting by
+    * the interleaved z-value makes every row group cover a small
+    * RECTANGLE of the (date, qty) plane, so parquet footer min/max
+    * statistics prune scans filtered on EITHER dimension alone — a 1-D
+    * sort key can only ever serve its leading column.
+    *
+    * Grid coordinates come from a LINEAR [min, max] → 8-bit cell mapping
+    * computed in one cheap min/max aggregate pass — NOT from a
+    * corpus-wide rank (a global window sort is the anti-pattern at
+    * 100 TB; for a skewed dimension the cell fences would come from
+    * approxQuantile's sampled quantiles instead — same shape, still no
+    * global sort). Both dimensions get the SAME cell width so neither
+    * dominates the curve's high bits. The z column is dropped before the
+    * write: it exists to ORDER the rows, the pruning works off the data
+    * columns' own footer stats.
+    */
+  private[graft] def zorderLayout(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = scratch(dir, "zorder65")
+    val base = Tables.load(s, dir, "lineitem")
+      .select(to_date($"l_shipdate").as("l_sdate"),
+        // Quantities are integer-valued (TPC-H 1..50); the long cast is
+        // exact and gives the grid integer arithmetic.
+        $"l_quantity".cast("long").as("l_qty"),
+        $"l_returnflag", $"l_extendedprice")
+    val bounds = base.agg(min($"l_sdate"), max($"l_sdate"),
+      min($"l_qty"), max($"l_qty")).head()
+    val (d0, d1) = (bounds.getDate(0), bounds.getDate(1))
+    val (q0, q1) = (bounds.getLong(2), bounds.getLong(3))
+    val dSpan = math.max(1L,
+      d1.toLocalDate.toEpochDay - d0.toLocalDate.toEpochDay + 1)
+    val qSpan = math.max(1L, q1 - q0 + 1)
+    val cells = 256L // 8 bits per dimension, 16-bit z
+    // x in [0, span) → cell floor(x*256/span) in [0, 255]. The division
+    // is double-typed but exact at the edges: both operands are integers
+    // far below 2^53, so an integer-valued quotient rounds to itself and
+    // floor never slips a cell boundary.
+    val dCell = datediff($"l_sdate", lit(d0.toString).cast("date"))
+      .cast("long") * cells / lit(dSpan)
+    val qCell = ($"l_qty" - lit(q0)) * cells / lit(qSpan)
+    base
+      .withColumn("z",
+        mortonZ(floor(dCell).cast("long"), floor(qCell).cast("long"), 8))
+      .repartitionByRange(8, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   private def projection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
@@ -208,6 +273,62 @@ object FormatRoundtrip {
         .agg(count(lit(1)).as("cnt"),
           sig6(sum($"l_extendedprice")).as("rev"))
     }),
+    // SMALL-FILE COMPACTION — the lakehouse maintenance op (OPTIMIZE):
+    // streaming/incremental ingest leaves a table as thousands of tiny
+    // files whose per-file open/footer cost dominates scans at 100 TB.
+    // Compact = read fragmented layout, repartition to ceil(bytes /
+    // target) output files, rewrite. Sized from the MEASURED input (the
+    // fragmented files' own on-disk bytes), not a guess — the same
+    // stats-driven sizing discipline as LoopConf. The query REQUIREs the
+    // file-count collapse (64 -> the computed handful) so the operator
+    // cannot silently degrade to a no-op; hash equality against the
+    // parquet truth proves the rewrite is semantics-free.
+    "q64_compact_files" -> ((s, dir) => {
+      import s.implicits._
+      val frag = scratch(dir, "frag64")
+      projection(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      // File listing goes through the Hadoop FileSystem API — the same
+      // abstraction Spark itself scans through — so the operator is
+      // correct on HDFS/S3 layouts, not just file:// (java.io.File would
+      // silently see nothing on a remote store).
+      def files(p: String): Array[org.apache.hadoop.fs.FileStatus] = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(path).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      val fragFiles = files(frag)
+      val targetBytes = 32L * 1024 * 1024
+      val nOut = math.max(1,
+        math.ceil(fragFiles.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      val compact = scratch(dir, "compact")
+      s.read.parquet(frag).repartition(nOut)
+        .write.mode("overwrite").parquet(compact)
+      val nCompact = files(compact).length
+      require(nCompact == nOut && nCompact < fragFiles.length,
+        s"compaction did not collapse the layout: ${fragFiles.length} " +
+          s"fragments -> $nCompact files (wanted $nOut)")
+      summarize(s.read.parquet(compact))
+    }),
+    // The MULTI-dimension layout lever behind the oracle gate: a
+    // two-predicate consumer over the [[zorderLayout]] copy. Each pushed
+    // predicate prunes row groups through that dimension's OWN footer
+    // min/max (BucketingSpec measures recordsRead collapsing for a
+    // date-only AND a quantity-only filter versus an unsorted copy of
+    // the same rows); the oracle states the identical filter over the
+    // unclustered parquet truth, so hash equality proves the curve
+    // reorders, never rewrites.
+    "q65_zorder_scan" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(zorderLayout(s, dir))
+        .filter($"l_sdate" >= lit("1996-01-01").cast("date") &&
+          $"l_sdate" < lit("1996-07-01").cast("date") && $"l_qty" > 40)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sig6(sum($"l_extendedprice")).as("rev"),
+          sum($"l_qty").as("qty"))
+    }),
   )
 
   /** One oracle body: the formats must all reproduce the parquet truth. */
@@ -223,6 +344,8 @@ object FormatRoundtrip {
     "q46_csv_roundtrip" -> oracle,
     "q47_json_roundtrip" -> oracle,
     "q48_orc_roundtrip" -> oracle,
+    // Compaction must not move a single row either.
+    "q64_compact_files" -> oracle,
     // The plain join over the parquet truth — bucketing must not change
     // a single row.
     "q59_bucketed_join" ->
@@ -238,6 +361,19 @@ object FormatRoundtrip {
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1996-04-01'
+         |GROUP BY l_returnflag""".stripMargin,
+    // Same two predicates over the unclustered truth — the Z-order curve
+    // must not move a single row either. The quantity long cast is exact
+    // (integer-valued doubles) and CAST to BIGINT keeps the summed dtype
+    // integral on both engines.
+    "q65_zorder_scan" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |       ${sig6Sql("sum(l_extendedprice)")} AS rev,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-07-01'
+         |  AND l_quantity > 40
          |GROUP BY l_returnflag""".stripMargin,
   )
 }

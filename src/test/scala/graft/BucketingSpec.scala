@@ -160,4 +160,89 @@ class BucketingSpec extends AnyFunSuite {
       s"sorted=$sortedRead total=$total matching=$matching")
     assert(sortedRead >= matching)
   }
+
+  test("mortonZ matches the bit-interleave definition") {
+    import org.apache.spark.sql.functions.lit
+    def z(a: Long, b: Long): Long =
+      spark.range(1).select(
+        graft.sources.FormatRoundtrip.mortonZ(lit(a), lit(b), 8).as("z"))
+        .head().getLong(0)
+    def ref(a: Long, b: Long): Long =
+      (0 until 8).map(i => (((a >> i) & 1) << (2 * i + 1)) |
+        (((b >> i) & 1) << (2 * i))).reduce(_ | _)
+    assert(z(0, 0) == 0)
+    assert(z(1, 0) == 2) // a's bit 0 lands one position ABOVE b's
+    assert(z(0, 1) == 1)
+    assert(z(255, 255) == 65535)
+    for (a <- Seq(3L, 77L, 200L); b <- Seq(5L, 128L, 250L))
+      assert(z(a, b) == ref(a, b), s"a=$a b=$b")
+  }
+
+  test("z-ordered layout: EITHER dimension's filter prunes row groups " +
+      "(q65 at rest)") {
+    // The 2-D generalization of the q60 measurement: on the
+    // Morton-clustered copy, a date-only filter and a quantity-only
+    // filter must EACH materialize less than the full table — a 1-D sort
+    // key can only ever serve its leading column — while the identical
+    // filters over an unsorted copy of the same rows stay full-table, so
+    // the layout (not the predicate) is what's measured. Thresholds are
+    // set at the curve's granularity: with 8 z-range files ≈ 3 high z
+    // bits (date, qty, date), a ~6-month date slice pins both date bits
+    // (≈2/8 files + boundaries) and a qty>40 slice pins the one qty bit
+    // (≈4/8 files + boundaries) — both comfortably under 3/4 of the
+    // table, where an unclustered copy reads 8/8.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, to_date}
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Tables.load(spark, sfDir, "lineitem")
+      .select(to_date($"l_shipdate").as("l_sdate"),
+        $"l_quantity".cast("long").as("l_qty"),
+        $"l_returnflag", $"l_extendedprice")
+    // The PRODUCTION writer, same discipline as the q60 measurement.
+    val zpath = graft.sources.FormatRoundtrip.zorderLayout(spark, sfDir)
+    val shuffled = TestSpark.tempDir("graft_shuf65_fx")
+    base.repartition(8).write.mode("overwrite").parquet(shuffled)
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    def recordsRead(path: String)(
+        where: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        read.set(0)
+        where(spark.read.parquet(path)).agg(count(lit(1))).collect()
+        var prev = -1L
+        var tries = 0
+        while (read.get != prev && tries < 40) {
+          prev = read.get; Thread.sleep(25); tries += 1
+        }
+        read.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def dateOnly(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"l_sdate" >= lit("1996-01-01").cast("date") &&
+        $"l_sdate" < lit("1996-07-01").cast("date"))
+    def qtyOnly(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"l_qty" > 40)
+    val total = base.count()
+    // Unclustered: every row group intersects both predicates.
+    assert(recordsRead(shuffled)(dateOnly) >= total)
+    assert(recordsRead(shuffled)(qtyOnly) >= total)
+    // Z-clustered: each dimension prunes through its OWN footer stats.
+    val zDate = recordsRead(zpath)(dateOnly)
+    val zQty = recordsRead(zpath)(qtyOnly)
+    assert(zDate < total * 3 / 4, s"date-only read $zDate of $total")
+    assert(zQty < total * 3 / 4, s"qty-only read $zQty of $total")
+    // And pruning never loses a row.
+    assert(dateOnly(spark.read.parquet(zpath)).count() ==
+      dateOnly(base).count())
+    assert(qtyOnly(spark.read.parquet(zpath)).count() ==
+      qtyOnly(base).count())
+  }
 }
