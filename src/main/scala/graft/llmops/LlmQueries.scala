@@ -17,6 +17,7 @@ object LlmQueries {
     "l02_exact_dedup" -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "l03_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
     "l04_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "l50_incremental_minhash" -> ((s, dir) => Dedup.incrementalMinhash(s, dir)),
     "l05_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "l06_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "l07_embed_dup" -> ((s, dir) => Similarity.embedDupPairs(s, dir)),
@@ -176,6 +177,36 @@ object LlmQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared MinHash CTE chain (shingle hashes → mod-P permuted signatures →
+    * per-doc shingle counts → 8×4 band keys) for the l04 / l50 oracles:
+    * the base hash is md5-derived (TextOps.strHash60 — bit-identical in
+    * DuckDB), the 32 permutations are (a·h + b) mod 2³¹−1 integer
+    * arithmetic with the literal (a, b) table inlined from MinHashSig, and
+    * band keys are the raw 4-value signature slices — so candidate
+    * generation (recall curve and all) and the exact-Jaccard verification
+    * land identical rows on both engines. lazy: toksSql must initialize
+    * first.
+    */
+  private lazy val minhashCtes: String = {
+    val P = graft.functions.MinHashSig.P
+    val perms = (0 until 32).map(i =>
+      s"($i, ${graft.functions.MinHashSig.permA(i)}, " +
+        s"${graft.functions.MinHashSig.permB(i)})").mkString(", ")
+    val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.strHash60Sql(s"($shingle)")} AS h
+       |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)),
+       |perms(pid, pa, pb) AS (VALUES $perms),
+       |sig AS (
+       |  SELECT doc_id, pid, min((pa * (h % $P) + pb) % $P) AS mh
+       |  FROM sh, perms GROUP BY doc_id, pid),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, pid // 4 AS band_id, list(mh ORDER BY pid) AS bkey
+       |  FROM sig GROUP BY doc_id, pid // 4)""".stripMargin
+  }
 
   /** Shared BPE merge-round CTE chain for the l42 (train) / l45 (encode)
     * oracles. Words are VARCHAR[] symbol lists; each round counts adjacent
@@ -357,24 +388,8 @@ object LlmQueries {
     // table inlined from MinHashSig, and the band keys are the raw 4-value
     // signature slices — so candidate generation (recall curve and all)
     // and the exact-Jaccard verification land the identical rows.
-    "l04_minhash_pairs" -> {
-      val P = graft.functions.MinHashSig.P
-      val perms = (0 until 32).map(i =>
-        s"($i, ${graft.functions.MinHashSig.permA(i)}, " +
-          s"${graft.functions.MinHashSig.permB(i)})").mkString(", ")
-      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]"
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, ${TextOps.strHash60Sql(s"($shingle)")} AS h
-         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)),
-         |perms(pid, pa, pb) AS (VALUES $perms),
-         |sig AS (
-         |  SELECT doc_id, pid, min((pa * (h % $P) + pb) % $P) AS mh
-         |  FROM sh, perms GROUP BY doc_id, pid),
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, pid // 4 AS band_id, list(mh ORDER BY pid) AS bkey
-         |  FROM sig GROUP BY doc_id, pid // 4),
+    "l04_minhash_pairs" ->
+      s"""$minhashCtes,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -389,8 +404,30 @@ object LlmQueries {
          |SELECT doc_a, doc_b,
          |       CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
          |FROM ix JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-         |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5""".stripMargin
-    },
+         |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5""".stripMargin,
+    // The incremental variant restates the SAME pipeline with candidate
+    // generation restricted to cross-split pairs (corpus % 5 <> 0 joined
+    // to batch % 5 = 0) — per-doc signatures are per-doc aggregates, so
+    // computing them over the full table and filtering the join equals
+    // the Spark side's split-then-sign.
+    "l50_incremental_minhash" ->
+      s"""$minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS corpus_doc, b.doc_id AS batch_doc
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+         |   AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         |ix AS (
+         |  SELECT c.corpus_doc, c.batch_doc, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.corpus_doc
+         |  JOIN sh b ON b.doc_id = c.batch_doc AND b.h = a.h
+         |  GROUP BY 1, 2)
+         |SELECT corpus_doc, batch_doc,
+         |       CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+         |FROM ix JOIN n na ON na.doc_id = corpus_doc
+         |        JOIN n nb ON nb.doc_id = batch_doc
+         |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5""".stripMargin,
     // SimHash reproduced exactly: md5-60 token hashes (multiset, not
     // distinct — each occurrence votes), strict-majority bit votes, 4×16-bit
     // band blocking, xor-popcount hamming verify. Bits 60-63 of the 60-bit

@@ -266,6 +266,29 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_idx", "n_px", "frame_mean")
   }
 
+  /** Windowed RMS energy over the audio rows: decode the WAV PCM through
+    * the REAL codec, split into fixed 64-sample frames (hop = frame
+    * length, tail remainder dropped — the standard framing), and emit
+    * per-window RMS. This is the framing pass in front of every audio
+    * featurizer (spectrograms, filter banks, VAD); like the other media
+    * ops it is codec-in-partition, shuffle-free row explosion bounded by
+    * clip length / 64. Σv² stays exact in Long (|v| ≤ 32768, 64 terms),
+    * so the RMS doubles are engine-reproducible closed forms.
+    */
+  def audioWindows(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      val pcm = decodeAudio(m.payload)
+      pcm.grouped(64).zipWithIndex
+        .filter(_._1.length == 64)
+        .map { case (w, wi) =>
+          var s2 = 0L
+          w.foreach(v => s2 += v.toLong * v)
+          (m.doc_id, wi, math.sqrt(s2.toDouble / 64))
+        }
+    }.toDF("doc_id", "win_idx", "rms")
+  }
+
   /** Image resize over the image rows: decode, 2×2 box-average downsample
     * (integer floor mean, last odd row/col dropped), then RE-ENCODE to PNG
     * and decode again — the resize path exercises the codec in both
@@ -358,6 +381,12 @@ object MultimodalOps {
         .select($"doc_id", $"out_w", $"out_h", $"n_px",
           graft.Canon.sig6($"mean_px").as("mean_px"))
     }),
+    "m06_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      audioWindows(mediaTable(s, dir, onlyKind = Some("audio")))
+        .select($"doc_id", $"win_idx",
+          graft.Canon.sig6($"rms").as("rms"))
+    }),
     // Resample: decode → 2:1 pair-mean decimation → re-encode → decode.
     // The oracle restates each output sample as the exact pair mean in
     // (doc_id, n_chars) arithmetic — an off-by-one in the PCM byte order
@@ -447,6 +476,27 @@ object MultimodalOps {
          |       count(*) * 256 AS total_px,
          |       ${graft.Canon.sig6Sql("avg(frame_mean)")} AS avg_frame_mean
          |FROM fm GROUP BY frame_idx""".stripMargin
+    },
+    // Audio framing restated in (doc_id, n_chars) arithmetic: sample i of
+    // window w is ((doc_id + 64w + i) % 256 − 128)·256, Σv² exact in
+    // BIGINT — any framing error (offset, hop, tail handling) shifts a
+    // window's sum and breaks the hash.
+    "m06_audio_windows" -> {
+      val sig = graft.Canon.sig6Sql _
+      s"""WITH aud AS (
+         |  SELECT doc_id, 256 + n_chars % 256 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(n // 64)) AS win_idx FROM aud),
+         |px AS (
+         |  SELECT doc_id, win_idx,
+         |         ((doc_id + win_idx * 64 + unnest(range(64))) % 256 - 128)
+         |           * 256 AS v
+         |  FROM wins)
+         |SELECT doc_id, win_idx,
+         |       ${sig("sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / 64)")}
+         |         AS rms
+         |FROM px GROUP BY doc_id, win_idx""".stripMargin
     },
     "m04_resize_image" -> {
       val sig = graft.Canon.sig6Sql _

@@ -57,7 +57,7 @@ object FormatRoundtrip {
     mine
   }
 
-  private def scratch(sfDir: String, fmt: String): String = {
+  private[graft] def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
     // Per-call UUID: every scratch dir is write-then-read within ONE query
     // invocation, and two concurrent same-process runs of the same query
@@ -311,6 +311,42 @@ object FormatRoundtrip {
           s"fragments -> $nCompact files (wanted $nOut)")
       summarize(s.read.parquet(compact))
     }),
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
+    // op: a 100 TB fact table's rollup is never recomputed from history;
+    // the stored partial aggregates combine with an aggregate over ONLY
+    // the newly-arrived slice. Sound for the algebraic aggregates used
+    // here (count/sum combine by sum, max by max; avg derives from the
+    // combined sum/count — it is NOT combined directly, the classic
+    // incremental-view pitfall). The double sums reassociate
+    // (base + delta vs one pass), which is exactly the reassociation
+    // Spark's own partial aggregation performs — sig6 rounding at the END
+    // absorbs it, same discipline as every other oracle. The oracle
+    // recomputes the rollup from the full parquet truth, so hash equality
+    // proves the delta path loses nothing.
+    "q66_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2001-01-01").cast("date")
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", to_date($"l_shipdate").as("d"),
+          $"l_quantity".cast("long").as("q"), $"l_extendedprice")
+      // RAW partials in the stored view (no rounding — rounding a partial
+      // would bake the split point into the result).
+      def partial(df: DataFrame): DataFrame = df.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum($"q").as("qty"),
+          sum($"l_extendedprice").as("rev_raw"), max($"d").as("last_ship"))
+      // One-time build: history aggregated once, stored at rest.
+      val mv = scratch(dir, "mv66")
+      partial(li.filter($"d" < cutoff)).write.mode("overwrite").parquet(mv)
+      // The refresh: ONLY the delta slice is aggregated, then combined
+      // with the stored partials. History is never rescanned.
+      s.read.parquet(mv)
+        .unionByName(partial(li.filter($"d" >= cutoff)))
+        .groupBy($"l_returnflag")
+        .agg(sum($"cnt").as("cnt"), sum($"qty").as("qty"),
+          sig6(sum($"rev_raw")).as("rev"),
+          sig6(sum($"rev_raw") / sum($"cnt")).as("avg_rev"),
+          max($"last_ship").as("last_ship"))
+    }),
     // The MULTI-dimension layout lever behind the oracle gate: a
     // two-predicate consumer over the [[zorderLayout]] copy. Each pushed
     // predicate prunes row groups through that dimension's OWN footer
@@ -361,6 +397,17 @@ object FormatRoundtrip {
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1996-04-01'
+         |GROUP BY l_returnflag""".stripMargin,
+    // The full-history rollup restated from the parquet truth — the
+    // base+delta combine must reproduce it exactly (counts/sums/max are
+    // exact; the double sums land within sig6 of the one-pass sum).
+    "q66_incremental_agg" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         |       ${sig6Sql("sum(l_extendedprice)")} AS rev,
+         |       ${sig6Sql("sum(l_extendedprice) / count(*)")} AS avg_rev,
+         |       max(CAST(l_shipdate AS DATE)) AS last_ship
+         |FROM lineitem
          |GROUP BY l_returnflag""".stripMargin,
     // Same two predicates over the unclustered truth — the Z-order curve
     // must not move a single row either. The quantity long cast is exact

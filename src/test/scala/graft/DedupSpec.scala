@@ -86,6 +86,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("incremental minhash equals the full LSH scan restricted to " +
+      "cross-split pairs") {
+    import spark.implicits._
+    // The defining property of the incremental path: indexing the corpus
+    // once and probing with the batch must find EXACTLY the pairs the
+    // full-corpus scan finds between the two sides — the split changes
+    // the work, never the answer (signatures are per-doc aggregates).
+    val full = Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.flatMap { case (a, b, j) =>
+      // Orient each full-scan pair as (corpus, batch); drop same-side ones.
+      if (a % 5 != 0 && b % 5 == 0) Some((a, b, j))
+      else if (b % 5 != 0 && a % 5 == 0) Some((b, a, j))
+      else None
+    }
+    val inc = Dedup.incrementalMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == expected,
+      s"extra: ${inc -- expected}; missed: ${expected -- inc}")
+    // The property is only meaningful if the split actually crosses pairs.
+    assert(expected.nonEmpty, "fixture has no cross-split near-dup pair")
+  }
+
   test("jaccardPairs maxDf cap drops only capped-shingle evidence") {
     // With a df cap of 1 no shingle can pair anything: empty result.
     assert(Dedup.jaccardPairs(spark, sf, maxDf = Some(1)).isEmpty)

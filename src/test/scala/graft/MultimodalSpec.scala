@@ -121,6 +121,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio windows: floor(n/64) frames per clip, RMS matches the " +
+      "sample formula") {
+    val media = MultimodalOps.mediaTable(spark, dir, onlyKind = Some("audio"))
+    val clips = media.collect().map(m => m.doc_id -> m).toMap
+    val rows = MultimodalOps.audioWindows(media).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.keySet == clips.keySet)
+    perDoc.foreach { case (id, ws) =>
+      // Tail remainder dropped: exactly floor(n/64) windows, 0-indexed.
+      assert(ws.length == clips(id).width / 64, s"doc $id")
+      assert(ws.map(_.getInt(1)).sorted.toSeq == (0 until ws.length))
+    }
+    rows.sortBy(r => (r.getLong(0), r.getInt(1))).take(8).foreach { r =>
+      val (id, wi) = (r.getLong(0), r.getInt(1))
+      def s(i: Int) = (((id + i) % 256).toInt - 128) * 256
+      val s2 = (64 * wi until 64 * wi + 64).map(i => s(i).toLong * s(i)).sum
+      assert(r.getDouble(2) == math.sqrt(s2.toDouble / 64), s"doc $id win $wi")
+    }
+  }
+
   test("frame sampling: one decoded row per (video, frame), exact means") {
     val fr = MultimodalOps.frameSample(MultimodalOps.mediaTable(spark, dir))
       .collect()
