@@ -183,6 +183,62 @@ object FormatRoundtrip {
     out
   }
 
+  /** q66's date cutoff: rows strictly before it are "history" (aggregated
+    * once at build time), the rest is the newly-arrived delta slice.
+    */
+  private[graft] val MvCutoff = "2001-01-01"
+
+  private[graft] def mvSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag", to_date($"l_shipdate").as("d"),
+        $"l_quantity".cast("long").as("q"), $"l_extendedprice")
+  }
+
+  /** RAW algebraic partials (no rounding — rounding a stored partial would
+    * bake the build's split point into the refreshed result).
+    */
+  private def mvPartial(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum($"q").as("qty"),
+        sum($"l_extendedprice").as("rev_raw"), max($"d").as("last_ship"))
+  }
+
+  /** One-time materialized-view build: history aggregated once, stored at
+    * rest. Returns the view's path.
+    */
+  private[graft] def mvBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val mv = scratch(dir, "mv66")
+    mvPartial(mvSource(s, dir).filter($"d" < lit(MvCutoff).cast("date")))
+      .write.mode("overwrite").parquet(mv)
+    mv
+  }
+
+  /** The refresh: the caller hands in the DELTA (an ingest job knows its
+    * new rows — it never re-derives them by filtering the full table),
+    * which is aggregated and combined with the stored partials —
+    * count/sum combine by sum, max by max, avg derives from the combined
+    * sum/count (never combined directly, the classic incremental-view
+    * pitfall). History is never rescanned: with the fact table
+    * date-partitioned (the production layout for an incremental fact),
+    * the delta scan directory-prunes to the new slice —
+    * IncrementalAggSpec measures recordsRead during the refresh staying
+    * at delta size on exactly that layout.
+    */
+  private[graft] def mvRefresh(s: SparkSession, mvPath: String,
+                               delta: DataFrame): DataFrame = {
+    import s.implicits._
+    s.read.parquet(mvPath)
+      .unionByName(mvPartial(delta))
+      .groupBy($"l_returnflag")
+      .agg(sum($"cnt").as("cnt"), sum($"qty").as("qty"),
+        sig6(sum($"rev_raw")).as("rev"),
+        sig6(sum($"rev_raw") / sum($"cnt")).as("avg_rev"),
+        max($"last_ship").as("last_ship"))
+  }
+
   private def projection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
@@ -311,41 +367,40 @@ object FormatRoundtrip {
           s"fragments -> $nCompact files (wanted $nOut)")
       summarize(s.read.parquet(compact))
     }),
+    // DIRECTORY-PARTITIONED layout behind the oracle gate — the first leg
+    // of the partition/bucket/sort at-rest trilogy finally gated like its
+    // siblings (BucketingSpec measures the file-count pruning; the query
+    // itself REQUIREs the predicate landing in PartitionFilters so the
+    // gate also pins the plan shape). A one-event-type consumer reads only
+    // that directory's files, decided at planning time from the listing,
+    // before any row or footer I/O — the coarsest and cheapest skip level.
+    "q67_hive_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val out = scratch(dir, "hive67")
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+      val scan = s.read.parquet(out).filter($"event_type" === "purchase")
+      val plan = scan.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(event_type"),
+        s"partition predicate did not reach PartitionFilters:\n$plan")
+      scan.groupBy(($"user_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("sum_val"))
+    }),
     // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view refresh
-    // op: a 100 TB fact table's rollup is never recomputed from history;
-    // the stored partial aggregates combine with an aggregate over ONLY
-    // the newly-arrived slice. Sound for the algebraic aggregates used
-    // here (count/sum combine by sum, max by max; avg derives from the
-    // combined sum/count — it is NOT combined directly, the classic
-    // incremental-view pitfall). The double sums reassociate
-    // (base + delta vs one pass), which is exactly the reassociation
-    // Spark's own partial aggregation performs — sig6 rounding at the END
-    // absorbs it, same discipline as every other oracle. The oracle
-    // recomputes the rollup from the full parquet truth, so hash equality
-    // proves the delta path loses nothing.
+    // op ([[mvBuild]]/[[mvRefresh]]): a 100 TB fact table's rollup is
+    // never recomputed from history; stored raw partials combine with an
+    // aggregate over ONLY the newly-arrived slice. The double sums
+    // reassociate (base + delta vs one pass) exactly as Spark's own
+    // partial aggregation does — sig6 at the END absorbs it, the same
+    // discipline as every other oracle. The oracle recomputes the rollup
+    // from the full parquet truth, so hash equality proves the delta path
+    // loses nothing.
     "q66_incremental_agg" -> ((s, dir) => {
       import s.implicits._
-      val cutoff = lit("2001-01-01").cast("date")
-      val li = Tables.load(s, dir, "lineitem")
-        .select($"l_returnflag", to_date($"l_shipdate").as("d"),
-          $"l_quantity".cast("long").as("q"), $"l_extendedprice")
-      // RAW partials in the stored view (no rounding — rounding a partial
-      // would bake the split point into the result).
-      def partial(df: DataFrame): DataFrame = df.groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("cnt"), sum($"q").as("qty"),
-          sum($"l_extendedprice").as("rev_raw"), max($"d").as("last_ship"))
-      // One-time build: history aggregated once, stored at rest.
-      val mv = scratch(dir, "mv66")
-      partial(li.filter($"d" < cutoff)).write.mode("overwrite").parquet(mv)
-      // The refresh: ONLY the delta slice is aggregated, then combined
-      // with the stored partials. History is never rescanned.
-      s.read.parquet(mv)
-        .unionByName(partial(li.filter($"d" >= cutoff)))
-        .groupBy($"l_returnflag")
-        .agg(sum($"cnt").as("cnt"), sum($"qty").as("qty"),
-          sig6(sum($"rev_raw")).as("rev"),
-          sig6(sum($"rev_raw") / sum($"cnt")).as("avg_rev"),
-          max($"last_ship").as("last_ship"))
+      val mv = mvBuild(s, dir)
+      mvRefresh(s, mv,
+        mvSource(s, dir).filter($"d" >= lit(MvCutoff).cast("date")))
     }),
     // The MULTI-dimension layout lever behind the oracle gate: a
     // two-predicate consumer over the [[zorderLayout]] copy. Each pushed
@@ -398,6 +453,13 @@ object FormatRoundtrip {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1996-04-01'
          |GROUP BY l_returnflag""".stripMargin,
+    // The same one-type rollup over the unpartitioned truth — the
+    // directory layout must not move a single row.
+    "q67_hive_pruning" ->
+      s"""SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+         |       ${sig6Sql("sum(value)")} AS sum_val
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id % 10""".stripMargin,
     // The full-history rollup restated from the parquet truth — the
     // base+delta combine must reproduce it exactly (counts/sums/max are
     // exact; the double sums land within sig6 of the one-pass sum).
