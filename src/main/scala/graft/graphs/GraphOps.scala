@@ -256,6 +256,85 @@ object GraphOps {
     }
   }
 
+  /** The g27 oracle's static unroll depth — same convention as
+    * [[MatchRounds]]: the loop runs to the true fixpoint (guaranteed: the
+    * globally min-priority remaining vertex wins every round), converged
+    * rounds are idempotent, and the registry entry REQUIREs
+    * fixpoint ≤ half this depth per run.
+    */
+  val MisRounds = 16
+
+  /** A [[maximalIndependentSetRun]] result: the member relation plus the
+    * measured fixpoint depth (returned per call, no shared state).
+    */
+  final case class Mis(members: DataFrame, rounds: Int)
+
+  /** Deterministic MAXIMAL INDEPENDENT SET — Luby's algorithm with the
+    * engine-portable md5 priorities (Luby 1986, the classic parallel
+    * symmetry-breaking primitive; [[maximalMatching]] is its edge-side
+    * sibling): each round every remaining vertex draws a priority
+    * (md5 bucket of (round, v), tie-broken by v into a total order), a
+    * vertex joins the set iff its priority is strictly below every
+    * remaining neighbor's (locally checkable, no coordination), winners'
+    * neighborhoods retire, and the loop repeats on the shrinking
+    * remainder to the fixpoint — O(log n) expected rounds. Every round is
+    * one per-vertex neighbor-min aggregation plus anti-joins; no global
+    * ordering anywhere. Vertices isolated by earlier rounds win
+    * automatically (null neighbor minimum).
+    */
+  def maximalIndependentSet(s: SparkSession, edgeDf: DataFrame): DataFrame =
+    maximalIndependentSetRun(s, edgeDf).members
+
+  /** [[maximalIndependentSet]] plus the measured fixpoint depth. */
+  def maximalIndependentSetRun(s: SparkSession, edgeDf: DataFrame): Mis = {
+    import s.implicits._
+    val canon0 = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val m = canon0.count()
+    withShuffleParts(s, LoopConf.sizedParallelism(s, m, 24)) {
+      var remE = canon0.localCheckpoint()
+      canon0.unpersist()
+      var remV = remE.select($"a".as("v")).union(remE.select($"b"))
+        .distinct().localCheckpoint()
+      var mis = remV.limit(0).select($"v".as("id"))
+      var rounds = 0
+      while (!remV.isEmpty) {
+        rounds += 1
+        val pv = remV.select($"v",
+          conv(substring(md5(concat(lit(s"mis:$rounds:"),
+            $"v".cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+        // Neighbor minima over BOTH orientations of the canonical edges;
+        // field names pinned so the struct comparison below type-checks.
+        val withP = remE
+          .join(pv.select($"v".as("a"), $"h".as("ha")), Seq("a"))
+          .join(pv.select($"v".as("b"), $"h".as("hb")), Seq("b"))
+        val nbrMin = withP
+          .select($"a".as("v"), struct($"hb".as("ph"), $"b".as("pv")).as("p"))
+          .unionByName(withP.select($"b".as("v"),
+            struct($"ha".as("ph"), $"a".as("pv")).as("p")))
+          .groupBy($"v").agg(min($"p").as("mp"))
+        val winners = pv.join(nbrMin, Seq("v"), "left")
+          .filter($"mp".isNull ||
+            struct($"h".as("ph"), $"v".as("pv")) < $"mp")
+          .select($"v").localCheckpoint()
+        mis = mis.unionByName(winners.select($"v".as("id")))
+          .localCheckpoint()
+        val dead = winners
+          .unionByName(remE.join(winners.select($"v".as("a")),
+            Seq("a"), "left_semi").select($"b".as("v")))
+          .unionByName(remE.join(winners.select($"v".as("b")),
+            Seq("b"), "left_semi").select($"a".as("v")))
+          .distinct().localCheckpoint(eager = false)
+        remV = remV.join(dead, Seq("v"), "left_anti").localCheckpoint()
+        remE = remE.join(dead.select($"v".as("a")), Seq("a"), "left_anti")
+        remE = remE.join(dead.select($"v".as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+      }
+      Mis(mis, rounds)
+    }
+  }
+
   def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = WalkSteps)
       : DataFrame = {
     import s.implicits._

@@ -285,6 +285,17 @@ object GraphQueries {
           "GraphOps.MatchRounds")
       run.pairs
     }),
+    // Luby MIS — the vertex-side sibling of g26's matching, same depth
+    // guard: the engine loops to the TRUE fixpoint, the oracle unrolls a
+    // fixed 2x-headroom depth.
+    "g27_mis" -> ((s, dir) => {
+      val run = GraphOps.maximalIndependentSetRun(s, GraphOps.edges(s, dir))
+      require(run.rounds * 2 <= GraphOps.MisRounds,
+        s"MIS fixpoint ${run.rounds} rounds exceeds half the g27 " +
+          s"oracle's static unroll (${GraphOps.MisRounds}) — deepen " +
+          "GraphOps.MisRounds")
+      run.members
+    }),
     // Deterministic hash-seeded random walks (node2vec-style embedding
     // corpus): per-(start, step) argmin-md5 next-hop, 3 steps — the
     // "sentences" a graph-embedding model trains on, reproducible
@@ -708,6 +719,55 @@ object GraphQueries {
       s"""WITH e AS ($edgesSql),
          |c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM e WHERE src <> dst),
+         |$ctes
+         |$sels""".stripMargin
+    },
+    "g27_mis" -> {
+      // One Luby round: per-vertex md5 priority, each vertex ranked
+      // against its own priority AND its remaining neighbors' (the `own`
+      // flag marks which candidate row is the vertex itself — row_number
+      // ORDER BY h, pv is the Spark side's struct-min total order, and a
+      // vertex wins iff its OWN row ranks first). Winners + their
+      // neighborhoods retire; unrolled GraphOps.MisRounds deep from the
+      // SAME constant; rounds past the fixpoint see empty remainders and
+      // are no-ops. Isolated survivors have only their own candidate row
+      // and win automatically — same as the Spark side's null neighbor
+      // minimum.
+      def round(k: Int, prevV: String, prevE: String) =
+        s"""p$k AS MATERIALIZED (SELECT v,
+           |  CAST(concat('0x', substr(md5('mis:$k:' ||
+           |    CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           |  FROM $prevV),
+           |cand$k AS (SELECT v, h, v AS pv, 1 AS own FROM p$k
+           |  UNION ALL
+           |  SELECT e.a, p.h, p.v, 0 FROM $prevE e JOIN p$k p ON p.v = e.b
+           |  UNION ALL
+           |  SELECT e.b, p.h, p.v, 0 FROM $prevE e JOIN p$k p ON p.v = e.a),
+           |win$k AS MATERIALIZED (SELECT v FROM (
+           |    SELECT v, own,
+           |           row_number() OVER (PARTITION BY v ORDER BY h, pv) AS rn
+           |    FROM cand$k) t
+           |  WHERE rn = 1 AND own = 1),
+           |dead$k AS MATERIALIZED (SELECT v FROM win$k
+           |  UNION SELECT e.b FROM $prevE e JOIN win$k w ON w.v = e.a
+           |  UNION SELECT e.a FROM $prevE e JOIN win$k w ON w.v = e.b),
+           |rv$k AS MATERIALIZED (SELECT v FROM $prevV
+           |  WHERE v NOT IN (SELECT v FROM dead$k)),
+           |re$k AS MATERIALIZED (SELECT a, b FROM $prevE
+           |  WHERE a NOT IN (SELECT v FROM dead$k)
+           |    AND b NOT IN (SELECT v FROM dead$k))""".stripMargin
+      val n = GraphOps.MisRounds
+      val ctes = (1 to n)
+        .map(k => round(k,
+          if (k == 1) "v0" else s"rv${k - 1}",
+          if (k == 1) "c0" else s"re${k - 1}"))
+        .mkString(",\n")
+      val sels = (1 to n).map(k => s"SELECT v AS id FROM win$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS ($edgesSql),
+         |c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM e WHERE src <> dst),
+         |v0 AS MATERIALIZED (SELECT a AS v FROM c0 UNION SELECT b FROM c0),
          |$ctes
          |$sels""".stripMargin
     },

@@ -306,6 +306,52 @@ class GraphAlgoSpec extends AnyFunSuite {
     }
   }
 
+  test("MIS: independent, maximal, and within half the g27 unroll at " +
+      "both gate SFs") {
+    import spark.implicits._
+    // Small fixture first: independence and maximality are checkable
+    // exhaustively.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L), (7L, 7L)).toDF("src", "dst")
+    val got = GraphOps.maximalIndependentSet(spark, edges)
+      .collect().map(_.getLong(0)).toSet
+    val undirected = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (5L, 6L))
+    // Independent: no edge inside the set.
+    undirected.foreach { case (a, b) =>
+      assert(!(got(a) && got(b)), s"edge ($a,$b) inside MIS $got")
+    }
+    // Maximal: every non-member vertex has a neighbor in the set (the
+    // self-loop 7-7 contributes no vertex — canonicalized away).
+    val verts = undirected.flatMap(e => Seq(e._1, e._2))
+    (verts -- got).foreach { v =>
+      assert(undirected.exists(e =>
+        (e._1 == v && got(e._2)) || (e._2 == v && got(e._1))),
+        s"non-member $v has no MIS neighbor in $got")
+    }
+    // Gate graphs: the same invariants hold and the fixpoint leaves 2x
+    // headroom under the oracle's static unroll (the g26 convention).
+    for (sf <- Seq("sf0.001", "sf0.1")) {
+      val e = GraphOps.edges(spark, s"/root/testdata/$sf").cache()
+      val run = GraphOps.maximalIndependentSetRun(spark, e)
+      val members = run.members.collect().map(_.getLong(0)).toSet
+      assert(run.rounds > 0 && run.rounds * 2 <= GraphOps.MisRounds,
+        s"$sf: rounds=${run.rounds} cap=${GraphOps.MisRounds}")
+      val es = e.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2)
+      es.foreach { case (a, b) =>
+        assert(!(members(a) && members(b)), s"$sf: edge ($a,$b) inside MIS")
+      }
+      val all = es.flatMap(p => Seq(p._1, p._2)).toSet
+      val nbrs = es.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2).toSet }
+      (all -- members).foreach { v =>
+        assert(nbrs(v).exists(members), s"$sf: non-member $v uncovered")
+      }
+      e.unpersist()
+    }
+  }
+
   test("clustering coefficient: all three corners credited, deg-1 excluded") {
     import spark.implicits._
     // Triangle {1,2,3} + pendant 3-4. Vertex 3 has deg 3 and ONE triangle
