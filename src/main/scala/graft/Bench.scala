@@ -122,7 +122,15 @@ object Bench {
       }
       (cur._1, cur._2, cur._3)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset runs (variance probes, single-query A/Bs): a
+    // comma-separated name list in SPARK_GRAFT_ONLY restricts the loop.
+    // The driver never sets it, so artifact runs always cover the full
+    // registry; the sidecars below tolerate missing anchors/recall rows.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val (r0, w0, s0) = settled()
       listener.resetMaxTask()
       val t0 = System.nanoTime()
