@@ -48,6 +48,52 @@ object EventQueries {
         .select($"w.start".as("wstart"), $"event_type", $"cnt", $"total")
     }),
 
+    // SCD TYPE-2 MERGE — dimension-HISTORY maintenance (q61 is the
+    // overwrite-merge; this keeps every version): the at-rest dimension
+    // holds one row per (entity, version) with [valid_from, valid_to)
+    // validity and an is_current flag. Applying a change batch must CLOSE
+    // each affected entity's current row at the batch's first change and
+    // append the new versions — touching no other row. The oracle states
+    // the invariant: incremental apply ≡ full rebuild from all events
+    // (one window over the union), so a lost close, a double-applied
+    // batch, or an interval off-by-one breaks the hash. Scale shape: the
+    // dimension is probed only for the batch's (tiny, broadcast) entity
+    // set; batch volume drives every shuffle — q66/l50's
+    // incremental-maintenance posture applied to dimension history.
+    "q68_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cutoff = lit("2024-01-24").cast("timestamp")
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts".cast("timestamp").as("ts"),
+          $"event_type", $"value")
+      def scd2(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        df.select($"user_id", $"event_id", $"ts".as("valid_from"),
+            lead($"ts", 1).over(w).as("valid_to"), $"event_type", $"value")
+          .withColumn("is_current", $"valid_to".isNull)
+      }
+      // One-time dimension build from history, stored at rest.
+      val dimPath = graft.sources.FormatRoundtrip.scratch(dir, "scd68")
+      scd2(ev.filter($"ts" < cutoff)).write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      val batch = ev.filter($"ts" >= cutoff)
+      // Each affected entity's first new change closes its current row.
+      val firstNew = batch.groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("f"))
+        .select($"user_id", $"f.ts".as("new_from"))
+      val closed = dim.filter($"is_current")
+        .join(broadcast(firstNew), Seq("user_id"))
+        .select($"user_id", $"event_id", $"valid_from",
+          $"new_from".as("valid_to"), $"event_type", $"value",
+          lit(false).as("is_current"))
+      val untouched = dim.filter(!$"is_current")
+        .unionByName(dim.filter($"is_current")
+          .join(broadcast(firstNew.select($"user_id")),
+            Seq("user_id"), "left_anti"))
+      untouched.unionByName(closed).unionByName(scd2(batch))
+    }),
+
     // Time-series GAP FILL / resample — the standard warehouse
     // densification: bucket events to an hourly grid per type, generate
     // the full per-type time SPINE (sequence over [min, max] — the grid
@@ -523,6 +569,16 @@ object EventQueries {
     "q24_tumbling_window" -> tumblingOracle,
     // Same spine/ffill in DuckDB: generate_series for the grid,
     // last_value IGNORE NULLS over the identical partitioned frame.
+    // The invariant itself: the stitched dimension must equal the SCD2
+    // history rebuilt in ONE window over all events.
+    "q68_scd2_merge" ->
+      """SELECT user_id, event_id,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current,
+        |       event_type, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q63_gap_fill" -> {
       val ffill = "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type " +
         "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
