@@ -62,23 +62,18 @@ object EventQueries {
     // incremental-maintenance posture applied to dimension history.
     "q68_scd2_merge" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val cutoff = lit("2024-01-24").cast("timestamp")
-      val ev = Tables.load(s, dir, "events")
-        .select($"user_id", $"event_id", $"ts".cast("timestamp").as("ts"),
-          $"event_type", $"value")
-      def scd2(df: DataFrame): DataFrame = {
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        df.select($"user_id", $"event_id", $"ts".as("valid_from"),
-            lead($"ts", 1).over(w).as("valid_to"), $"event_type", $"value")
-          .withColumn("is_current", $"valid_to".isNull)
-      }
+      val ev = scd2Events(s, dir)
       // One-time dimension build from history, stored at rest.
       val dimPath = graft.sources.FormatRoundtrip.scratch(dir, "scd68")
-      scd2(ev.filter($"ts" < cutoff)).write.mode("overwrite").parquet(dimPath)
+      scd2Version(ev.filter($"ts" < cutoff))
+        .write.mode("overwrite").parquet(dimPath)
       val dim = s.read.parquet(dimPath)
       val batch = ev.filter($"ts" >= cutoff)
-      // Each affected entity's first new change closes its current row.
+      // Each affected entity's first new change closes its current row —
+      // the minimal-write apply, valid because the batch is wholly AFTER
+      // the dimension's history (s11's per-micro-batch apply drops that
+      // ordering assumption in exchange for rewriting affected entities).
       val firstNew = batch.groupBy($"user_id")
         .agg(min(struct($"ts", $"event_id")).as("f"))
         .select($"user_id", $"f.ts".as("new_from"))
@@ -91,7 +86,50 @@ object EventQueries {
         .unionByName(dim.filter($"is_current")
           .join(broadcast(firstNew.select($"user_id")),
             Seq("user_id"), "left_anti"))
-      untouched.unionByName(closed).unionByName(scd2(batch))
+      untouched.unionByName(closed).unionByName(scd2Version(batch))
+    }),
+
+    // Streaming SCD2 apply through a foreachBatch sink — s10's
+    // "MERGE per micro-batch" pattern for dimension HISTORY. The change
+    // stream replays in two staged files with maxFilesPerTrigger=1, so
+    // the apply runs twice and must COMPOSE. Unlike q68's close/append
+    // (which assumes each batch is wholly after the dimension), the
+    // per-batch apply here REBUILDS the affected entities' version chains
+    // from their existing rows' raw fields plus the incoming changes —
+    // order-insensitive and idempotent-in-composition, because the file
+    // source does not guarantee batch arrival order (the same reason
+    // s10's deltas are commutative). Untouched entities are never read
+    // beyond the broadcast anti-join. The oracle is q68's: the composed
+    // end state must equal the full one-window rebuild.
+    "s11_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-24").cast("timestamp")
+      val cut2 = lit("2024-01-28").cast("timestamp")
+      val ev = scd2Events(s, dir)
+      val dimPath = graft.sources.FormatRoundtrip.scratch(dir, "scd11")
+      scd2Version(ev.filter($"ts" < cutoff))
+        .write.mode("overwrite").parquet(dimPath)
+      val b1 = ev.filter($"ts" >= cutoff && $"ts" < cut2)
+      val b2 = ev.filter($"ts" >= cut2)
+      val staged = stage(b1, "s11", dir)
+      b2.coalesce(1).write.mode("append").parquet(staged)
+      var state = s.read.parquet(dimPath).localCheckpoint()
+      var batches = 0
+      val q = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .foreachBatch { (ch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batches += 1
+          state = scd2Apply(state, ch.localCheckpoint()).localCheckpoint()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastDrainStats.put("s11", (batches, 0L))
+      unstage(staged)
+      state
     }),
 
     // Time-series GAP FILL / resample — the standard warehouse
@@ -485,6 +523,46 @@ object EventQueries {
   val lastDrainStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
+  /** The SCD2 change-event projection q68 and s11 share. */
+  private def scd2Events(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value")
+  }
+
+  /** Version a change set into SCD2 rows: per entity, each change opens a
+    * [valid_from, valid_to) interval closed by the next change; the last
+    * is current (open interval).
+    */
+  private def scd2Version(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    df.select($"user_id", $"event_id", $"ts".as("valid_from"),
+        lead($"ts", 1).over(w).as("valid_to"), $"event_type", $"value")
+      .withColumn("is_current", $"valid_to".isNull)
+  }
+
+  /** Order-insensitive SCD2 apply: rebuild the AFFECTED entities' version
+    * chains from their existing rows' raw event fields plus the incoming
+    * changes; untouched entities pass through an anti-join untouched.
+    * Commutative across batches of the same entity (each apply re-windows
+    * the full accumulated change set), which is what a file-source
+    * micro-batch replay needs — arrival order is not guaranteed.
+    */
+  private def scd2Apply(dim: DataFrame, batch: DataFrame): DataFrame = {
+    import dim.sparkSession.implicits._
+    val affected = batch.select($"user_id").distinct()
+    val touchedRaw = dim
+      .join(broadcast(affected), Seq("user_id"), "left_semi")
+      .select($"user_id", $"event_id", $"valid_from".as("ts"),
+        $"event_type", $"value")
+    val untouched = dim
+      .join(broadcast(affected), Seq("user_id"), "left_anti")
+    untouched.unionByName(scd2Version(touchedRaw.unionByName(batch)))
+  }
+
   /** Shuffle/state parallelism for a replayed stream, sized to its input
     * like the engine loops (LoopConf): every stateful operator commits one
     * state-store delta per shuffle partition per micro-batch, so the fixed
@@ -572,6 +650,17 @@ object EventQueries {
     // The invariant itself: the stitched dimension must equal the SCD2
     // history rebuilt in ONE window over all events.
     "q68_scd2_merge" ->
+      """SELECT user_id, event_id,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current,
+        |       event_type, value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // The streaming apply composes to the SAME full-rebuild end state —
+    // a lost batch, a double-applied batch, or an order-sensitive merge
+    // all hash-mismatch.
+    "s11_stream_scd2" ->
       """SELECT user_id, event_id,
         |       CAST(ts AS TIMESTAMP) AS valid_from,
         |       lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,

@@ -137,6 +137,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(_._2.startsWith("New#")))
   }
 
+  test("s11 streaming SCD2: two micro-batches compose to the batch merge") {
+    // The per-micro-batch apply must rebuild affected entities' chains
+    // so that applying batch 1 then batch 2 lands exactly on q68's
+    // one-shot result — pin the batch count (coalesced files would hide
+    // the composition) and row-set equality with the batch query.
+    val sf = "/root/testdata/sf0.001"
+    val s11 = graft.SparkEntry.queries("s11_stream_scd2")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(graft.streaming.EventQueries.lastDrainStats.get("s11")._1 == 2)
+    val q68 = graft.SparkEntry.queries("q68_scd2_merge")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(s11 == q68,
+      s"only in s11: ${(s11 -- q68).take(3)}; only in q68: ${
+        (q68 -- s11).take(3)}")
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
