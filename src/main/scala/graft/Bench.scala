@@ -194,14 +194,18 @@ object Bench {
       // b02 runs the single-task CSR tier (no SqlRunner sidecar); its round
       // count is implied by the spec-pinned depth golden — recorded here so
       // tools/sync_anchors.py derives throughput from the artifact alone.
-      s""","b02_iters":${graphs.GraphQueries.goldenRounds(
-        graphs.GraphQueries.B02DepthGolden)}"""
+      // Subset runs (SPARK_GRAFT_ONLY) omit it: the artifact must not
+      // carry rows for queries the loop never ran.
+      (if (only.isEmpty)
+        s""","b02_iters":${graphs.GraphQueries.goldenRounds(
+          graphs.GraphQueries.B02DepthGolden)}"""
+      else "")
     // Sketch-quality sidecar: measured recall of the LSH variants against
     // their exact twins on THIS run's data — a hash-function or banding
     // regression moves these numbers even though the LSH queries are
     // rows-only in the gate. Pairs are few (the corpora are built with
     // sparse near-dup structure), so the set compare is driver-side small.
-    val recallExtra = try {
+    val recallExtra = if (only.nonEmpty) "" else try {
       import org.apache.spark.sql.DataFrame
       def pairSet(df: DataFrame): Set[(Long, Long)] =
         df.select(df.columns(0), df.columns(1))
@@ -248,13 +252,8 @@ object Bench {
               .embedDupPairsLsh(spark, staged))
             f""","l08_recall_hi_sim":${rec(lshHi, exactHi)}%.4f""" +
               s""","l08_hi_sim_pairs":${exactHi.size},"l08_hi_sim_planted":true"""
-          } finally {
-            import scala.jdk.CollectionConverters._
-            val root = java.nio.file.Paths.get(staged)
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
+          } finally graft.sources.FormatRoundtrip.recursiveDelete(
+            new java.io.File(staged))
         }
       f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f$hiField"""
     } catch { case e: Throwable =>

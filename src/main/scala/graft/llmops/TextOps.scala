@@ -68,10 +68,16 @@ object TextOps {
     * join/count path for set-similarity: an 8-byte key shuffles ~3× less
     * than the ~25-char shingle string and compares in one instruction.
     */
-  def docShingleHashes(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("ws"))
+  def docShingleHashes(s: SparkSession, dir: String, n: Int = 4): DataFrame =
+    shingleHashesOf(Tables.load(s, dir, "documents"), n)
+
+  /** [[docShingleHashes]] over an arbitrary (doc_id, text) frame — the
+    * incremental paths shingle a SUBSET (an ingest batch, the candidate
+    * corpus docs) through the same code so the hashes cannot drift.
+    */
+  private[llmops] def shingleHashesOf(d: DataFrame, n: Int = 4): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", tokens($"text").as("ws"))
       .select($"doc_id", explode(shingles($"ws", n)).as("s"))
       .select($"doc_id", strHash60($"s").as("h"))
       .distinct()
@@ -109,6 +115,21 @@ object Dedup {
     flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + lit(2), size(ds)),
         y => struct(x.as("pa"), y.as("pb")))))
+
+  /** Explode a (…, sig) frame into one row per LSH band, carrying every
+    * non-sig column through: (…, band_id, band_key). Band keys are the
+    * raw 4-value signature slices (see [[minhashPairs]] for why raw
+    * slices, not hashes) — shared by the full scan and the incremental
+    * path so the banding cannot drift between them.
+    */
+  private def explodeBands(sigDf: DataFrame): DataFrame = {
+    val keep = sigDf.columns.filterNot(_ == "sig").map(col)
+    val bk = explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band_id"),
+        slice(col("sig"), b * Rows + 1, Rows).as("band_key"))): _*)).as("bk")
+    sigDf.select(keep :+ bk: _*)
+      .select(keep :+ col("bk.band_id") :+ col("bk.band_key"): _*)
+  }
 
   /** L1a: duplicate groups — digest, member count, canonical survivor. */
   def exactDupGroups(s: SparkSession, dir: String): DataFrame = {
@@ -289,11 +310,7 @@ object Dedup {
     // slice groups/joins exactly, which is what lets the DuckDB oracle
     // reproduce the candidate set verbatim; a hashed key would re-introduce
     // an engine-specific function for a 24-byte-per-row saving.
-    val bandCols = (0 until Bands).map(b =>
-      struct(lit(b).as("band_id"),
-        slice($"sig", b * Rows + 1, Rows).as("band_key")))
-    val banded = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-      .select($"doc_id", $"bk.band_id", $"bk.band_key")
+    val banded = explodeBands(sig.select($"doc_id", $"sig"))
     val buckets = banded.groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
       .filter(size($"ds") >= 2)
@@ -344,38 +361,30 @@ object Dedup {
                          threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    def shingleHashes(d: DataFrame): DataFrame =
-      d.select($"doc_id", tokens($"text").as("ws"))
-        .select($"doc_id", explode(shingles($"ws", 4)).as("s"))
-        .select($"doc_id", strHash60($"s").as("h"))
-        .distinct()
-    def bandsOf(sh: DataFrame): DataFrame = {
-      val sig = sh.groupBy($"doc_id")
+    // The SAME shingle/signature/band code as the full scan (shared
+    // helpers), applied to subsets.
+    def bandsOf(sh: DataFrame): DataFrame =
+      explodeBands(sh.groupBy($"doc_id")
         .agg(graft.functions.GraftFunctions.minhashSig(s, $"h").as("sig"),
-          count(lit(1)).as("n"))
-      val bandCols = (0 until Bands).map(b =>
-        struct(lit(b).as("band_id"),
-          slice($"sig", b * Rows + 1, Rows).as("band_key")))
-      sig.select($"doc_id", $"n", explode(array(bandCols: _*)).as("bk"))
-        .select($"doc_id", $"n", $"bk.band_id", $"bk.band_key")
-    }
+          count(lit(1)).as("n")))
     // One-time index build: the at-rest artifact every later ingest reuses.
     val ixPath = graft.sources.FormatRoundtrip.scratch(dir, "mhix50")
-    bandsOf(shingleHashes(docs.filter($"doc_id" % 5 =!= 0)))
+    bandsOf(shingleHashesOf(docs.filter($"doc_id" % 5 =!= 0)))
       .write.mode("overwrite").parquet(ixPath)
     val index = s.read.parquet(ixPath)
     // Ingest-side work: shingles/signature/bands for the batch ONLY.
-    val shB = shingleHashes(docs.filter($"doc_id" % 5 === 0)).cache()
+    val shB = shingleHashesOf(docs.filter($"doc_id" % 5 === 0)).cache()
     val cand = index.as("c").join(bandsOf(shB).as("b"),
         $"c.band_id" === $"b.band_id" && $"c.band_key" === $"b.band_key")
       .select($"c.doc_id".as("corpus_doc"), $"c.n".as("n_c"),
         $"b.doc_id".as("batch_doc"), $"b.n".as("n_b"))
       .distinct()
     // Exact verify: the corpus text is read back only for candidate docs.
-    val shC = shingleHashes(docs.join(
+    val shC = shingleHashesOf(docs.join(
       cand.select($"corpus_doc".as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi"))
-    cand.join(shC.as("a"), $"corpus_doc" === $"a.doc_id")
+    val pairs = cand
+      .join(shC.as("a"), $"corpus_doc" === $"a.doc_id")
       .join(shB.as("b"), $"batch_doc" === $"b.doc_id" && $"a.h" === $"b.h")
       .groupBy($"corpus_doc", $"batch_doc", $"n_c", $"n_b")
       .agg(count(lit(1)).as("inter"))
@@ -383,6 +392,13 @@ object Dedup {
         ($"inter".cast("double") /
           ($"n_c" + $"n_b" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= threshold)
+      // Materialize the (small) pair set so the batch-shingle cache can be
+      // released HERE — Verify, unlike Bench, never clears caches between
+      // queries, and a lazily-returned plan would re-pin shB on every
+      // downstream action.
+      .localCheckpoint()
+    shB.unpersist(blocking = false)
+    pairs
   }
 
   /** Benchmark decontamination — the train/test-overlap scan every LLM

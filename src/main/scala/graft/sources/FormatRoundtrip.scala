@@ -25,7 +25,7 @@ object FormatRoundtrip {
     * other's round-trip data mid-read; the sf segment isolates scale
     * factors within one JVM.
     */
-  private def recursiveDelete(f: java.io.File): Unit = {
+  private[graft] def recursiveDelete(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(recursiveDelete)
     f.delete(): Unit
   }

@@ -279,6 +279,8 @@ class EngineSpec extends AnyFunSuite {
       GraphMeta(3))) == wantWcc)
     assert(toMap(LocalRunner.run(spark, verts, edges, Algorithms.Wcc,
       GraphMeta(3))) == wantWcc)
+    assert(toMap(GraphXRunner.run(spark, verts, edges, Algorithms.Wcc,
+      GraphMeta(3))) == wantWcc)
   }
 
   test("WCC dual runners agree on small.graph") {

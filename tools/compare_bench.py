@@ -33,6 +33,11 @@ def main(old_path, new_path, thr=1.5):
     qo, qn = old["queries"], new["queries"]
     ratios = {k: qn[k] / qo[k] for k in qn
               if k in qo and qo[k] > 0.3 and qn[k] > 0}
+    if not ratios:
+        raise SystemExit(
+            "no shared query with old wall > 0.3s between the two artifacts "
+            "(subset run via SPARK_GRAFT_ONLY, or disjoint registries?) — "
+            "nothing to normalize against")
     med = statistics.median(ratios.values())
     print(f"median wall ratio new/old = {med:.2f} (host factor)")
     flagged = False
