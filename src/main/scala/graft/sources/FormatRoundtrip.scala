@@ -30,23 +30,33 @@ object FormatRoundtrip {
     f.delete(): Unit
   }
 
-  /** This JVM's scratch root is swept once at exit, and dead-pid roots from
-    * crashed JVMs are swept on first use — the per-call UUID dirs below
-    * would otherwise accumulate in /tmp without bound across bench rounds.
+  /** Roots older than this are reclaimed even when their pid number maps
+    * to a live process: the OS recycles pids, so a crashed JVM's root can
+    * masquerade as live forever — the age gate bounds that worst case.
+    * (A genuinely live 3-day JVM losing its root only costs a re-run of
+    * an in-flight round trip; the per-call dirs are minutes-lived.)
     */
+  private[sources] val DeadRootMaxAgeMs = 3L * 24 * 3600 * 1000
+
   /** Delete pid-keyed roots under `base` whose owning process is gone —
-    * shared by the lazy init below and its spec.
+    * shared by the lazy init below and its spec. Liveness is pid presence
+    * OR-ed with the [[DeadRootMaxAgeMs]] age gate (recycled-pid hazard).
     */
   private[sources] def sweepDeadPidRoots(base: java.io.File): Unit =
     Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case s if s.startsWith("p") && s.length > 1 &&
           s.drop(1).forall(_.isDigit) &&
-          ProcessHandle.of(s.drop(1).toLong).isEmpty => recursiveDelete(f)
+          (ProcessHandle.of(s.drop(1).toLong).isEmpty ||
+            System.currentTimeMillis() - f.lastModified() > DeadRootMaxAgeMs) =>
+          recursiveDelete(f)
         case _ => ()
       }
     }
 
+  /** This JVM's scratch root: swept once at exit by the shutdown hook;
+    * dead-pid/aged roots from other JVMs are swept on first use.
+    */
   private lazy val scratchRoot: java.io.File = {
     val base = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_roundtrip")
@@ -57,15 +67,32 @@ object FormatRoundtrip {
     mine
   }
 
+  /** Same-key scratch dirs older than this are swept on the next call for
+    * that key: long-lived JVMs (interactive sbt, repeated Bench/Verify
+    * iterations) would otherwise accumulate one lineitem-scale copy per
+    * invocation until exit. Minutes, not seconds — a returned DataFrame is
+    * read lazily and a sibling run must not delete a dir the caller is
+    * still consuming; no production query holds a scratch read open
+    * anywhere near this long.
+    */
+  private[sources] val ScratchMaxAgeMs = 15L * 60 * 1000
+
   private[graft] def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
+    val parent = new java.io.File(scratchRoot, sf)
+    // Age-gated same-key sweep (see ScratchMaxAgeMs) — bounds in-JVM
+    // growth; the shutdown hook and dead-pid sweep bound cross-JVM growth.
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(s"${fmt}_") &&
+          System.currentTimeMillis() - f.lastModified() > ScratchMaxAgeMs)
+        recursiveDelete(f)
+    }
     // Per-call UUID: every scratch dir is write-then-read within ONE query
     // invocation, and two concurrent same-process runs of the same query
     // (Verify's thread pool re-entering, a dev double-submit) must not
-    // overwrite the directory the other is still reading. Bounded: the
-    // JVM's whole root dies with the JVM (shutdown hook above).
+    // overwrite the directory the other is still reading.
     val run = java.util.UUID.randomUUID().toString.take(8)
-    s"$scratchRoot/$sf/${fmt}_$run"
+    s"$parent/${fmt}_$run"
   }
 
   /** Delete q59 bucket-table directories whose owning pid is gone. Only
@@ -381,9 +408,23 @@ object FormatRoundtrip {
         .select($"event_id", $"user_id", $"value", $"event_type")
         .write.partitionBy("event_type").mode("overwrite").parquet(out)
       val scan = s.read.parquet(out).filter($"event_type" === "purchase")
-      val plan = scan.queryExecution.executedPlan.toString
-      require(plan.contains("PartitionFilters: [isnotnull(event_type"),
-        s"partition predicate did not reach PartitionFilters:\n$plan")
+      // Structural gate, not plan-text matching (render formats drift
+      // across Spark versions): walk to the file scans (through AQE
+      // wrappers if present) and assert the predicate landed in
+      // partitionFilters — planning-time directory pruning, before any
+      // row or footer I/O.
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val pruned = scans(scan.queryExecution.executedPlan)
+      require(pruned.nonEmpty && pruned.forall(_.partitionFilters
+          .exists(_.references.exists(_.name == "event_type"))),
+        "partition predicate did not reach the scan's partitionFilters:\n" +
+          scan.queryExecution.executedPlan.toString)
       scan.groupBy(($"user_id" % 10).as("bucket"))
         .agg(count(lit(1)).as("cnt"), sig6(sum($"value")).as("sum_val"))
     }),

@@ -113,23 +113,26 @@ object EventQueries {
       val b2 = ev.filter($"ts" >= cut2)
       val staged = stage(b1, "s11", dir)
       b2.coalesce(1).write.mode("append").parquet(staged)
-      var state = s.read.parquet(dimPath).localCheckpoint()
-      var batches = 0
+      // Atomics for cross-thread visibility — same reasoning as s10.
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        s.read.parquet(dimPath).localCheckpoint())
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
         .writeStream
         .foreachBatch { (ch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
-          batches += 1
-          state = scd2Apply(state, ch.localCheckpoint()).localCheckpoint()
+          batches.incrementAndGet()
+          state.set(scd2Apply(state.get(), ch.localCheckpoint())
+            .localCheckpoint())
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      lastDrainStats.put("s11", (batches, 0L))
+      lastDrainStats.put("s11", (batches.get(), 0L))
       unstage(staged)
-      state
+      state.get()
     }),
 
     // Time-series GAP FILL / resample — the standard warehouse
@@ -465,22 +468,29 @@ object EventQueries {
         CdcMerge.inserts(snap.filter($"key" % 7 === 2), mx + 1L))
       val staged = stage(b1, "s10", dir)
       b2.coalesce(1).write.mode("append").parquet(staged)
-      var state = snap.localCheckpoint()
-      var batches = 0
+      // Atomics, not plain vars: foreachBatch runs on the stream-execution
+      // thread and the post-awaitTermination reads are on the caller's —
+      // visibility must not hinge on incidental happens-before edges
+      // inside the streaming runtime.
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        snap.localCheckpoint())
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
         .writeStream
         .foreachBatch { (ch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batches += 1
-          state = CdcMerge.apply(state, ch.localCheckpoint()).localCheckpoint()
+          batches.incrementAndGet()
+          state.set(CdcMerge.apply(state.get(), ch.localCheckpoint())
+            .localCheckpoint())
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      lastDrainStats.put("s10", (batches, 0L))
+      lastDrainStats.put("s10", (batches.get(), 0L))
       unstage(staged)
-      state.select($"key", $"c_name".as("name"), sig6($"c_acctbal").as("acctbal"))
+      state.get()
+        .select($"key", $"c_name".as("name"), sig6($"c_acctbal").as("acctbal"))
     }),
 
     // Gap-based sessionization in batch: a session breaks when >30 min of
