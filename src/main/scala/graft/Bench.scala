@@ -97,7 +97,7 @@ object Bench {
     // BASELINE.md's G2 convention |E|×iters/total-wall (69.0M × 15 /
     // 146.5 s ≈ 7.1M/s, log.txt:53-55) and loop-only wall.
     val anchorNames = Set("b03_sssp_rand64m", "b04_sssp_skew64m",
-      "b05_pagerank_skew64m")
+      "b05_pagerank_skew64m", "b07_pagerank_conv64m")
     val anchorStats = scala.collection.mutable.Map
       .empty[String, (Double, Int, Int, Int)]
     // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
@@ -217,6 +217,10 @@ object Bench {
       val l07df = q("l07_embed_dup").cache()
       val l08p = pairSet(q("l08_embed_dup_lsh"))
       val l08r = rec(l08p, pairSet(l07df))
+      // The 8×6-band mid-sim operating point — nonzero where l08's
+      // narrow-band recall is ~0 by design (the corpus's natural pairs
+      // sit near cos 0.47).
+      val l51r = rec(pairSet(q("l51_embed_dup_lsh_mid")), pairSet(l07df))
       // The SRP sketch's designed regime is genuinely-near-duplicate pairs
       // (P(bit)=1−θ/π: ~97% at cos .99, ~2% at the corpus's .47 pairs), so
       // the vs-all number can sit near 0 BY DESIGN; the hi-sim field
@@ -235,8 +239,10 @@ object Bench {
           // only the input dir differs. `l08_hi_sim_pairs` records how many
           // ≥0.9 pairs the exact scan certified, so a recall of 1.0 over an
           // accidentally-empty set is visible as such.
-          val staged = java.nio.file.Files
-            .createTempDirectory("graft-hisim").toString
+          // Staged under the pid-scoped roundtrip root: the shutdown hook
+          // and dead-pid sweep reclaim it even after a hard kill between
+          // creation and the finally below.
+          val staged = sources.FormatRoundtrip.scratch(sfDir, "hisim")
           try {
             val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
             val maxId = e.agg(max("vec_id")).head().getLong(0)
@@ -255,7 +261,7 @@ object Bench {
           } finally graft.sources.FormatRoundtrip.recursiveDelete(
             new java.io.File(staged))
         }
-      f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f$hiField"""
+      f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f,"l51_recall_vs_l07":$l51r%.4f$hiField"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH recall sidecar failed: ${e.getMessage}")
       ""

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object SqlRunner {
 
+  /** Per-call run observability, returned by [[runWithStats]] — the
+    * race-free alternative to the last-writer-wins volatiles below for
+    * callers (anchor queries under Verify's thread pool) that pin a run's
+    * own trace. `changedTrace(i)` is superstep i+1's changed-vertex count;
+    * the final entry is 0 for an ε-converged run and nonzero when a fixed
+    * iteration cap stopped the loop.
+    */
+  final case class RunStats(iterations: Int, loopSeconds: Double,
+                            saltedHubs: Int, saltFactor: Int,
+                            changedTrace: Seq[Long])
+
   /** Set `-Dgraft.engine.verbose=true` for the reference-log-style
     * per-iteration line (iter, changed count, seconds — ≙ printTimeConsume,
     * gmr.h:317-334).
@@ -101,7 +112,13 @@ object SqlRunner {
     * `numEdges` < 0 means unknown — one counting pass sizes the loop.
     */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          alg: GmrAlgorithm, meta: GraphMeta, numEdges: Long = -1L): DataFrame = {
+          alg: GmrAlgorithm, meta: GraphMeta, numEdges: Long = -1L): DataFrame =
+    runWithStats(spark, vertices, edges, alg, meta, numEdges)._1
+
+  /** [[run]] plus this call's own [[RunStats]]. */
+  def runWithStats(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                   alg: GmrAlgorithm, meta: GraphMeta,
+                   numEdges: Long = -1L): (DataFrame, RunStats) = {
     import spark.implicits._
 
     val sel0 = edges.select($"src", $"dst", $"weight")
@@ -198,6 +215,7 @@ object SqlRunner {
           (if (salted) s" (salted ${hubs.length} hubs ×$saltF)" else ""))
 
       val tLoop = System.nanoTime()
+      val trace = Seq.newBuilder[Long]
       var iter = 0
       var changedCount = 1L
       while (iter < alg.maxIter && changedCount > 0) {
@@ -244,6 +262,7 @@ object SqlRunner {
         val next = updated.localCheckpoint(eager = false)
         val t0 = System.nanoTime()
         changedCount = next.filter($"changed").count()
+        trace += changedCount
         // Captured from the PRE-checkpoint frame: the checkpointed Dataset
         // plans as a bare LogicalRDD scan; `updated` carries the real
         // join→agg→join round plan (planning only — nothing re-executes).
@@ -272,7 +291,8 @@ object SqlRunner {
       lastIterations = iter
       if (verbose)
         println(f"[${alg.name}] unpersist: ${(System.nanoTime() - tUn) / 1e9}%.2f s")
-      verts.select($"id", $"value")
+      (verts.select($"id", $"value"),
+        RunStats(iter, lastLoopSeconds, hubs.length, saltF, trace.result()))
     }
   }
 }

@@ -36,6 +36,20 @@ object GraphQueries {
   private val B04DepthGolden: Map[Long, Long] = Map(
     0L -> 1L, 1L -> 1389164L, 2L -> 2603464L, 3L -> 7370L)
 
+  /** b07's pinned per-superstep changed-vertex counts (reference-parity
+    * PageRank d=0.5, all-ones init, ε=1e-4 — README §4.1's converged-run
+    * configuration) on the b03 uniform 64M-edge graph. Deltas decay
+    * geometrically at rate d from the O(1) init scale, so the ε-stop
+    * lands at a data-determined round count; the trace pins the whole
+    * convergence trajectory, not just the final round — a damping,
+    * epsilon, or update-rule regression moves entries loudly. Counts are
+    * stable under shuffle-order float noise: a vertex's |Δ| sits within
+    * ~1e-15 of the 1e-4 threshold with probability ~1e-7 per comparison.
+    */
+  private val B07ChangedGolden: Seq[Long] = Seq(
+    3999417L, 4000000L, 4000000L, 4000000L, 4000000L, 4000000L, 4000000L,
+    4000000L, 3999997L, 3999986L, 3999634L, 3978440L, 3001025L, 44147L, 0L)
+
   /** BFS/SSSP round count implied by a depth golden (max depth + 1 rounds
     * to exhaust the frontier) — Bench records b02's as a sidecar so the
     * doc-anchor generator derives throughput from the SAME source of truth
@@ -450,6 +464,52 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_v"),
           graft.Canon.sig6(sum($"value")).as("sum_rank"),
           graft.Canon.sig6(max($"value")).as("max_rank"))
+    }),
+    // BENCH anchor 6: CROSS-RUNNER EQUALITY AT THE 64M DISTRIBUTED TIER —
+    // the same uniform graph and SSSP as b03, executed by GraphXRunner,
+    // REQUIRE-pinned against the SAME depth golden. EngineSpec pins
+    // GraphX-vs-Sql equality at 200k edges; this pins it at the real
+    // distributed scale, mirroring the reference's own GraphX-vs-GMR
+    // methodology (实验数据.xlsx sheet1) — a wrong-at-scale regression in
+    // either runner now fails a gate run loudly.
+    "b06_sssp_graphx64m" -> ((s, dir) => {
+      import s.implicits._
+      val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
+      val v = s.range(AnchorNV).select($"id")
+      pinnedDepthHist(GraphXRunner.run(s, v, e, Algorithms.Sssp,
+        GraphMeta(AnchorNV, source = 1L)), B03DepthGolden, "b06")
+    }),
+    // BENCH anchor 7: PageRank TO CONVERGENCE at the 64M tier — the
+    // reference's converged-run methodology (README §4.1: d=0.5, all-ones
+    // init, ε=1e-4 stop, maxIter 120) on b03's uniform graph, where b05
+    // measures 2 fixed rounds. Every vertex sends every round until the
+    // global ε-stop, so the anchor exercises the full-relation superstep
+    // N times with a DATA-determined N. Output/pin: the per-superstep
+    // changed-count trace (see [[B07ChangedGolden]]) — the convergence
+    // trajectory analogue of b03's depth histogram. Calls runWithStats
+    // directly: per-call stats, no volatile races under Verify's pool
+    // (and 64M is past the auto-dispatch threshold anyway, pinned by b03).
+    "b07_pagerank_conv64m" -> ((s, dir) => {
+      import s.implicits._
+      val nV = AnchorNV
+      val m = 16L * nV
+      val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
+      val v = s.range(nV).select($"id")
+      val (res, stats) = SqlRunner.runWithStats(s, v, e,
+        Algorithms.PageRank(0.5, uniformInit = true), GraphMeta(nV),
+        numEdges = m)
+      // The superstep loop runs eagerly inside runWithStats (each round
+      // is an action), so the trace is complete here; the converged ranks
+      // themselves are value-pinned by the g03/g08 oracles and EngineSpec.
+      // b07's output is the trace alone — free the final vertex state's
+      // checkpoint instead of leaking 4M rows until session cleanup.
+      SqlRunner.checkpointRdd(res).foreach(_.unpersist(blocking = false))
+      require(stats.changedTrace == B07ChangedGolden,
+        s"b07 changed-count trace drifted from the pinned golden: " +
+          s"${stats.changedTrace}")
+      stats.changedTrace.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c) }
+        .toDF("round", "n_changed")
     }),
   )
 

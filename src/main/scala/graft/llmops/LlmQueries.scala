@@ -22,6 +22,14 @@ object LlmQueries {
     "l06_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "l07_embed_dup" -> ((s, dir) => Similarity.embedDupPairs(s, dir)),
     "l08_embed_dup_lsh" -> ((s, dir) => Similarity.embedDupPairsLsh(s, dir)),
+    // The MID-SIMILARITY operating point of the same SRP sketch: 8 bands
+    // × 6 bits (vs l08's 4×12). Per-band agreement needs p^6 not p^12,
+    // so recall at the production threshold's cos≈0.5 regime is ~0.5
+    // where l08's is ~0 by design — paid for with ~8× the candidate
+    // volume (64 buckets/band). Same signatures, same exact verify; the
+    // bench sidecar records l51_recall_vs_l07 every round.
+    "l51_embed_dup_lsh_mid" -> ((s, dir) =>
+      Similarity.embedDupPairsLsh(s, dir, bandBits = 6)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
@@ -354,6 +362,47 @@ object LlmQueries {
        |  FROM j)
        |SELECT doc_id, n_shared, bench_id FROM best
        |WHERE rn = 1 AND n_shared >= 2""".stripMargin
+
+  /** The SRP-LSH oracle (l08/l51), parameterized by band width — the SQL
+    * twin of [[Similarity.embedDupPairsLsh]]'s `bandBits` operating-point
+    * knob. Threshold fixed at the production 0.45 on both sides.
+    */
+  private def srpLshOracle(bandBits: Int): String = {
+    val bands = Similarity.Planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val planeRows = Similarity.planes.zipWithIndex.map { case (pl, p) =>
+      val vals = pl.map(x =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(x)))
+      s"($p, [${vals.mkString(", ")}])"
+    }.mkString(",\n")
+    s"""WITH pl(p, pv) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |sg AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN list_inner_product(e.v, pl.pv) >= 0
+       |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+       |              AS BIGINT) AS sig
+       |  FROM e, pl GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b AS band_id,
+       |         (sig >> ($bandBits * CAST(b AS INT))) & $mask AS band_key
+       |  FROM sg, unnest(range($bands)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, sim FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |         ${sig6Sql("list_cosine_similarity(ea.v, eb.v)")} AS sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b) t
+       |WHERE sim >= 0.45""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "l01_exact_dup_groups" ->
@@ -730,40 +779,11 @@ object LlmQueries {
     // are integer and sig6-rounded arithmetic. As with l04/l15, the
     // sub-unit recall is the method's, not the engine's — both engines
     // miss the identical cross-bucket pairs.
-    "l08_embed_dup_lsh" -> {
-      val planeRows = Similarity.planes.zipWithIndex.map { case (pl, p) =>
-        val vals = pl.map(x =>
-          String.format(java.util.Locale.ROOT, "%.17e", Double.box(x)))
-        s"($p, [${vals.mkString(", ")}])"
-      }.mkString(",\n")
-      s"""WITH pl(p, pv) AS (VALUES
-         |$planeRows),
-         |e AS (SELECT vec_id,
-         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings),
-         |sg AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN list_inner_product(e.v, pl.pv) >= 0
-         |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
-         |              AS BIGINT) AS sig
-         |  FROM e, pl GROUP BY vec_id),
-         |bands AS (
-         |  SELECT vec_id, b AS band_id,
-         |         (sig >> (12 * CAST(b AS INT))) & 4095 AS band_key
-         |  FROM sg, unnest(range(4)) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |    AND a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, sim FROM (
-         |  SELECT c.vec_a, c.vec_b,
-         |         ${sig6Sql("list_cosine_similarity(ea.v, eb.v)")} AS sim
-         |  FROM cand c
-         |  JOIN e ea ON ea.vec_id = c.vec_a
-         |  JOIN e eb ON eb.vec_id = c.vec_b) t
-         |WHERE sim >= 0.45""".stripMargin
-    },
+    "l08_embed_dup_lsh" -> srpLshOracle(bandBits = 12),
+    // Same plane literals and signature CTEs, re-banded 8×6 — the mid-sim
+    // operating point reproduces its EXTRA bucket collisions (and their
+    // verified survivors) identically in DuckDB.
+    "l51_embed_dup_lsh_mid" -> srpLshOracle(bandBits = 6),
     // IVF approximate top-k reproduced exactly: the coarse quantizer is
     // l14's statically unrolled Lloyd (shared CTEs — `c5` is the trained
     // centroid relation after 5 rounds, `a6` the final assignment), probe

@@ -254,22 +254,35 @@ object Similarity {
   }
 
   /** L3c: LSH-bucketed near-dup scan — the 100 TB variant of [[embedDupPairs]].
-    * Candidates = pairs agreeing on >=1 of 4 sign-bit bands; each candidate
+    * Candidates = pairs agreeing on >=1 band of sign bits; each candidate
     * is exact-verified. Recall < 1 near the threshold by construction, but
-    * deterministic: the fixed hyperplanes inline into the l08 oracle as
-    * DOUBLE literals and the sign bits reproduce exactly, so DuckDB lands
-    * the identical buckets and the result hash-checks; ScalaTest
+    * deterministic: the fixed hyperplanes inline into the l08/l51 oracles
+    * as DOUBLE literals and the sign bits reproduce exactly, so DuckDB
+    * lands the identical buckets and the result hash-checks; ScalaTest
     * additionally compares against brute force on a planted fixture.
+    *
+    * `bandBits` is the OPERATING POINT (the S-curve knob): the 48-bit
+    * signature splits into 48/bandBits bands, and a pair is a candidate
+    * when all bandBits bits of some band agree. The default 4×12 targets
+    * genuine near-duplicates (recall ~1 at cos ≥0.9, ~0 at 0.5 — few
+    * candidates); 8×6 is the MID-SIMILARITY point (per-band agreement
+    * p^6 instead of p^12, ~8× the bucket collision volume) for callers
+    * whose duplicates live around cos 0.5-0.8, where the narrow-band
+    * profile is blind. Same signatures, same verify — only the banding
+    * (candidate-volume vs recall trade) moves.
     */
-  def embedDupPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+  def embedDupPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.45,
+                       bandBits: Int = BandBits): DataFrame = {
     import s.implicits._
+    require(Planes % bandBits == 0,
+      s"bandBits=$bandBits must divide the $Planes-bit signature")
     val e = emb(s, dir)
     val sig = e.withColumn("sig", srpSig(s, $"v"))
-    val mask = (1L << BandBits) - 1
+    val mask = (1L << bandBits) - 1
     val banded = sig.select($"vec_id", $"v", $"norm",
-        explode(array((0 until Planes / BandBits).map(b =>
+        explode(array((0 until Planes / bandBits).map(b =>
           struct(lit(b).as("band_id"),
-            shiftrightunsigned($"sig", b * BandBits).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("bk"))
+            shiftrightunsigned($"sig", b * bandBits).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("bk"))
       .select($"vec_id", $"v", $"norm", $"bk.band_id", $"bk.band_key")
     banded.as("a").join(banded.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&

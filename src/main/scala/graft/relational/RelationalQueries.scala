@@ -695,6 +695,40 @@ object RelationalQueries {
         translate($"c_mktsegment", "ABC", "abc").as("xlat"),
         levenshtein($"c_mktsegment", lit("BUILDING")).as("lev"))
     }),
+
+    // TPC-H Q21's shape adapted to this schema — the classic optimizer
+    // stress that COMPOSES semi + anti + self-join at fact scale (each
+    // join type is certified separately by q17/q18; no other query chains
+    // them): suppliers who were the SOLE returned-line supplier in a
+    // multi-supplier finished order. Scale posture: all three fact⋈fact
+    // joins (semi, anti, orders) key on l_orderkey, so one hash
+    // partitioning serves every step — the partitioning-reuse discipline
+    // of the superstep engine applied to a relational pipeline; the
+    // supplier dim broadcasts; the top-20 cut is a total order
+    // (numwait DESC, s_name) and plans as TakeOrdered. PlanAuditSpec pins
+    // the semi/anti strategies and the single-exchange property.
+    "q69_late_sole_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val l1 = li.filter($"l_returnflag" === "R")
+      val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+      val l3 = l1.select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+      val sole = l1
+        .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2",
+          "left_semi")
+        .join(l3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3",
+          "left_anti")
+      val ord = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_orderkey")
+      val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_name")
+      sole.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name".asc)
+        .limit(20)
+    }),
   )
 
   /** Shared inputs for the set-operation queries: two overlapping custkey sets. */
@@ -1088,5 +1122,20 @@ object RelationalQueries {
         |       translate(c_mktsegment, 'ABC', 'abc') AS xlat,
         |       levenshtein(c_mktsegment, 'BUILDING') AS lev
         |FROM customer""".stripMargin,
+    "q69_late_sole_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |            WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }

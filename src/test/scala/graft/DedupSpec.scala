@@ -204,6 +204,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP-LSH mid-sim operating point (8×6 bands) recalls cos≈0.5 pairs") {
+    // l51's regime: pairs planted at cos ≈ 0.5 (v + √3·noise), where the
+    // default 4×12 banding is blind by design (per-band p^12 ≈ 0.006) and
+    // the 8×6 point's p^6 ≈ 0.08 per band × 8 bands lands ~0.5 recall.
+    // Deterministic fixture (fixed seed + fixed planes) so the measured
+    // recalls are exact, not statistical.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, s"l${i % 5}", vec()))
+    val planted = (0 until 20).map { i =>
+      val (_, lab, v) = base(i)
+      (100L + i, lab,
+        v.map(x => x + (rnd.nextGaussian() * math.sqrt(3.0)).toFloat))
+    }
+    val dir = TestSpark.tempDir("graft_lsh_mid_fx")
+    (base ++ planted).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_a", $"vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // TRUE all-pairs brute force (no label blocking): at threshold 0.3 a
+    // few random cross-label pairs qualify too, and LSH rightly finds
+    // some — the subset/recall algebra needs the unblocked ground truth.
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val exact = pairs(e.as("a")
+      .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        graft.functions.GraftFunctions.cosineSim(spark, $"a.v", $"b.v").as("sim"))
+      .filter($"sim" >= 0.3))
+    val mid = pairs(Similarity.embedDupPairsLsh(spark, dir, threshold = 0.3,
+      bandBits = 6))
+    val narrow = pairs(Similarity.embedDupPairsLsh(spark, dir,
+      threshold = 0.3))
+    assert(exact.size >= 15, s"brute force must find the planted pairs: $exact")
+    // Candidates are exact-verified: both operating points can only MISS.
+    assert(mid.subsetOf(exact) && narrow.subsetOf(exact))
+    val midRecall = mid.intersect(exact).size.toDouble / exact.size
+    val narrowRecall = narrow.intersect(exact).size.toDouble / exact.size
+    assert(midRecall >= 0.3,
+      s"mid-sim recall $midRecall (mid $mid vs exact $exact)")
+    assert(midRecall > narrowRecall,
+      s"8×6 banding must beat 4×12 at cos≈0.5: $midRecall vs $narrowRecall")
+  }
+
   test("semantic dedup: kmeans blocking ⊆ all-pairs; near-clones recalled") {
     // Same planted-clone fixture idea as the SRP test: clones at 1% noise
     // (cos ≈ 0.9999) sit deep inside a Lloyd cell, so the kmeans blocker

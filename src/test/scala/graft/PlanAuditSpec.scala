@@ -305,6 +305,12 @@ class PlanAuditSpec extends AnyFunSuite {
       val scatter = nodes.collectFirst {
         case j: ShuffledHashJoinExec if j.leftKeys.size == 2 => j
       }.getOrElse(fail(s"no 2-key ShuffledHashJoin in:\n$plan"))
+      // The salt column BY NAME on both sides' keys — a refactor that
+      // keys the join on two other columns (or drops salt to a
+      // post-filter) would still be a 2-key SHJ but lose the hub fan-out.
+      assert(scatter.leftKeys.exists(_.toString.contains("salt")) &&
+        scatter.rightKeys.exists(_.toString.contains("salt")),
+        s"salt missing from scatter join keys: ${scatter.leftKeys} × ${scatter.rightKeys}")
       // Streamed (non-build) side = the edge cache: an InMemoryTableScan
       // with no ShuffleExchange anywhere above or below it.
       val streamed = scatter.buildSide match {
@@ -469,6 +475,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), plan)
     assert(plan.contains("partial_"), plan)
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q69: semi/anti/inner compose on one orderkey partitioning; dim broadcasts") {
+    // The Q21-shape claim at fact scale: all three fact⋈fact joins key on
+    // l_orderkey, so each INPUT exchanges once and the accumulating left
+    // side is never re-exchanged between the semi, anti, and orders joins
+    // (semi/anti preserve the left partitioning). Broadcast is disabled so
+    // the fixture plans the fact joins the way a 100 TB run would; the
+    // supplier dim still broadcasts through its explicit hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ranPlan("q69_late_sole_supplier")
+      assert(plan.contains("LeftSemi"), plan)
+      assert(plan.contains("LeftAnti"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan) // supplier hint
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      // 4 inputs × one orderkey exchange each (l1, l2, l3, orders) + the
+      // final s_name aggregation = 5; a 6th would mean a re-exchange crept
+      // between the composed joins.
+      val exchanges =
+        "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+      assert(exchanges.size == 5,
+        s"expected 5 exchanges (4 orderkey inputs + agg), got ${exchanges.size}:\n$plan")
+      // The four inputs key on the SAME order key under their per-input
+      // aliases (l_orderkey, k2, k3, o_orderkey).
+      assert(exchanges.count(e => Seq("l_orderkey", "k2#", "k3#",
+          "o_orderkey").exists(e.contains)) == 4,
+        s"expected 4 order-key exchanges:\n${exchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("l47 source quota: partial topk agg map-side, no window sort") {

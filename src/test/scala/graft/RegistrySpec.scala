@@ -46,6 +46,13 @@ class RegistrySpec extends AnyFunSuite {
                             // shape; self-pinned like b03)
       "b05_pagerank_skew64m", // fixed-2-round PageRank on the skewed graph —
                             // full-relation superstep throughput under skew
+      "b06_sssp_graphx64m", // b03's graph through GraphXRunner, REQUIRE-
+                            // pinned against b03's own depth golden — the
+                            // cross-runner equality pin at the real 64M
+                            // tier (same CTE-infeasibility rationale)
+      "b07_pagerank_conv64m", // converged PageRank (d=0.5 parity, ε=1e-4)
+                            // at 64M; self-pinned via the changed-count
+                            // trace golden
       "q12_approx_distinct", // approximate by design
       "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
     )
