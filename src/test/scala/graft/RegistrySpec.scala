@@ -53,8 +53,14 @@ class RegistrySpec extends AnyFunSuite {
       "b07_pagerank_conv64m", // converged PageRank (d=0.5 parity, ε=1e-4)
                             // at 64M; self-pinned via the changed-count
                             // trace golden
-      "q12_approx_distinct", // approximate by design
-      "q52_approx_percentile" // approximate by design (OperatorsSpec bound)
+      "q12_approx_distinct", // approximate by design; numerically
+                            // tolerance-checked (5% rel err vs exact
+                            // distincts) by tools/oracle_check.py's
+                            // APPROX_CHECKS mirror pass
+      "q52_approx_percentile" // approximate by design (OperatorsSpec rank
+                            // bound; oracle_check.py additionally pins
+                            // each estimate inside DuckDB's exact ±0.02
+                            // rank envelope)
     )
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expectedRowsOnly,
