@@ -1,0 +1,343 @@
+package graft.llmops
+
+import graft.Canon.sig6Sql
+
+import LlmOracleHelpers._
+
+/** Second half of the LLM-pipeline oracle registry (file-size split;
+  * [[LlmQueries]] aggregates — semantics and keys unchanged). Shared
+  * CTE builders live in [[LlmOracleHelpers]].
+  */
+object LlmOraclesB {
+
+  val oracles: Map[String, String] = Map(
+    "l34_semantic_dedup" -> {
+      val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5, dim = 64)
+      s"""WITH $ctes,
+         |s AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${sig6Sql("list_cosine_similarity(a.v, b.v)")} AS sim
+         |  FROM $fin a JOIN $fin b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35""".stripMargin
+    },
+    // SRP-LSH embedding dedup reproduced exactly: the 48 fixed hyperplanes
+    // are inlined as DOUBLE literals (scientific notation — DuckDB parses
+    // plain decimals as DECIMAL, silently changing the arithmetic; 17
+    // significant digits round-trip the exact IEEE values), the sign bits
+    // come from the same sequential dot products (bit-identical across
+    // engines — the l06/l07 cosine oracles pin that), and banding/verify
+    // are integer and sig6-rounded arithmetic. As with l04/l15, the
+    // sub-unit recall is the method's, not the engine's — both engines
+    // miss the identical cross-bucket pairs.
+    "l08_embed_dup_lsh" -> srpLshOracle(bandBits = 12),
+    // Same plane literals and signature CTEs, re-banded 8×6 — the mid-sim
+    // operating point reproduces its EXTRA bucket collisions (and their
+    // verified survivors) identically in DuckDB.
+    "l51_embed_dup_lsh_mid" -> srpLshOracle(bandBits = 6),
+    // IVF approximate top-k reproduced exactly: the coarse quantizer is
+    // l14's statically unrolled Lloyd (shared CTEs — `c5` is the trained
+    // centroid relation after 5 rounds, `a6` the final assignment), probe
+    // ranking uses the same raw d² = |c|²−2q·c doubles (bit-identical:
+    // both engines run sequential dot products over identical operands),
+    // and the within-list scan ranks the same sig6-rounded cosines. The
+    // sub-unit recall vs l06 is a PROPERTY of the method, not an engine
+    // artifact — both engines miss the identical neighbors.
+    "l15_ivf_topk" -> {
+      val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5, dim = 64)
+      val sig = graft.Canon.sig6Sql _
+      s"""WITH $ctes,
+         |e AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS norm
+         |  FROM pts),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+         |      FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qv, qnorm, cluster FROM (
+         |    SELECT q.query_id, q.qv, q.qnorm, c.cluster,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY list_inner_product(c.c, c.c)
+         |                      - 2 * list_inner_product(q.qv, c.c),
+         |               c.cluster) AS rn
+         |    FROM q, c5 c) t
+         |  WHERE rn <= 3),
+         |lists AS (
+         |  SELECT a.cluster, e.vec_id, e.v, e.norm
+         |  FROM $fin a JOIN e USING (vec_id)),
+         |sims AS (
+         |  SELECT p.query_id, l.vec_id,
+         |         ${sig("list_inner_product(p.qv, l.v) / (p.qnorm * l.norm)")} AS sim
+         |  FROM probes p JOIN lists l USING (cluster)
+         |  WHERE l.vec_id <> p.query_id)
+         |SELECT query_id, vec_id, sim FROM (
+         |  SELECT query_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sims) t
+         |WHERE rn <= 10""".stripMargin
+    },
+    // Winnowing reproduced exactly: the same polynomial hash unrolled over
+    // ord(substr(...)) chars, and the rightmost-tie window minimum via
+    // arg_min over the packed key h·2²⁰ + (2²⁰ − p) — min h first, then
+    // max p (positions are far below the 2²⁰ radix). Validated
+    // row-for-row against an independent reference implementation.
+    "l35_winnow_fingerprints" -> {
+      val (kk, ww, bb, pp) = (8, 4, 257L, 1000000007L)
+      val m = 1L << 20
+      val h = (0 until kk).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"(($acc) * $bb + ord(substr(text, p + $j, 1))) % $pp"
+      }
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n
+         |           FROM documents WHERE length(text) >= $kk),
+         |kg AS (
+         |  SELECT doc_id, n, p, $h AS h
+         |  FROM d, unnest(range(1, n - ${kk - 2})) t(p)),
+         |sel AS (
+         |  SELECT doc_id, n, p,
+         |         arg_min(p, h * $m + ($m - p)) OVER
+         |           (PARTITION BY doc_id ORDER BY p
+         |            ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING) AS pos
+         |  FROM kg),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, pos FROM sel
+         |  WHERE p <= n - ${kk - 1} - ${ww - 1})
+         |SELECT f.doc_id AS doc_id, f.pos AS pos, kg.h AS fp
+         |FROM fps f JOIN kg ON kg.doc_id = f.doc_id AND kg.p = f.pos""".stripMargin
+    },
+    // One BPE merge-counting round over the word vocabulary: weighted
+    // adjacent char-pair counts, top 20 by (count desc, pair asc) — a
+    // total order, so the LIMIT is deterministic. Integer-exact.
+    "l36_bpe_pair_counts" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |pairs AS (
+         |  SELECT substr(w, i::int, 2) AS pair, cnt
+         |  FROM vocab, unnest(range(1, length(w))) t(i)
+         |  WHERE length(w) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY pair
+         |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin,
+    // Sliding context-window chunking, width 256 / stride 192; md5 over the
+    // chunk text makes the content check exact without shipping the text.
+    "l37_chunk_stride" ->
+      """SELECT doc_id,
+        |       (i - 1) // 192 AS chunk_idx,
+        |       i AS chunk_start,
+        |       CAST(length(substr(text, i::int, 256)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, i::int, 256)) AS chunk_md5
+        |FROM documents,
+        |     unnest(range(1, greatest(length(text), 1) + 1, 192)) t(i)""".stripMargin,
+    // Shannon char entropy in nats. DuckDB sums per-char terms in group
+    // order, Spark folds in first-occurrence order — the ulp difference
+    // collapses on the shared 9-sig grid (Canon), and the keep flag is
+    // derived from the ROUNDED value on both engines.
+    "l38_char_entropy" -> {
+      val entSql = "sum(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))"
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         |f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+         |e AS (
+         |  SELECT f.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
+         |  FROM f JOIN (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n
+         |               FROM f GROUP BY doc_id) nn USING (doc_id)
+         |  GROUP BY f.doc_id)
+         |SELECT doc_id, char_entropy, char_entropy >= 2.8 AS keep FROM e""".stripMargin
+    },
+    // Cross-document duplicated-span fraction: distinct word-8-grams per
+    // doc, doc-frequency >= 2 marks a span as duplicated. The ratio is an
+    // exact integer division rounded on the shared grid.
+    "l39_dup_span_frac" -> {
+      val g8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, $g8 AS sg
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |c AS (SELECT sg, count(*) AS nd FROM sh GROUP BY sg)
+         |SELECT s.doc_id AS doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       ${sig6Sql("CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS dup_frac
+         |FROM sh s JOIN c USING (sg)
+         |GROUP BY s.doc_id""".stripMargin
+    },
+    // Pairwise source overlap: distinct (source, strHash60(8-gram)) on both
+    // engines (the digest, not the string, so the relation is bit-identical
+    // to the Spark side), pair counts via self-join, Jaccard on the grid.
+    "l41_source_overlap" -> {
+      val g8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT source, $toksSql AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, ${TextOps.strHash60Sql(g8)} AS h
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |cnt AS (SELECT source, count(*) AS ns FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, ca.ns AS n_a, cb.ns AS n_b, n_shared,
+         |       ${sig6Sql("CAST(n_shared AS DOUBLE) / (ca.ns + cb.ns - n_shared)")} AS jaccard
+         |FROM inter JOIN cnt ca ON ca.source = src_a
+         |           JOIN cnt cb ON cb.source = src_b""".stripMargin
+    },
+    // BPE training, three merge rounds statically unrolled via
+    // [[bpeOracleCtes]] — see its doc for the greedy-apply closed form and
+    // why it avoids list_reduce / empty-separator splits.
+    "l42_bpe_train" ->
+      s"""WITH ${bpeOracleCtes(3)}
+         |SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         |UNION ALL SELECT * FROM t3""".stripMargin,
+    // BPE encode: the l42 merge rounds (shared CTE chain), then every
+    // document's token multiset joins the per-token symbol counts —
+    // all-integer arithmetic, so the compare is exact.
+    "l45_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(3)},
+         |symc AS (SELECT tok, len(ss) AS n_sym FROM v3),
+         |dt AS (
+         |  SELECT doc_id, tok, count(*) AS k
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(k * length(tok)) AS BIGINT) AS n_chars,
+         |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin,
+    // Vocab coverage: identical (lang, tok, k) base relation, identical
+    // total-order vocab cut; all-integer counts, one final rounded ratio.
+    "l46_vocab_coverage" ->
+      s"""WITH tk AS (
+         |  SELECT lang, tok, count(*) AS k
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok FROM (SELECT tok, sum(k) AS cnt FROM tk GROUP BY tok)
+         |  ORDER BY cnt DESC, tok LIMIT 1000)
+         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN top.tok IS NULL THEN k ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       ${sig6Sql("CAST(sum(CASE WHEN top.tok IS NULL THEN k ELSE 0 END) AS DOUBLE) / sum(k)")}
+         |         AS oov_rate
+         |FROM tk LEFT JOIN top ON tk.tok = top.tok
+         |GROUP BY lang""".stripMargin,
+    // Fused quality verdict: the four family CTEs are verbatim l16 / l30 /
+    // l27 / l38 fragments joined on doc_id; the CASE mirrors the Spark
+    // first-failing-family order exactly.
+    "l40_quality_fused" -> {
+      val entSql = "sum(-(CAST(ccnt AS DOUBLE) / cn) * ln(CAST(ccnt AS DOUBLE) / cn))"
+      val verdict =
+        """CASE WHEN rule_reason <> 'ok' THEN 'rules:' || rule_reason
+          |     WHEN top_tok_frac > 0.15 THEN 'repetition'
+          |     WHEN logprob < -1.5 THEN 'lm_score'
+          |     WHEN char_entropy < 2.8 THEN 'entropy'
+          |     ELSE 'ok' END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN chars < 150 THEN 'too_short'
+         |              WHEN n_tokens < 20 THEN 'few_tokens'
+         |              WHEN stop_ratio > 0.45 THEN 'stopword_heavy'
+         |              ELSE 'ok' END AS rule_reason
+         |  FROM t),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_frac
+         |        FROM tc GROUP BY doc_id),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq),
+         |lm AS (
+         |  SELECT doc_id, ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
+         |  FROM tk JOIN freq USING (tok), n GROUP BY doc_id),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS cc FROM documents),
+         |cf AS (SELECT doc_id, cc, count(*) AS ccnt FROM ch GROUP BY doc_id, cc),
+         |e AS (
+         |  SELECT cf.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
+         |  FROM cf JOIN (SELECT doc_id, CAST(sum(ccnt) AS DOUBLE) AS cn
+         |                FROM cf GROUP BY doc_id) nn USING (doc_id)
+         |  GROUP BY cf.doc_id)
+         |SELECT r.doc_id AS doc_id, rule_reason, top_tok_frac, logprob,
+         |       char_entropy, $verdict AS reason, ($verdict = 'ok') AS keep
+         |FROM r LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |       LEFT JOIN e USING (doc_id)""".stripMargin
+    },
+    // 8-gram overlap between the corpus slice and the benchmark slice;
+    // argmax benchmark doc per contaminated corpus doc, ties to smallest id.
+    "l26_decontaminate" -> decontOracle,
+    // Gopher-style repetition rules: top-unigram fraction (aggregated) and
+    // duplicate-bigram fraction (row-local). Integer-ratio doubles —
+    // identical IEEE division on both engines, no rounding needed.
+    "l30_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents) t
+         |  GROUP BY doc_id, tok),
+         |top AS (
+         |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_frac
+         |  FROM tc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id,
+         |         1.0 - CAST(len(list_distinct(b)) AS DOUBLE)
+         |           / greatest(len(b), 1) AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |          list_transform(range(1, len(ws)),
+         |            i -> ws[i] || ' ' || ws[i+1]) AS b
+         |        FROM (SELECT doc_id, $toksSql AS ws FROM documents) w) x)
+         |SELECT doc_id, top_tok_frac, dup_bigram_frac
+         |FROM top JOIN bg USING (doc_id)""".stripMargin,
+    // The bloom pass prunes, the exact join verifies: false positives are
+    // eliminated, so the result — and therefore the oracle — is l26's.
+    "l31_decontaminate_bloom" -> decontOracle,
+    // l03's pair relation fed through the same min-label-closure CTE as the
+    // g04 WCC oracle, grouped into clusters.
+    "l25_neardup_clusters" ->
+      s"""$neardupLabCtes
+         |SELECT comp AS cluster, count(*) AS n_docs FROM lab GROUP BY comp""".stripMargin,
+    // The SAME label relation APPLIED: survivors are the min-label docs
+    // (cluster label = min doc_id by construction) plus every unclustered
+    // singleton; the post-dedup corpus rolls up by lang like l19.
+    "l44_neardup_dedup" ->
+      s"""$neardupLabCtes
+         |SELECT d.lang, count(*) AS n_docs,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+         |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+         |WHERE lab.id IS NULL OR lab.comp = d.doc_id
+         |GROUP BY d.lang""".stripMargin,
+    // Bigram conditional logprob: both engines aggregate the identical
+    // doc-level (w1, w2, k) relation and compute the identical weighted
+    // mean Σ k·log10(bcnt/pcnt) / Σ k — same terms, integer weights, one
+    // final rounding on the shared sig grid.
+    "l43_bigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, count(*) AS k
+         |  FROM tk, unnest(range(1, len(ws))) t(i)
+         |  GROUP BY 1, 2, 3),
+         |bc AS (SELECT w1, w2, sum(k) AS bcnt FROM bg GROUP BY 1, 2),
+         |pc AS (SELECT w1, sum(bcnt) AS pcnt FROM bc GROUP BY 1)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |       ${sig6Sql("sum(k * log10(bcnt / CAST(pcnt AS DOUBLE))) / sum(k)")} AS logprob
+         |FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+    "l19_clean_corpus" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, n_tokens FROM t
+         |  WHERE chars >= 150 AND n_tokens >= 20 AND stop_ratio <= 0.45),
+         |dedup AS (
+         |  SELECT d.doc_id, d.lang, kept.n_tokens,
+         |         row_number() OVER (PARTITION BY md5(d.text)
+         |                            ORDER BY d.doc_id) AS rn
+         |  FROM documents d JOIN kept ON kept.doc_id = d.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM dedup WHERE rn = 1 GROUP BY lang""".stripMargin,
+  )
+}

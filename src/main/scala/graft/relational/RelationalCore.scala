@@ -1,0 +1,554 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Canon.{sig6, sig6Sql}
+
+import RelationalInputs._
+
+/** First half of the relational registry (SURVEY.md §2.4 Q1–Q14 core
+  * surface: scans, joins, aggregates, windows, set ops) — split from
+  * the original single file purely for size; [[RelationalQueries]]
+  * aggregates. Semantics and keys unchanged.
+  */
+object RelationalCore {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — scan + filter + project. Pushdown check: both predicates reach the
+    // parquet scan; ReadSchema is 5 columns, not 11.
+    "q01_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_quantity" > 24)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+
+    // Q2 — hash aggregate, TPC-H Q1 shape (partial agg + final agg on 2 keys).
+    "q02_group_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sig6(sum($"l_quantity")).as("sum_qty"),
+          sig6(sum($"l_extendedprice")).as("sum_base_price"),
+          sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+          sig6(avg($"l_quantity")).as("avg_qty"),
+          sig6(avg($"l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q3 — two equi inner joins + aggregate. customer⋈nation broadcasts;
+    // orders⋈customer shuffles on custkey.
+    "q03_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sig6(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // Q4 — broadcast-join chain over the tiny dims (region 5 rows, nation 25).
+    "q04_broadcast_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), sig6(sum($"c_acctbal")).as("total_bal"))
+    }),
+
+    // Q5a — left outer join + aggregate (customers keep their zero counts).
+    "q05_left_outer" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"o_custkey" === $"c_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("order_cnt"))
+    }),
+
+    // Q5b — left-semi join (EXISTS): customers with a >400k order.
+    "q06_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // Q5c — left-anti join (NOT EXISTS): customers without one.
+    "q07_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, $"o_custkey" === $"c_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // Q6 — global sort + limit: Spark plans TakeOrderedAndProject (top-k per
+    // partition, k merged on the driver — no full sort at scale).
+    "q08_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // Q7 — window ranking: latest order per customer (deterministic tiebreak).
+    "q09_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+    }),
+
+    // Q8 — window frame: 7-event running sum per user.
+    "q10_window_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_id".asc)
+        .rowsBetween(-6, Window.currentRow)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value",
+          sum($"value").over(w).as("run_sum"))
+    }),
+
+    // Q9a — exact distinct counts (expand-based multi-distinct aggregate).
+    "q11_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Q9b — HyperLogLog++ sketch counterpart; no SQL oracle (algorithmic
+    // estimate — the driver records a rows-only check).
+    "q12_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+          approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+    }),
+
+    // Q10 — ROLLUP over the join of orders→customer→nation.
+    "q13_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
+    }),
+
+    // Q11 — set operations over two customer-key selections.
+    "q14_union" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.union(b).distinct()
+    }),
+    "q15_union_all" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.union(b)
+    }),
+    "q16_intersect" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.intersect(b)
+    }),
+    "q17_except" -> ((s, dir) => setOpInputs(s, dir) match {
+      case (a, b) => a.except(b)
+    }),
+
+    // Q12 — scalar function gauntlet: string/date/math, row-wise hash-checked.
+    "q18_scalar_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        upper(substring($"o_orderpriority", 1, 4)).as("pri4"),
+        lower($"o_orderstatus").as("st"),
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mon"),
+        dayofmonth($"o_orderdate").as("dom"),
+        date_trunc("month", $"o_orderdate").as("mstart"),
+        floor($"o_totalprice").as("price_floor"),
+        abs($"o_totalprice" - lit(100000.0)).as("absdiff"),
+        ($"o_orderkey" % 7).as("m7"),
+        $"o_orderpriority".like("%URGENT%").as("is_urgent"),
+        concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("tag"))
+    }),
+
+    // Q12b — conditional expressions: CASE WHEN / NULLIF / COALESCE.
+    "q19_case_null" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        when($"o_totalprice" > 300000.0, "big")
+          .when($"o_totalprice" > 150000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("st2"))
+    }),
+
+    // Q13a — array explode with position over the embeddings table.
+    "q20_explode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", $"pos".cast("long").as("pos"), $"col".as("val"))
+    }),
+
+    // Q13b — JSON extraction from the events.props string column.
+    "q21_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+    }),
+
+    // Distributed matrix multiply — the reference's MatrixMultiply stub
+    // (algorithms.h:200) as the classic relational rendering: A(i,k,v) ⋈
+    // B(k,j,v) on the contraction index, groupBy(i,j) sum. Here: the Gram
+    // matrix of the first 20 embedding vectors.
+    "q25_matmul_gram" -> ((s, dir) => {
+      import s.implicits._
+      val m = t(s, dir, "embeddings").filter($"vec_id" < 20)
+        .select($"vec_id".as("i"),
+          posexplode(transform($"embedding", x => x.cast("double"))))
+        .select($"i", $"pos", $"col".as("v"))
+      m.as("x").join(m.as("y"), $"x.pos" === $"y.pos")
+        .groupBy($"x.i".as("i"), $"y.i".as("j"))
+        .agg(sig6(sum($"x.v" * $"y.v")).as("v"))
+    }),
+
+    // Exact interpolated percentiles (same linear-interpolation definition
+    // as DuckDB's quantile_cont) + sketch-based approx (rows-only cousin in
+    // q12's spirit would not hash-match, so only the exact one is oracled).
+    "q26_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sig6(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+          sig6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+    }),
+
+    // Sketch-based percentiles — the KLL-style counterpart of q26's exact
+    // interpolated percentiles (as q12 is to q11 for distinct counts): one
+    // mergeable sketch per group, constant state, map-side partials. No SQL
+    // oracle (algorithm-specific estimate); OperatorsSpec pins the error
+    // bound against the exact q26 values.
+    "q52_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"))
+    }),
+
+    // Scalar subquery: price relative to the global mean.
+    "q27_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val mean = t(s, dir, "orders").agg(avg($"o_totalprice").as("m"))
+      t(s, dir, "orders").crossJoin(broadcast(mean))
+        .select($"o_orderkey", sig6($"o_totalprice" / $"m").as("rel_price"))
+    }),
+
+    // CUBE — all grouping-set combinations.
+    "q28_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
+    }),
+
+    // Pivot: event_type columns per user (fixed value list => stable schema).
+    "q29_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sig6(sum($"value")))
+    }),
+
+    // Null semantics: three-valued logic vs null-safe equality on a
+    // projection that manufactures NULLs deterministically.
+    "q30_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      val withNulls = t(s, dir, "orders").select(
+        $"o_orderkey",
+        when($"o_orderkey" % 5 === 0, $"o_orderstatus").as("s1"),
+        when($"o_orderkey" % 3 === 0, $"o_orderstatus").as("s2"))
+      withNulls.select(
+        $"o_orderkey",
+        ($"s1" === $"s2").as("eq3vl"),
+        ($"s1" <=> $"s2").as("eq_nullsafe"),
+        $"s1".isNull.as("s1_null"),
+        coalesce($"s1", $"s2", lit("none")).as("first_nonnull"))
+    }),
+
+    // Q14 — grouped string aggregation, canonicalized by in-group sort.
+    "q22_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(array_join(array_sort(collect_list($"c_name")), "|").as("names"))
+    }),
+
+    // Explicit GROUPING SETS (the general form behind rollup/cube): two
+    // independent summaries in one aggregation pass over the fact table.
+    "q32_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
+
+    // FULL OUTER join — the one outer-join shape not yet certified (q05
+    // covers left outer): per-customer order totals full-outer against a
+    // filtered customer slice, so both null sides occur.
+    "q34_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val totals = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(sum($"o_totalprice").as("total"))
+        .filter($"o_custkey" % 3 === 0)
+      val custs = t(s, dir, "customer")
+        .filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey", $"c_nationkey")
+      custs.join(totals, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("k"),
+          $"c_nationkey", sig6($"total").as("total"),
+          $"c_custkey".isNull.as("no_cust"), $"o_custkey".isNull.as("no_orders"))
+    }),
+
+    // ntile quantile bucketing — per-priority order-value quartiles. The
+    // window is PARTITIONED (never a global single-partition ntile: at scale
+    // that serializes the table through one task; per-key quartiles shuffle
+    // on the partition key like any other window).
+    "q33_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy($"o_orderpriority", $"quartile")
+        .agg(count(lit(1)).as("cnt"),
+          sig6(min($"o_totalprice")).as("lo"),
+          sig6(max($"o_totalprice")).as("hi"))
+    }),
+
+    // Navigation window functions: lag/lead plus first/last over the full
+    // partition frame (the default frame stops at CURRENT ROW — last() under
+    // it would just echo the current row).
+    "q36_lead_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        $"o_custkey", $"o_orderkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        first($"o_orderkey").over(wFull).as("first_key"),
+        last($"o_orderkey").over(wFull).as("last_key"))
+    }),
+
+    // Correlated-subquery shape: orders above their own customer's average.
+    // The oracle states the literal correlated scalar subquery; the Spark
+    // plan is its decorrelated form — one window pass, no per-row re-scan
+    // (the only rendering that survives at scale).
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 24""".stripMargin,
+    "q02_group_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sig6Sql("sum(l_quantity)")} AS sum_qty,
+         |       ${sig6Sql("sum(l_extendedprice)")} AS sum_base_price,
+         |       ${sig6Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+         |       ${sig6Sql("avg(l_quantity)")} AS avg_qty,
+         |       ${sig6Sql("avg(l_extendedprice)")} AS avg_price,
+         |       count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      s"""SELECT n_name, ${sig6Sql("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+    "q04_broadcast_join" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |       ${sig6Sql("sum(c_acctbal)")} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q05_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q08_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) q WHERE rn = 1""".stripMargin,
+    "q10_window_frame" ->
+      """SELECT event_id, user_id, value,
+        |       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS run_sum
+        |FROM events""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q13_rollup" ->
+      s"""SELECT n_name, o_orderpriority, count(*) AS cnt,
+         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, o_orderpriority)""".stripMargin,
+    "q14_union" -> s"$setA UNION $setB",
+    "q15_union_all" -> s"$setA UNION ALL $setB",
+    "q16_intersect" -> s"$setA INTERSECT $setB",
+    "q17_except" -> s"$setA EXCEPT $setB",
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(substr(o_orderpriority, 1, 4)) AS pri4,
+        |       lower(o_orderstatus) AS st,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mon,
+        |       day(o_orderdate) AS dom,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       abs(o_totalprice - 100000.0) AS absdiff,
+        |       o_orderkey % 7 AS m7,
+        |       (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+        |       concat(o_orderstatus, '-', o_orderpriority) AS tag
+        |FROM orders""".stripMargin,
+    "q19_case_null" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+        |            WHEN o_totalprice > 150000.0 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st2
+        |FROM orders""".stripMargin,
+    "q20_explode" ->
+      """SELECT vec_id,
+        |       unnest(range(len(embedding))) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings""".stripMargin,
+    "q21_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q22_string_agg" ->
+      """SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q30_null_semantics" ->
+      """WITH w AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus END AS s1,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS s2
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       (s1 = s2) AS eq3vl,
+        |       (s1 IS NOT DISTINCT FROM s2) AS eq_nullsafe,
+        |       (s1 IS NULL) AS s1_null,
+        |       coalesce(s1, s2, 'none') AS first_nonnull
+        |FROM w""".stripMargin,
+    "q26_percentiles" ->
+      s"""SELECT l_returnflag,
+         |       ${sig6Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+         |       ${sig6Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_scalar_subquery" ->
+      s"""SELECT o_orderkey,
+         |       ${sig6Sql("o_totalprice / (SELECT avg(o_totalprice) FROM orders)")} AS rel_price
+         |FROM orders""".stripMargin,
+    "q28_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q29_pivot" ->
+      s"""SELECT user_id,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'click' THEN value END)")} AS click,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'error' THEN value END)")} AS error,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'purchase' THEN value END)")} AS purchase,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'signup' THEN value END)")} AS signup,
+         |       ${sig6Sql("sum(CASE WHEN event_type = 'view' THEN value END)")} AS view
+         |FROM events GROUP BY user_id""".stripMargin,
+    "q25_matmul_gram" ->
+      s"""WITH m AS (
+         |  SELECT vec_id AS i,
+         |         unnest(range(len(embedding))) AS pos,
+         |         unnest(embedding::DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 20)
+         |SELECT x.i AS i, y.i AS j, ${sig6Sql("sum(x.v * y.v)")} AS v
+         |FROM m x JOIN m y ON x.pos = y.pos
+         |GROUP BY x.i, y.i""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q34_full_outer" ->
+      s"""WITH totals AS (
+         |  SELECT o_custkey, sum(o_totalprice) AS t0 FROM orders
+         |  GROUP BY o_custkey HAVING o_custkey % 3 = 0),
+         |custs AS (
+         |  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0)
+         |SELECT coalesce(c_custkey, o_custkey) AS k, c_nationkey,
+         |       ${sig6Sql("t0")} AS total,
+         |       (c_custkey IS NULL) AS no_cust,
+         |       (o_custkey IS NULL) AS no_orders
+         |FROM custs FULL OUTER JOIN totals ON c_custkey = o_custkey""".stripMargin,
+    "q33_ntile" ->
+      s"""WITH q AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |         ntile(4) OVER (PARTITION BY o_orderpriority
+         |                        ORDER BY o_totalprice, o_orderkey) AS quartile
+         |  FROM orders)
+         |SELECT o_orderpriority, quartile, count(*) AS cnt,
+         |       ${sig6Sql("min(o_totalprice)")} AS lo,
+         |       ${sig6Sql("max(o_totalprice)")} AS hi
+         |FROM q GROUP BY 1, 2""".stripMargin,
+    "q36_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |       lead(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |       first_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+        |       last_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders""".stripMargin,
+  )
+}
