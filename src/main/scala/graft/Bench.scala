@@ -283,8 +283,14 @@ object Bench {
         val prev = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
         val re = "\"(b[0-9]+_eips_(?:total|loop))\":([0-9.]+)".r
+        // FIRST occurrence wins: a prior artifact also carries these keys
+        // inside its own eips_vs_prev ratio block, and last-wins would
+        // divide by a ratio instead of a throughput.
         def eips(s: String): Map[String, Double] =
-          re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          re.findAllMatchIn(s).foldLeft(Map.empty[String, Double]) { (m, x) =>
+            if (m.contains(x.group(1))) m
+            else m + (x.group(1) -> x.group(2).toDouble)
+          }
         val prevMap = eips(prev)
         val ratios = eips(anchorExtra).toSeq.sortBy(_._1).flatMap {
           case (k, v) if v > 0 => prevMap.get(k).filter(_ > 0)

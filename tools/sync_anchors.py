@@ -33,13 +33,21 @@ def block():
                 f"| auto-dispatch local loop, iters={it02} |")
     for tag, label in [("b03", "b03 64M uniform SSSP (distributed)"),
                        ("b04", "b04 64M skew SSSP (salted)"),
-                       ("b05", "b05 64M skew PageRank ×2")]:
+                       ("b05", "b05 64M skew PageRank ×2"),
+                       ("b07", "b07 64M uniform PageRank→converged (d=0.5)")]:
         qn = {"b03": "b03_sssp_rand64m", "b04": "b04_sssp_skew64m",
-              "b05": "b05_pagerank_skew64m"}[tag]
+              "b05": "b05_pagerank_skew64m",
+              "b07": "b07_pagerank_conv64m"}[tag]
         note = (f"salted_hubs={B[f'{tag}_salted_hubs']}"
                 f" ×{B[f'{tag}_salt_factor']}, iters={B[f'{tag}_iters']}")
         rows.append(f"| {label} | {Q[qn]:.1f} | {m(B[f'{tag}_eips_total'])} "
                     f"| {m(B[f'{tag}_eips_loop'])} | {note} |")
+    # b06 runs through GraphXRunner (no SqlRunner loop sidecar): wall only,
+    # value-pinned in-query against b03's depth golden.
+    if "b06_sssp_graphx64m" in Q:
+        rows.append(f"| b06 64M uniform SSSP (GraphX runner) "
+                    f"| {Q['b06_sssp_graphx64m']:.1f} | — | — "
+                    f"| cross-runner equality pin (b03 depth golden) |")
     host = B.get("host_cpu", "unknown")
     return ("\n".join(rows) +
             f"\n\nArtifact: `BENCH_LOCAL.json` (host: {host}; the 64M anchors"
