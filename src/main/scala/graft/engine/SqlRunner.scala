@@ -284,7 +284,11 @@ object SqlRunner {
         checkpointRdd(verts).foreach(_.unpersist(blocking = false))
         verts = next
       }
-      lastLoopSeconds = (System.nanoTime() - tLoop) / 1e9
+      // Local first, volatile second: RunStats must carry THIS call's loop
+      // wall — reading the volatile back would let a concurrent run's
+      // assignment slip in between (the race RunStats exists to avoid).
+      val loopSecs = (System.nanoTime() - tLoop) / 1e9
+      lastLoopSeconds = loopSecs
       val tUn = System.nanoTime()
       e.unpersist()
       if (needCount) sel.unpersist()
@@ -292,7 +296,7 @@ object SqlRunner {
       if (verbose)
         println(f"[${alg.name}] unpersist: ${(System.nanoTime() - tUn) / 1e9}%.2f s")
       (verts.select($"id", $"value"),
-        RunStats(iter, lastLoopSeconds, hubs.length, saltF, trace.result()))
+        RunStats(iter, loopSecs, hubs.length, saltF, trace.result()))
     }
   }
 }

@@ -363,8 +363,5 @@ object LlmOraclesA {
          |         ${sig6Sql("coalesce(1.0/(60 + lr.lrank), 0) + coalesce(1.0/(60 + vr.vrank), 0)")} AS rrf
          |  FROM lr FULL JOIN vr ON vr.doc_id = lr.doc_id) t
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-    // Kmeans-blocked cosine near-dup: the blocking IS l14's statically
-    // unrolled Lloyd (shared CTEs), so DuckDB reproduces the identical
-    // cells, then the same within-cell pair scan + sig6 cosine verify.
   )
 }

@@ -11,6 +11,9 @@ import LlmOracleHelpers._
 object LlmOraclesB {
 
   val oracles: Map[String, String] = Map(
+    // Kmeans-blocked cosine near-dup: the blocking IS l14's statically
+    // unrolled Lloyd (shared CTEs), so DuckDB reproduces the identical
+    // cells, then the same within-cell pair scan + sig6 cosine verify.
     "l34_semantic_dedup" -> {
       val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5, dim = 64)
       s"""WITH $ctes,
@@ -133,8 +136,14 @@ object LlmOraclesB {
     // derived from the ROUNDED value on both engines.
     "l38_char_entropy" -> {
       val entSql = "sum(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))"
+      // Char extraction via substr over a range, NOT string_split(text, '')
+      // — empty-separator split semantics have drifted across DuckDB
+      // releases (the round-6 l42 hardening class; the driver runs a newer
+      // DuckDB than the local mirror), while substr/length are stable.
+      // Verified identical on both SFs' corpora.
       s"""WITH ch AS (
-         |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM documents, unnest(range(1, length(text) + 1)) t(i)),
          |f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
          |e AS (
          |  SELECT f.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
@@ -250,7 +259,8 @@ object LlmOraclesB {
          |lm AS (
          |  SELECT doc_id, ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
          |  FROM tk JOIN freq USING (tok), n GROUP BY doc_id),
-         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS cc FROM documents),
+         |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS cc
+         |       FROM documents, unnest(range(1, length(text) + 1)) t(i)),
          |cf AS (SELECT doc_id, cc, count(*) AS ccnt FROM ch GROUP BY doc_id, cc),
          |e AS (
          |  SELECT cf.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy

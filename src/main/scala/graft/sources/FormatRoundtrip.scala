@@ -80,6 +80,10 @@ object FormatRoundtrip {
   private[graft] def scratch(sfDir: String, fmt: String): String = {
     val sf = new java.io.File(sfDir).getName
     val parent = new java.io.File(scratchRoot, sf)
+    // Keep the pid root's mtime fresh on every use: new run dirs touch
+    // only the <sf> subdir, so without this a live multi-day JVM's root
+    // would read as stale to another JVM's DeadRootMaxAgeMs sweep.
+    scratchRoot.setLastModified(System.currentTimeMillis()): Unit
     // Age-gated same-key sweep (see ScratchMaxAgeMs) — bounds in-JVM
     // growth; the shutdown hook and dead-pid sweep bound cross-JVM growth.
     Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>

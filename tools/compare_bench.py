@@ -59,14 +59,19 @@ def main(old_path, new_path, thr=1.5):
     for key in sorted(set(old) | set(new)):
         if "eips" in key and key.endswith(("_total", "_loop")):
             ov, nv = old.get(key), new.get(key)
-            if isinstance(ov, (int, float)) and isinstance(nv, (int, float)) and ov:
+            ov_ok = isinstance(ov, (int, float)) and ov > 0
+            nv_ok = isinstance(nv, (int, float)) and nv > 0
+            if ov_ok and nv_ok:
                 r = nv / ov
                 verdict = ("within 2-3x host band"
                            if BAND[0] <= r <= BAND[1]
                            else "OUTSIDE band — investigate")
                 print(f"  {key}: {ov:.3g} -> {nv:.3g} (x{r:.2f}, {verdict})")
             else:
-                print(f"  {key}: {ov} -> {nv}")
+                # A -1 (failed anchor) or one-sided key is a red flag, not
+                # a neutral line — say so explicitly.
+                print(f"  {key}: {ov} -> {nv} "
+                      "(MISSING/FAILED on one side — investigate)")
         elif "salted" in key or key.endswith("_iters"):
             print(f"  {key}: {old.get(key)} -> {new.get(key)}")
     print(f"hosts: {old.get('host_cpu', '?')} -> {new.get('host_cpu', '?')}")

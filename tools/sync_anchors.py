@@ -38,6 +38,8 @@ def block():
         qn = {"b03": "b03_sssp_rand64m", "b04": "b04_sssp_skew64m",
               "b05": "b05_pagerank_skew64m",
               "b07": "b07_pagerank_conv64m"}[tag]
+        if qn not in Q or f"{tag}_salted_hubs" not in B:
+            continue  # pre-r7 artifact or subset run without this anchor
         note = (f"salted_hubs={B[f'{tag}_salted_hubs']}"
                 f" ×{B[f'{tag}_salt_factor']}, iters={B[f'{tag}_iters']}")
         rows.append(f"| {label} | {Q[qn]:.1f} | {m(B[f'{tag}_eips_total'])} "
