@@ -32,6 +32,29 @@ class TypedEngineSpec extends AnyFunSuite {
     assert(typed == sql)
   }
 
+  test("typed tier matches the 8M-edge depth golden (TypedRunner)") {
+    // The LAST runner pinned at a distributed tier: b06 covers GraphX at
+    // 64M and EngineSpec pins SqlRunner at 8M against the same b02 depth
+    // golden this test uses — the typed encoder/cogroup path must
+    // reproduce the identical expansion vector at 40× its previous 200k
+    // pin. Deliberately heavy (the typed tier trades codegen for
+    // generality); uses the shared b02 generator so the golden can never
+    // drift from the graph.
+    import spark.implicits._
+    val nV = graft.graphs.GraphQueries.B02NV
+    val e = graft.graphs.GraphQueries.uniformEdges8M(spark)
+      .withColumn("weight", lit(1.0))
+    val v = spark.range(nV).select($"id")
+    val got = TypedRunner
+      .run(spark, v, e, TypedAlgorithms.Sssp, GraphMeta(nV, source = 1L))
+      .toDF("id", "value")
+      .filter($"value" =!= Double.PositiveInfinity)
+      .groupBy($"value".cast("long").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == graft.graphs.GraphQueries.B02DepthGolden)
+  }
+
   test("typed SSSP == SqlRunner SSSP on the derived graph") {
     import spark.implicits._
     val e = GraphOps.edges(spark, sf).withColumn("weight", lit(1.0))
