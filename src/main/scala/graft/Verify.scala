@@ -14,8 +14,27 @@ import scala.concurrent.duration.Duration
   * and block manager. Most of the 90+ queries are sub-second latency-bound
   * jobs that leave the cluster idle between driver round-trips; overlapping
   * them cuts the dump's wall-clock ~4× without touching any query.
+  *
+  * Robustness posture (the gate is only as good as its worst run):
+  *  - oracle_sql.json is written BEFORE any query runs, so a dump killed
+  *    mid-flight (time budget, OOM) still leaves every completed query
+  *    checkable instead of zeroing the round.
+  *  - the 64M-edge synthetic anchors (b02–b07) run SEQUENTIALLY after the
+  *    pooled rest: four of them stacked on the 4-worker pool hold several
+  *    GB of graph state EACH, which OOMs a default-heap (8g) driver —
+  *    measured on this host (b06+g06+l05+q01 concurrently → heap OOM →
+  *    context shutdown → every remaining query "fails"). Serialized, the
+  *    peak is one anchor's working set, and the cheap 160+ queries are
+  *    already banked by the time the expensive tail starts.
   */
 object Verify {
+
+  /** The multi-GB synthetic-anchor prefix (b01 rides along: it is tiny,
+    * and keeping the rule name-shaped means a new b0x anchor cannot be
+    * silently pooled).
+    */
+  private def isHeavy(name: String): Boolean = name.startsWith("b0")
+
   def main(args: Array[String]): Unit = {
     // Driver contract: exactly (sfDir, outDir). Any further args are a
     // dev-only subset filter — query names to dump — so a new operator can
@@ -26,26 +45,13 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val pool = Executors.newFixedThreadPool(math.min(4, cpus))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val unknown = subset -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
         "would otherwise dump nothing and read as a clean gate pass")
     val selected = if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(subset).toMap
-    val runs = selected.toSeq.map { case (name, fn) =>
-      Future {
-        val session = spark.newSession()
-        try fn(session, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      }
-    }
-    Await.result(Future.sequence(runs), Duration.Inf)
-    pool.shutdown()
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -61,6 +67,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val session = spark.newSession()
+      try fn(session, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+
+    val (heavy, light) = selected.toSeq.partition(p => isHeavy(p._1))
+    val pool = Executors.newFixedThreadPool(math.min(4, cpus))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val runs = light.map { case (name, fn) => Future(runOne(name, fn)) }
+    Await.result(Future.sequence(runs), Duration.Inf)
+    pool.shutdown()
+    heavy.sortBy(_._1).foreach { case (name, fn) =>
+      runOne(name, fn)
+      // Anchor runners free their own loop state eagerly; sweep whatever
+      // DataFrame-level cache residue (e.g. a generator .cache()) is left
+      // so the next anchor starts from a clean block manager.
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }

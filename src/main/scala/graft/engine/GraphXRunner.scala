@@ -62,6 +62,15 @@ object GraphXRunner {
       prev.unpersistVertices(blocking = false)
       prev.edges.unpersist(blocking = false)
     }
-    g.vertices.map { case (id, a) => (id, a.value) }.toDF("id", "value")
+    // Pin the (vertex-count-sized) result and release the multi-GB graph
+    // state NOW instead of leaking it until session teardown: at 64M edges
+    // the cached edge partitions + replicated vertex views are most of a
+    // default driver heap, and the gate runs this runner back-to-back with
+    // the other synthetic anchors.
+    val out = g.vertices.map { case (id, a) => (id, a.value) }
+      .toDF("id", "value").localCheckpoint(true)
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
   }
 }

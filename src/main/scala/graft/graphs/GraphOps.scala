@@ -691,4 +691,49 @@ object GraphOps {
     val r2 = step(step(r0))
     r2.select($"id", $"r".as("rank"))
   }
+
+  /** HITS (hubs & authorities, Kleinberg) — two statically-unrolled full
+    * iterations (auth ← Σ in-hub, hub ← Σ out-auth, each L2-normalized)
+    * so the oracle stays plain SQL, like [[pagerank2]]/[[ppr2]]. Every
+    * normalized vector is rounded onto the shared 9-significant-digit
+    * grid on BOTH engines, so each stage starts from identical doubles
+    * and float noise cannot accumulate across the four chained matvecs.
+    * Scale posture: the edge relation is cached once and reused by all
+    * four matvecs (each a src- or dst-keyed shuffle agg); the L2 norm is
+    * a one-row aggregate broadcast back — no full-relation exchange
+    * beyond the matvec shuffles themselves.
+    */
+  def hits(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.cache()
+    val v = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .distinct().cache()
+
+    def normalize(df: DataFrame): DataFrame = {
+      val nrm = df.agg(sqrt(sum($"x" * $"x")).as("nrm"))
+      df.crossJoin(broadcast(nrm))
+        .select($"id", graft.Canon.sig6($"x" / $"nrm").as("x"))
+    }
+    def authStep(hub: DataFrame): DataFrame = {
+      val a = e.join(hub, e("src") === hub("id"))
+        .groupBy($"dst").agg(sum($"x").as("s"))
+      v.join(a, v("id") === a("dst"), "left")
+        .select(v("id"), coalesce($"s", lit(0.0)).as("x"))
+    }
+    def hubStep(auth: DataFrame): DataFrame = {
+      val h = e.join(auth, e("dst") === auth("id"))
+        .groupBy($"src").agg(sum($"x").as("s"))
+      v.join(h, v("id") === h("src"), "left")
+        .select(v("id"), coalesce($"s", lit(0.0)).as("x"))
+    }
+
+    val h0 = v.select($"id", lit(1.0).as("x"))
+    val a1 = normalize(authStep(h0))
+    val h1 = normalize(hubStep(a1))
+    val a2 = normalize(authStep(h1))
+    val h2 = normalize(hubStep(a2))
+    a2.select($"id", $"x".as("auth"))
+      .join(h2.select($"id".as("hid"), $"x".as("hub")), $"id" === $"hid")
+      .select($"id", $"auth", $"hub")
+  }
 }

@@ -310,6 +310,14 @@ object GraphQueries {
           "GraphOps.MisRounds")
       run.members
     }),
+    // HITS hubs & authorities, two unrolled full iterations — the
+    // link-analysis companion to g03's PageRank: mutual reinforcement
+    // (good hubs point at good authorities) instead of damped mass flow.
+    // Every normalized vector lands on the shared 9-sig grid on both
+    // engines (see GraphOps.hits), so the four chained matvecs stay
+    // value-locked.
+    "g28_hits" -> ((s, dir) =>
+      GraphOps.hits(s, GraphOps.edges(s, dir))),
     // Deterministic hash-seeded random walks (node2vec-style embedding
     // corpus): per-(start, step) argmin-md5 next-hop, 3 steps — the
     // "sentences" a graph-embedding model trains on, reproducible
@@ -830,6 +838,36 @@ object GraphQueries {
          |v0 AS MATERIALIZED (SELECT a AS v FROM c0 UNION SELECT b FROM c0),
          |$ctes
          |$sels""".stripMargin
+    },
+    // HITS: the same four matvec+normalize stages as GraphOps.hits, each
+    // normalized vector rounded on the shared grid so every stage starts
+    // from identical doubles on both engines. A stage is (sum over the
+    // joined edge direction) → (gap-fill zeros over v) → (divide by the
+    // L2 norm, round). Every stage CTE is MATERIALIZED and the norm is
+    // hoisted into its own one-row CTE: DuckDB inlines plain CTEs, and
+    // sig6Sql's CASE repeats its argument 3× — un-materialized, each
+    // stage would re-expand the previous one three times (3⁴ copies of
+    // the base join by stage 4 — measured as an out-of-disk spill at
+    // sf0.1).
+    "g28_hits" -> {
+      def stage(k: String, prev: String, joinK: String, grpK: String) =
+        s"""${k}r AS MATERIALIZED (SELECT e.$grpK AS id, sum(p.x) AS x
+           |  FROM e JOIN $prev p ON e.$joinK = p.id GROUP BY e.$grpK),
+           |${k}f AS MATERIALIZED (SELECT v.id, coalesce(r.x, 0.0) AS x
+           |  FROM v LEFT JOIN ${k}r r ON r.id = v.id),
+           |${k}m AS MATERIALIZED (SELECT sqrt(sum(x*x)) AS nrm FROM ${k}f),
+           |${k}n AS MATERIALIZED (SELECT id,
+           |  ${graft.Canon.sig6Sql("x / nrm")} AS x
+           |  FROM ${k}f, ${k}m)""".stripMargin
+      s"""WITH e AS MATERIALIZED ($edgesSql),
+         |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0n AS (SELECT id, 1.0 AS x FROM v),
+         |${stage("a1", "h0n", "src", "dst")},
+         |${stage("h1", "a1n", "dst", "src")},
+         |${stage("a2", "h1n", "src", "dst")},
+         |${stage("h2", "a2n", "dst", "src")}
+         |SELECT a2n.id AS id, a2n.x AS auth, h2n.x AS hub
+         |FROM a2n JOIN h2n ON h2n.id = a2n.id""".stripMargin
     },
     "g25_random_walks" -> {
       // One walk step as a CTE: join the frontier to the edges, rank

@@ -349,5 +349,70 @@ object LlmOraclesB {
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM dedup WHERE rn = 1 GROUP BY lang""".stripMargin,
+    // Cross-doc span scrub: positioned 8-gram digests, doc-frequency >= 2
+    // over distinct (doc, digest) marks duplicated grams, their covered
+    // positions union per doc, survivors reassemble position-ordered.
+    // Mirrors Dedup.spanScrub value-for-value (same md5 digests, same
+    // 1-based positions).
+    "l52_span_scrub" -> {
+      val g8 = (0 until 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |pos AS (SELECT doc_id, i, ${TextOps.strHash60Sql(s"($g8)")} AS h
+         |        FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pos) d
+         |        GROUP BY h HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT q.doc_id, q.i + j AS p
+         |        FROM pos q JOIN dup USING (h), unnest(range(0, 8)) u(j)),
+         |covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+         |         FROM cov GROUP BY doc_id),
+         |tokpos AS (SELECT doc_id, p, ws[p] AS tok
+         |           FROM toks, unnest(range(1, len(ws) + 1)) t(p)),
+         |kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS sc
+         |         FROM tokpos t
+         |         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.p = t.p
+         |         WHERE cov.p IS NULL GROUP BY t.doc_id)
+         |SELECT toks.doc_id AS doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       coalesce(covn.nc, 0) AS n_removed,
+         |       coalesce(kept.sc, '') AS scrubbed
+         |FROM toks LEFT JOIN covn ON covn.doc_id = toks.doc_id
+         |          LEFT JOIN kept ON kept.doc_id = toks.doc_id""".stripMargin
+    },
+    // Overlap-fraction decontamination: distinct 4-gram digests per corpus
+    // doc, share matched against the benchmark slice's digest set, flag at
+    // the grid-rounded 0.1 threshold (same smoothing-free ratio as the
+    // Spark side).
+    "l53_decontaminate_overlap" -> {
+      val g4 = (0 until 4).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ${TextOps.strHash60Sql(s"($g4)")} AS h
+         |       FROM toks, unnest(range(1, len(ws) - 2)) t(i)),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+         |corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |        FROM corp GROUP BY doc_id),
+         |shr AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM corp c JOIN bench b USING (h) GROUP BY c.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       ${sig6Sql("CAST(n_shared AS DOUBLE) / n_shingles")} AS contam_frac,
+         |       ${sig6Sql("CAST(n_shared AS DOUBLE) / n_shingles")} >= 0.1 AS flagged
+         |FROM shr JOIN tot USING (doc_id)""".stripMargin
+    },
+    // DSIR hashed-unigram importance weights: the same 4096-bucket fold of
+    // the md5 token digest, Laplace-smoothed target(en)/raw bucket models,
+    // per-bucket log10 ratios on the grid, per-doc mean re-rounded.
+    "l54_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, ${TextOps.strHash60Sql("tok")} % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)),
+         |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+         |tots AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS nr,
+         |                (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS nt),
+         |lr AS (SELECT raw.b,
+         |  ${sig6Sql("log10((coalesce(ct, 0) + 1.0) / (nt + 4096)) - log10((cr + 1.0) / (nr + 4096))")} AS lr
+         |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tots)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       ${sig6Sql("avg(lr)")} AS dsir_w
+         |FROM toks JOIN lr USING (b) GROUP BY doc_id""".stripMargin,
   )
 }

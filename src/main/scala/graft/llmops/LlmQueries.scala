@@ -30,6 +30,16 @@ object LlmQueries {
     // bench sidecar records l51_recall_vs_l07 every round.
     "l51_embed_dup_lsh_mid" -> ((s, dir) =>
       Similarity.embedDupPairsLsh(s, dir, bandBits = 6)),
+    // The APPLY twin of l39: tokens covered by cross-document duplicated
+    // 8-gram spans are removed and the scrubbed text reassembled (Lee et
+    // al. span-level dedup at fixed-gram granularity).
+    "l52_span_scrub" -> ((s, dir) => Dedup.spanScrub(s, dir)),
+    // Contamination FRACTION per doc against the benchmark slice (l26/l31
+    // flag absolute counts; this is the GPT-3-style share-of-doc report).
+    "l53_decontaminate_overlap" -> ((s, dir) =>
+      Dedup.decontaminateOverlap(s, dir)),
+    // DSIR hashed-unigram importance weights (target = English slice).
+    "l54_dsir_weights" -> ((s, dir) => TextStats.dsirWeights(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

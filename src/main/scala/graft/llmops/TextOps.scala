@@ -515,4 +515,78 @@ object Dedup {
       .distinct()
       .filter($"hamming" <= maxHamming)
   }
+
+  /** L52: cross-document duplicated-span SCRUB — the APPLY twin of l39's
+    * measurement (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"-style span removal, approximated at fixed `n`-gram
+    * granularity): every token covered by a word-`n`-gram that also occurs
+    * in at least one OTHER document is removed, and the surviving tokens
+    * are reassembled into the scrubbed text.
+    *
+    * Scale shape: the only corpus-keyed exchanges carry (doc_id, position,
+    * 60-bit digest) triples — never text. The duplicated-digest set joins
+    * back as a semi-join (AQE broadcasts it when the boilerplate tail is
+    * small); covered positions collapse to one small per-doc set; the text
+    * itself is touched exactly once, doc-locally, by an indexed HOF filter
+    * at the end. Reassembly is order-exact because positions, not strings,
+    * drive the filter.
+    */
+  def spanScrub(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("ws"))
+    // Positioned shingle digests (1-based start positions).
+    val pos = toks
+      .filter(size($"ws") >= n)
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(1), size($"ws") - (n - 1))).as("i"))
+      .select($"doc_id", $"i",
+        TextOps.strHash60(concat_ws(" ", slice($"ws", $"i", lit(n)))).as("h"))
+    val dupH = pos.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h")
+    val covered = pos.join(dupH, Seq("h"), "left_semi")
+      .select($"doc_id", explode(sequence($"i", $"i" + (n - 1))).as("p"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"p").as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        coalesce(size($"cov"), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter($"ws", (_, idx) =>
+          !coalesce(array_contains($"cov", idx + 1), lit(false))))
+          .as("scrubbed"))
+  }
+
+  /** L53: overlap-FRACTION decontamination — the GPT-3-appendix-C-style
+    * contamination report l26/l31 (absolute shared-count flags) don't
+    * express: per corpus document, the share of its distinct word-`n`-gram
+    * shingles that appear anywhere in the benchmark set, flagged at
+    * `tau`. A 10k-token page quoting one benchmark item and a 40-token
+    * near-copy of it are different problems; the fraction separates them.
+    *
+    * Scale shape: identical to [[decontaminateAgainst]] — the benchmark
+    * shingle set broadcasts (or its l31 bloom stands in front at 100 TB),
+    * the corpus digests semi-join map-side, and only matched rows reach
+    * the per-doc aggregation. The flag compares a grid-rounded fraction
+    * to an exact-decimal threshold, so engines can't disagree.
+    */
+  def decontaminateOverlap(s: SparkSession, dir: String, n: Int = 4,
+                           tau: Double = 0.1): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sh = TextOps.shingleHashesOf(docs.filter($"doc_id" % 10 =!= 0), n)
+      .cache() // feeds the per-doc totals and the matched-shingle counts
+    val bench = TextOps.shingleHashesOf(docs.filter($"doc_id" % 10 === 0), n)
+      .select($"h").distinct()
+    val tot = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    sh.join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(tot, Seq("doc_id"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        graft.Canon.sig6($"n_shared".cast("double") / $"n_shingles")
+          .as("contam_frac"))
+      .withColumn("flagged", $"contam_frac" >= tau)
+  }
 }

@@ -557,4 +557,46 @@ object TextStats {
       .groupBy($"doc_id")
       .agg(graft.Canon.sig6(sum($"contrib")).as("score"))
   }
+
+  /** L54: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — per-document hashed
+    * unigram importance: weight = mean over the doc's tokens of
+    * log10(p_target(b)/p_raw(b)), where b is the token digest folded into
+    * `buckets` feature buckets and both distributions are Laplace-smoothed
+    * bucket unigram models (target = the English slice standing in for the
+    * downstream-domain sample; raw = the whole corpus). Docs resembling
+    * the target get positive weights; l49's temperature mix or l21's
+    * sampler consume them as resampling scores.
+    *
+    * Scale shape: both models are BUCKET-sized (4096 rows), built by one
+    * map-side-combined pass each and joined back as a broadcast — the
+    * corpus never shuffles text, and the per-doc score is one doc_id-keyed
+    * aggregation of (digest-join) numeric rows. Per-bucket log-ratios land
+    * on the shared 9-sig grid before the per-doc mean (itself re-rounded),
+    * so libm's ulp noise cannot leak into the compare.
+    */
+  def dsirWeights(s: SparkSession, dir: String, buckets: Int = 4096,
+                  targetLang: String = "en"): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        pmod(TextOps.strHash60($"tok"), lit(buckets.toLong)).as("b"))
+      .cache()
+    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter($"lang" === targetLang)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum($"cr").cast("double").as("nr")).crossJoin(
+      tgt.agg(sum($"ct").cast("double").as("nt")))
+    // Bucket-level smoothed log-ratio table: 4096 rows, broadcast back.
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"b", graft.Canon.sig6(
+        log10((coalesce($"ct", lit(0L)) + 1.0) / ($"nt" + buckets)) -
+          log10(($"cr" + 1.0) / ($"nr" + buckets))).as("lr"))
+    toks.join(broadcast(lr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.Canon.sig6(avg($"lr")).as("dsir_w"))
+  }
 }

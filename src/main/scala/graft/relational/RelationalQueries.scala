@@ -28,8 +28,8 @@ object RelationalQueries {
     * shared fixtures in [[RelationalInputs]].
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCore.queries ++ RelationalExt.queries
+    RelationalCore.queries ++ RelationalExt.queries ++ RelationalExt2.queries
 
   val oracles: Map[String, String] =
-    RelationalCore.oracles ++ RelationalExt.oracles
+    RelationalCore.oracles ++ RelationalExt.oracles ++ RelationalExt2.oracles
 }

@@ -43,6 +43,28 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // no in-edges within 4 hops
   }
 
+  test("HITS 2 iterations: hubs/authorities on a 3-fan, hand-traced") {
+    import spark.implicits._
+    // 1→3, 2→3, 4→3, 3→5: vertices 1,2,4 are pure hubs, 3 the dominant
+    // authority (and a weak hub via 5). Hand-traced through two
+    // L2-normalized iterations:
+    //   a1n = (3, 5) → (3/√10, 1/√10); h1n = (1,2,4: .566947, 3: .188982)
+    //   a2n = (3: .993884, 5: .110432); h2n = (1,2,4: .576166, 3: .064018)
+    val e = Seq((1L, 3L), (2L, 3L), (4L, 3L), (3L, 5L)).toDF("src", "dst")
+    val got = GraphOps.hits(spark, e).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-5
+    assert(~=(got(3L)._1, 0.993884) && ~=(got(3L)._2, 0.064018))
+    assert(~=(got(5L)._1, 0.110432) && got(5L)._2 == 0.0)
+    Seq(1L, 2L, 4L).foreach { v =>
+      assert(got(v)._1 == 0.0 && ~=(got(v)._2, 0.576166))
+    }
+    // Both output vectors are unit-L2 (within grid rounding).
+    val authN = math.sqrt(got.values.map(p => p._1 * p._1).sum)
+    val hubN = math.sqrt(got.values.map(p => p._2 * p._2).sum)
+    assert(~=(authN, 1.0) && ~=(hubN, 1.0))
+  }
+
   test("SCC: cycle {1,2,3} collapses, appendage {4} is its own component") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")

@@ -329,4 +329,61 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 3L, 0L, 0.0)))
     assert(got(3)._3 == 2L && math.abs(got(3)._4 - 2.0 / 3.0) < 1e-8)
   }
+
+  test("span scrub: clones fully removed, partial overlap keeps the tail") {
+    val a = "one two three four five six seven eight nine ten"
+    val c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // d shares a's first 9 tokens: its dup shingles at i=1,2 cover
+    // positions 1..9, leaving only the 10th token.
+    val d = "one two three four five six seven eight nine omega"
+    val dir = docsFixture(Seq(1L -> a, 2L -> a, 3L -> c, 4L -> d))
+    val got = Dedup.spanScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((10L, 10L, ""))) // clone: every position covered
+    assert(got(2L) == ((10L, 10L, "")))
+    assert(got(3L) == ((10L, 0L, c))) // untouched doc reassembles verbatim
+    assert(got(4L) == ((10L, 9L, "omega")))
+  }
+
+  test("decontaminate overlap: exact copy flags, 1-of-11 share stays under") {
+    import spark.implicits._
+    // doc 10 (id % 10 == 0) is the benchmark; doc 1 is its exact copy
+    // (frac 1.0), doc 2 shares 1 of its 5 4-grams (0.2 ≥ τ), doc 4
+    // shares 1 of 11 (0.0909 < τ), doc 3 is disjoint (absent).
+    val bench = "one two three four five six"
+    val dir = docsFixture(Seq(
+      10L -> bench, 1L -> bench,
+      2L -> "zero one two three four nine eight seven",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "u1 u2 u3 one two three four v1 v2 v3 v4 v5 v6 v7"))
+    val got = Dedup.decontaminateOverlap(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 1.0, true)))
+    assert(got(2L) == ((5L, 1L, 0.2, true)))
+    assert(got(4L)._1 == 11L && got(4L)._2 == 1L && !got(4L)._4)
+    assert(!got.contains(3L) && !got.contains(10L))
+  }
+
+  test("dsir weights: target-language docs score above off-target docs") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft_dsir_fx")
+    // en uses one vocabulary, zh a disjoint one: every en bucket has a
+    // positive log-ratio (target mass above raw mass), zh buckets only
+    // the smoothing floor — so en docs MUST outscore zh docs.
+    Seq((1L, "alpha beta gamma alpha", "en"),
+        (2L, "beta gamma delta", "en"),
+        (3L, "uno dos tres cuatro", "zh"),
+        (4L, "dos tres uno", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 4L && got(3L)._1 == 4L)
+    Seq(1L, 2L).foreach(en => Seq(3L, 4L).foreach(zh =>
+      assert(got(en)._2 > got(zh)._2,
+        s"en doc $en (${got(en)._2}) should outscore zh doc $zh (${got(zh)._2})")))
+  }
 }
