@@ -357,6 +357,31 @@ object GraphQueries {
         .orderBy($"cn".desc, $"a".asc, $"b".asc)
         .limit(20)
     }),
+    // Adamic-Adar link prediction — g16's common-neighbor count with the
+    // standard rare-neighbor weighting: AA(a,b) = Σ_{z∈N(a)∩N(b)} 1/ln(deg z)
+    // (a shared obscure neighbor is stronger evidence than a shared hub).
+    // Any common neighbor has symmetric degree ≥ 2, so ln(deg) ≥ ln 2 — no
+    // zero-division arm is needed. Scale posture = g16's: the pair
+    // expansion self-joins on the shared-neighbor key, so the blowup is
+    // bounded by degree, and the top-20 is a (rounded aa, a, b) total
+    // order planned as TakeOrdered. The per-pair sum is rounded on the
+    // shared grid; ln's 1-ulp libm variation collapses there (the g03/g17
+    // division-noise class).
+    "g29_adamic_adar" -> ((s, dir) => {
+      import s.implicits._
+      val sym = GraphOps.symmetrize(s, GraphOps.sparseEdges(s, dir),
+        dropSelfLoops = true)
+      val deg = sym.groupBy($"src".as("z"))
+        .agg(count(lit(1)).cast("double").as("dz"))
+      sym.as("x").join(sym.as("y"),
+          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+        .join(deg, $"x.dst" === $"z")
+        .groupBy($"x.src".as("a"), $"y.src".as("b"))
+        .agg(count(lit(1)).as("cn"),
+          graft.Canon.sig6(sum(lit(1.0) / log($"dz"))).as("aa"))
+        .orderBy($"aa".desc, $"a".asc, $"b".asc)
+        .limit(20)
+    }),
     // Hop-bounded harmonic centrality: H4(v) = Σ_{u : 0 < d(u→v) ≤ 4} 1/d
     // (semantics + scale posture in GraphOps.harmonic4's doc).
     "g20_harmonic4" -> ((s, dir) =>
@@ -687,6 +712,20 @@ object GraphQueries {
          |FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
          |GROUP BY x.src, y.src
          |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+    // Same pair join weighted by 1/ln(symmetric degree of the shared
+    // neighbor), rounded on the shared grid before the (aa, a, b) cut.
+    "g29_adamic_adar" ->
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |s2 AS (SELECT src, dst FROM sym WHERE src <> dst),
+         |deg AS (SELECT src AS z, CAST(count(*) AS DOUBLE) AS dz
+         |        FROM s2 GROUP BY src)
+         |SELECT x.src AS a, y.src AS b, count(*) AS cn,
+         |       ${graft.Canon.sig6Sql("sum(1.0 / ln(dz))")} AS aa
+         |FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
+         |JOIN deg ON z = x.dst
+         |GROUP BY x.src, y.src
+         |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin,
     // Same 4-level unroll, min() over walk revisits, integer-twelfth sum.
     "g20_harmonic4" -> {
       def lvl(k: Int) =

@@ -344,6 +344,33 @@ object MultimodalOps {
     }.toDF("doc_id", "n_in", "n_out", "mean_sample")
   }
 
+  /** Perceptual average-hash (aHash) over the decoded images: an 8×8
+    * subsample grid of the REAL decoded pixels, each bit = "sample above
+    * the grid mean" (compared as 64·sample > Σsamples — integer-exact, no
+    * mean rounding to disagree on), emitted as a 64-char bit string —
+    * then a dup-group report (hash, group size, canonical survivor). The
+    * image-modality sibling of l01's text dedup: the codec runs
+    * partition-local, only (doc_id, 64-char hash) rows ever shuffle, and
+    * the group-by is map-side partial — the shape that holds when the
+    * images are MB-scale and the corpus is 100 TB.
+    */
+  def imagePhash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val px = decodeImage(m.payload)
+      val (w, h) = (m.width, m.height)
+      val samples = Array.tabulate(64) { k =>
+        val cy = k / 8
+        val cx = k % 8
+        px((cy * h / 8) * w + (cx * w / 8))
+      }
+      var tot = 0L
+      samples.foreach(tot += _)
+      val bits = samples.map(s => if (s * 64L > tot) '1' else '0').mkString
+      (m.doc_id, bits)
+    }.toDF("doc_id", "phash")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Driver-facing queries — all three oracle-checked since round 5 (the
@@ -396,6 +423,16 @@ object MultimodalOps {
       resampleAudio(mediaTable(s, dir, onlyKind = Some("audio")))
         .select($"doc_id", $"n_in", $"n_out",
           graft.Canon.sig6($"mean_sample").as("mean_sample"))
+    }),
+    // Perceptual-hash image dedup: decode → 8×8 grid aHash → dup groups
+    // (multimodal dedup, the image twin of l01). The oracle restates the
+    // 64 grid samples in (doc_id, n_chars) arithmetic.
+    "m07_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      imagePhash(mediaTable(s, dir, onlyKind = Some("image")))
+        .groupBy($"phash")
+        .agg(count(lit(1)).as("n_images"), min($"doc_id").as("min_id"))
+        .filter($"n_images" >= 2)
     }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself. The
@@ -543,5 +580,25 @@ object MultimodalOps {
                "avg(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 16 " +
                "WHEN doc_id % 3 = 1 THEN 1 ELSE 16 END)")} AS avg_h
          |FROM documents GROUP BY 1""".stripMargin,
+    // aHash restated: sample pixel at grid cell (cx, cy) of the w×h ramp
+    // image = (id + (cy·h÷8)·w + cx·w÷8) mod 256; bit via the integer
+    // 64·sample > Σ compare; bits packed in row-major grid order.
+    "m07_image_phash" ->
+      s"""WITH img AS (
+         |  SELECT doc_id, 16 + n_chars % 16 AS w, 16 + doc_id % 16 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |s AS (
+         |  SELECT doc_id, cy * 8 + cx AS k,
+         |         (doc_id + ((cy * h) // 8) * w + ((cx * w) // 8)) % 256 AS v
+         |  FROM img, unnest(range(0, 8)) tx(cx), unnest(range(0, 8)) ty(cy)),
+         |t AS (SELECT doc_id, sum(v) AS tot FROM s GROUP BY doc_id),
+         |b AS (
+         |  SELECT s.doc_id,
+         |         string_agg(CASE WHEN s.v * 64 > t.tot THEN '1' ELSE '0' END,
+         |                    '' ORDER BY s.k) AS phash
+         |  FROM s JOIN t USING (doc_id) GROUP BY s.doc_id)
+         |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+         |       min(doc_id) AS min_id
+         |FROM b GROUP BY phash HAVING count(*) >= 2""".stripMargin,
   )
 }

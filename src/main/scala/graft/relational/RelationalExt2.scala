@@ -54,11 +54,15 @@ object RelationalExt2 {
     // the only shuffle is the supplier-keyed revenue aggregate.
     "q71_top_supplier" -> ((s, dir) => {
       import s.implicits._
+      // cache(): the view has TWO consumers (the argmax scalar and the
+      // equality probe) — uncached, Catalyst plans the lineitem scan +
+      // suppkey shuffle twice. Supplier-cardinality, so the cache is tiny.
       val rev = t(s, dir, "lineitem")
         .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01")
         .groupBy($"l_suppkey")
         .agg(sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("total_revenue"))
+        .cache()
       val mx = rev.agg(max($"total_revenue").as("mx"))
       val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_name")
       rev.join(broadcast(mx), $"total_revenue" === $"mx")

@@ -516,4 +516,75 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("row_number"), plan)
   }
+
+  test("q70: brand dim broadcasts into BOTH fact branches; one partkey exchange") {
+    // Q17's shape claim: the per-part threshold aggregate runs over the
+    // brand-semi-joined fact (not the whole lineitem), both semi joins
+    // broadcast the filtered part dim, and l_partkey is the only hash
+    // exchange (the agg's partitioning serves the threshold join; the
+    // closing single-row agg is a SinglePartition exchange, not a hash).
+    val plan = ranPlan("q70_small_qty_revenue")
+    assert("LeftSemi".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("l_partkey"),
+      s"expected exactly the l_partkey agg exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q71: the revenue view materializes ONCE; max + dim broadcast") {
+    // Q15's view has two consumers (argmax scalar, equality probe) —
+    // uncached, the lineitem scan + suppkey shuffle plan twice. The
+    // cached view must serve both: no bare l_suppkey hash exchange left
+    // in the final plan, both joins broadcast.
+    val plan = ranPlan("q71_top_supplier")
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // Exactly ONE suppkey exchange — the cache build (rendered inline by
+    // the InMemoryRelation); before the cache the plan held two.
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("l_suppkey"),
+      s"expected only the cached view's build exchange:\n${hashEx.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q73: anti join against the distinct hot set; scalar floor broadcasts") {
+    val plan = ranPlan("q73_idle_balance")
+    assert(plan.contains("LeftAnti"), plan)
+    // The one-row threshold enters via a broadcast nested-loop cross join
+    // (no join key), never a shuffle.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("l52 span scrub: no exchange carries text or token arrays") {
+    // The scrub's scale claim: every corpus-keyed exchange carries
+    // (doc_id, position, digest) rows; the token arrays meet the covered-
+    // position sets through a join whose build side is the (small,
+    // dup-flagged-docs-only) cover relation — broadcast adaptively by AQE
+    // here, a doc_id co-partition at sizes past the threshold — and the
+    // scrubbed text is assembled doc-locally after it.
+    val df = SparkEntry.queries("l52_span_scrub")(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    shuffles.foreach { ex =>
+      val names = ex.output.map(_.name)
+      assert(!names.exists(Set("text", "ws", "scrubbed")),
+        s"exchange carries document text: $names")
+    }
+  }
+
+  test("l54 dsir: bucket model joins back as broadcast; text never shuffles") {
+    val df = SparkEntry.queries("l54_dsir_weights")(spark, sf)
+    df.collect()
+    val nodes = expand(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      nodes.head.toString)
+    nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      .foreach { ex =>
+        val names = ex.output.map(_.name)
+        assert(!names.exists(Set("text", "tok")),
+          s"exchange carries token text: $names")
+      }
+  }
 }
