@@ -30,11 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g measured FASTER than 32g for the full bench (83 s vs 217 s at
-  // sf0.1): the small heap keeps full-GC pauses short and block-manager
-  // residue small across 59 back-to-back queries. Override via
-  // SPARK_DRIVER_MEM only for memory-bound one-offs.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default. History: 8g measured faster than 32g for the early
+  // 59-query bench (83 s vs 217 s — full-GC pauses over block residue),
+  // and was the default through round 7. But the 64M-edge GraphX anchor
+  // (b06, round 7+) needs >16g at any partitioning (measured: OOM at 8g
+  // and 16g, clean at 20g with the runner's 8-partition cap) — and an
+  // OOM mid-run kills the SparkContext and fails EVERY remaining query,
+  // which is how a whole gate round can produce no artifacts. 20g clears
+  // b06 with margin on the 128 GiB hosts (the fresh full-bench total at
+  // 20g is recorded in BENCH_LOCAL.json). Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   // 60+ benched queries generate thousands of Janino/JIT-compiled classes;
   // the JDK default 240 MB code cache fills mid-run and later queries lose
   // JIT compilation entirely.

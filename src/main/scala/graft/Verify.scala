@@ -29,11 +29,12 @@ import scala.concurrent.duration.Duration
   */
 object Verify {
 
-  /** The multi-GB synthetic-anchor prefix (b01 rides along: it is tiny,
-    * and keeping the rule name-shaped means a new b0x anchor cannot be
-    * silently pooled).
+  /** The multi-GB synthetic-anchor family (b01 rides along: it is tiny,
+    * and keeping the rule name-shaped means a new b-series anchor cannot
+    * be silently pooled — any digit count, so a future b10 doesn't slip
+    * back onto the pool).
     */
-  private def isHeavy(name: String): Boolean = name.startsWith("b0")
+  private def isHeavy(name: String): Boolean = name.matches("b\\d+_.*")
 
   def main(args: Array[String]): Unit = {
     // Driver contract: exactly (sfDir, outDir). Any further args are a
@@ -87,9 +88,14 @@ object Verify {
     heavy.sortBy(_._1).foreach { case (name, fn) =>
       runOne(name, fn)
       // Anchor runners free their own loop state eagerly; sweep whatever
-      // DataFrame-level cache residue (e.g. a generator .cache()) is left
-      // so the next anchor starts from a clean block manager.
+      // residue is left so the next anchor starts from a clean block
+      // manager. Two registries need clearing: the DataFrame cache (a
+      // generator .cache()) AND the RDD-level persists that
+      // localCheckpoint() pins (invisible to cacheManager — the result
+      // dumps are already on disk, so nothing can still need them).
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -25,7 +25,22 @@ object GraphXRunner {
           alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
     import spark.implicits._
 
-    val edgeRdd = edges.select("src", "dst", "weight").rdd
+    // Cap the edge-partition count: GraphX replicates vertex attributes
+    // per EDGE PARTITION (the ShippableVertexPartition mirror views), so
+    // on a dense random graph the replicated-view footprint is roughly
+    // parts × (distinct vertices per partition) × attr overhead — at 64M
+    // edges over 4M vertices, 32 partitions hold ~1.6M mirrors each
+    // (~4 GB per graph generation, two generations live during an update)
+    // where 8 partitions hold ~3.5M each (~2.2 GB total). Measured: the
+    // b06 anchor OOMs a 16g driver at 32 partitions and completes in 8g
+    // at low partition counts. This runner is the cross-check tier, not
+    // the throughput path (SqlRunner is) — trading scan parallelism for
+    // a bounded mirror footprint is the right default.
+    val MaxEdgeParts = 8
+    val rawEdges = edges.select("src", "dst", "weight").rdd
+    val cappedEdges = if (rawEdges.getNumPartitions > MaxEdgeParts)
+      rawEdges.coalesce(MaxEdgeParts) else rawEdges
+    val edgeRdd = cappedEdges
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val vertRdd = vertices.select("id").rdd.map(r => (r.getLong(0), ()))
     val base = Graph(vertRdd, edgeRdd, (),
@@ -66,11 +81,14 @@ object GraphXRunner {
     // state NOW instead of leaking it until session teardown: at 64M edges
     // the cached edge partitions + replicated vertex views are most of a
     // default driver heap, and the gate runs this runner back-to-back with
-    // the other synthetic anchors.
+    // the other synthetic anchors. `base` holds its OWN cached VertexRDD
+    // (the () attrs before the outerJoinVertices) — g's unpersist does not
+    // reach it, only the EdgeRDD is shared.
     val out = g.vertices.map { case (id, a) => (id, a.value) }
       .toDF("id", "value").localCheckpoint(true)
     g.unpersistVertices(blocking = false)
     g.edges.unpersist(blocking = false)
+    base.unpersistVertices(blocking = false)
     out
   }
 }
