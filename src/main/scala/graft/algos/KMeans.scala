@@ -41,9 +41,20 @@ object KMeans {
   def fitWithCentroids(s: SparkSession, dir: String, k: Int = 8,
                        iters: Int = 5): (DataFrame, DataFrame) = {
     import s.implicits._
-    val points = graft.Tables.load(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .cache()
+    fitOn(s, graft.Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
+      k, iters)
+  }
+
+  /** [[fitWithCentroids]] over an arbitrary `(vec_id, v: array<double>)`
+    * frame — the per-subspace codebook training the product quantizer
+    * (l55) runs four times on sliced subvectors through the SAME Lloyd so
+    * the codebooks cannot drift from l14's semantics.
+    */
+  private[graft] def fitOn(s: SparkSession, points0: DataFrame, k: Int,
+                           iters: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val points = points0.cache()
     // Size the per-round argmin shuffle to the data (a 64-dim double vector
     // row is ~0.5 KB on the wire); the count also materializes the cache.
     val nPoints = points.count()
@@ -119,34 +130,49 @@ object KMeans {
     * trained clustering (l34 semantic dedup).
     */
   private[graft] def lloydAssignCtes(k: Int, iters: Int, dim: Int): (String, String) = {
-    val sig = graft.Canon.sig6Sql _
-    val d2 = "list_inner_product(c.c, c.c) - 2*list_inner_product(p.v, c.c)"
     val base =
       s"""pts AS MATERIALIZED (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c
-         |       FROM pts ORDER BY vec_id LIMIT $k)""".stripMargin
+         |  FROM embeddings)""".stripMargin
+    val (chain, fin, _) = lloydCtesOver("pts", "", k, iters, dim)
+    (s"""$base,
+        |$chain""".stripMargin, fin)
+  }
+
+  /** The Lloyd CTE chain over an EXISTING `(vec_id, v)` relation `ptsRel`,
+    * all CTE names prefixed with `pfx` so several chains (the l55 product
+    * quantizer trains one per subspace) coexist in one statement.
+    * @return (CTE text, final-assignment name, final-centroid name)
+    */
+  private[graft] def lloydCtesOver(ptsRel: String, pfx: String, k: Int,
+                                   iters: Int, dim: Int)
+      : (String, String, String) = {
+    val sig = graft.Canon.sig6Sql _
+    val d2 = "list_inner_product(c.c, c.c) - 2*list_inner_product(p.v, c.c)"
+    val seed =
+      s"""${pfx}c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c
+         |       FROM $ptsRel ORDER BY vec_id LIMIT $k)""".stripMargin
     def assignCte(r: Int, prev: String): String =
-      s"""a$r AS MATERIALIZED (
+      s"""${pfx}a$r AS MATERIALIZED (
          |  SELECT vec_id, cluster, v FROM (
          |    SELECT p.vec_id, c.cluster, p.v,
          |           row_number() OVER (PARTITION BY p.vec_id
          |             ORDER BY ${sig(d2)}, c.cluster) AS rn
-         |    FROM pts p, $prev c) t
+         |    FROM $ptsRel p, $prev c) t
          |  WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""${assignCte(r, s"c${r - 1}")},
-         |c$r AS MATERIALIZED (
+      s"""${assignCte(r, s"${pfx}c${r - 1}")},
+         |${pfx}c$r AS MATERIALIZED (
          |  SELECT cluster, list(m ORDER BY i) AS c FROM (
          |    SELECT cluster, i, ${sig("sum(v[i]) / count(*)")} AS m
-         |    FROM a$r, unnest(generate_series(1, $dim)) t(i)
+         |    FROM ${pfx}a$r, unnest(generate_series(1, $dim)) t(i)
          |    GROUP BY cluster, i) g
          |  GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    (s"""$base,
+    (s"""$seed,
         |$rounds,
-        |${assignCte(iters + 1, s"c$iters")}""".stripMargin, s"a${iters + 1}")
+        |${assignCte(iters + 1, s"${pfx}c$iters")}""".stripMargin,
+      s"${pfx}a${iters + 1}", s"${pfx}c$iters")
   }
 
   val oracles: Map[String, String] = Map(

@@ -414,5 +414,54 @@ object LlmOraclesB {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |       ${sig6Sql("avg(lr)")} AS dsir_w
          |FROM toks JOIN lr USING (b) GROUP BY doc_id""".stripMargin,
+    // Product quantization reproduced exactly: one statically-unrolled
+    // Lloyd chain PER SUBSPACE (shared lloydCtesOver generator — prefixed
+    // CTE names so four chains coexist), then the same broadcast-shaped
+    // ADC: per-(query, subspace, codeword) squared distances on the grid,
+    // summed per (query, vector) over the vector's codes, re-rounded,
+    // (adc, vec_id)-ranked.
+    "l55_pq_topk" -> {
+      val (ss, sd, kC, it) = (4, 16, 4, 3)
+      val ip = "list_inner_product"
+      val sub = (0 until ss).map { sp =>
+        val rel = s"pts$sp"
+        val (chain, fin, cen) =
+          graft.algos.KMeans.lloydCtesOver(rel, s"s$sp", kC, it, sd)
+        val slice =
+          s"""$rel AS MATERIALIZED (
+             |  SELECT vec_id, list_slice(v, ${sp * sd + 1}, ${(sp + 1) * sd}) AS v
+             |  FROM pts)""".stripMargin
+        (sp, slice, chain, fin, cen)
+      }
+      val dts = sub.map { case (sp, _, _, _, cen) =>
+        val qs = s"list_slice(q.v, ${sp * sd + 1}, ${(sp + 1) * sd})"
+        s"""SELECT q.vec_id AS query_id, $sp AS sp, c.cluster,
+           |  ${sig6Sql(s"$ip(c.c, c.c) - 2*$ip($qs, c.c) + $ip($qs, $qs)")} AS d2
+           |FROM q, $cen c""".stripMargin
+      }.mkString("\nUNION ALL ")
+      val codes = sub.map { case (sp, _, _, fin, _) =>
+        s"SELECT vec_id, $sp AS sp, cluster FROM $fin"
+      }.mkString("\nUNION ALL ")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |${sub.map(t => t._2 + ",\n" + t._3).mkString(",\n")},
+         |q AS (SELECT vec_id, v FROM pts WHERE vec_id < 5),
+         |dt AS MATERIALIZED (
+         |$dts),
+         |codes AS (
+         |$codes),
+         |adc AS (
+         |  SELECT dt.query_id, codes.vec_id, ${sig6Sql("sum(dt.d2)")} AS adc
+         |  FROM codes JOIN dt USING (sp, cluster)
+         |  WHERE codes.vec_id <> dt.query_id
+         |  GROUP BY dt.query_id, codes.vec_id)
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT query_id, vec_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc, vec_id) AS rn
+         |  FROM adc) t
+         |WHERE rn <= 10""".stripMargin
+    },
   )
 }

@@ -40,6 +40,9 @@ object LlmQueries {
       Dedup.decontaminateOverlap(s, dir)),
     // DSIR hashed-unigram importance weights (target = English slice).
     "l54_dsir_weights" -> ((s, dir) => TextStats.dsirWeights(s, dir)),
+    // Product-quantization ADC top-k — the third ANN tier beside l08 (LSH)
+    // and l15 (IVF); per-subspace codebooks via the shared Lloyd.
+    "l55_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

@@ -34,6 +34,61 @@ object Similarity {
       .withColumn("norm", sqrt(GraftFunctions.arrayDot(s, $"v", $"v")))
   }
 
+  /** L55: product-quantization approximate top-k (the FAISS IVF-PQ code
+    * path's second half, completing the ANN triad beside l08's LSH and
+    * l15's IVF). The 64-dim space splits into 4 16-dim subspaces; each
+    * trains its own 4-codeword codebook through the SHARED deterministic
+    * Lloyd ([[graft.algos.KMeans.fitOn]] — same seeds-by-lowest-id, same
+    * grid-rounded means as l14), every vector encodes to 4 small codes,
+    * and query↔vector distance is the asymmetric ADC sum of per-subspace
+    * query-to-codeword squared distances read from a lookup table.
+    *
+    * Scale posture: codebooks and the nQueries×subspaces×codes distance
+    * table are tiny and broadcast; at rest a 100 TB store keeps only the
+    * 4-byte codes (16× smaller than float32 — l28's int8 is 4×), and the
+    * scan is a per-row table lookup plus a bounded per-(query, vector)
+    * numeric aggregation — no float vectors move after encode time.
+    * Determinism: codewords and table entries live on the shared 9-sig
+    * grid, the ADC sum re-rounds, and the top-k cut is the (adc, vec_id)
+    * total order — so DuckDB's statically unrolled per-subspace Lloyd
+    * lands the identical codes, tables, and cut.
+    */
+  def pqTopK(s: SparkSession, dir: String, subspaces: Int = 4,
+             subDim: Int = 16, kCodes: Int = 4, iters: Int = 3,
+             nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val pts = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .cache()
+    val parts = (0 until subspaces).map { sp =>
+      val sub = pts.select($"vec_id",
+        slice($"v", sp * subDim + 1, subDim).as("v"))
+      val (cents, codes) = graft.algos.KMeans.fitOn(s, sub, kCodes, iters)
+      (sp, cents, codes)
+    }
+    val q = pts.filter($"vec_id" < nQueries)
+    val dt = parts.map { case (sp, cents, _) =>
+      val qs = slice($"v", sp * subDim + 1, subDim)
+      q.select($"vec_id".as("query_id"), qs.as("qs"))
+        .crossJoin(cents)
+        .select($"query_id", lit(sp).as("sp"), $"cluster",
+          sig6(GraftFunctions.arrayDot(s, $"c", $"c") -
+            lit(2.0) * GraftFunctions.arrayDot(s, $"qs", $"c") +
+            GraftFunctions.arrayDot(s, $"qs", $"qs")).as("d2"))
+    }.reduce(_ union _)
+    val codes = parts.map { case (sp, _, cds) =>
+      cds.select($"vec_id", lit(sp).as("sp"), $"cluster")
+    }.reduce(_ union _)
+    val adc = codes.join(broadcast(dt), Seq("sp", "cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sig6(sum($"d2")).as("adc"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc".asc, $"vec_id".asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"query_id", $"vec_id", $"adc")
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage-side
     * companion to similarity search (a 100 TB embedding store keeps int8
     * codes + per-vector (min, scale), 4× smaller than float32). Per vector:
