@@ -33,13 +33,35 @@ object GraphXRunner {
     // (~4 GB per graph generation, two generations live during an update)
     // where 8 partitions hold ~3.5M each (~2.2 GB total). Measured: the
     // b06 anchor OOMs a 16g driver at 32 partitions and completes in 8g
-    // at low partition counts. This runner is the cross-check tier, not
-    // the throughput path (SqlRunner is) — trading scan parallelism for
-    // a bounded mirror footprint is the right default.
-    val MaxEdgeParts = 8
+    // at low partition counts (264 s at the OOM-adjacent setting vs 109 s
+    // capped). This runner is the cross-check tier, not the throughput
+    // path (SqlRunner is) — trading scan parallelism for a bounded mirror
+    // footprint is the right default.
+    //
+    // The cap is MEMORY-DERIVED, not hardcoded (r8 item): on a dense graph
+    // mirrors saturate toward |V| per edge partition, so the replicated-
+    // view budget is ≈ parts × |V| × MirrorBytes across the two live
+    // generations — inverting: parts ≈ heap / (|V| × MirrorBytes), clamped
+    // to [4, defaultParallelism]. MirrorBytes = 640 calibrates to the
+    // measurements above (20 GiB heap / 4M vertices → 8 parts, the proven
+    // sandbox setting). r9 measured b06 at two derived settings, both
+    // OOM-free: 20g → 8 parts, 75.8 s wall, 1264 MB shuffle; 32g → 13
+    // parts, 100.1 s, 1977 MB — more partitions ship more mirrors, so the
+    // derivation is a SAFETY bound that widens with memory (a real-cluster
+    // executor fleet needs the parallelism), not a speed optimum for this
+    // single-JVM cross-check tier.
+    val MirrorBytes = 640L
+    val maxEdgeParts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism,
+      (Runtime.getRuntime.maxMemory() /
+        (math.max(1L, meta.numVertices) * MirrorBytes)).toInt))
     val rawEdges = edges.select("src", "dst", "weight").rdd
-    val cappedEdges = if (rawEdges.getNumPartitions > MaxEdgeParts)
-      rawEdges.coalesce(MaxEdgeParts) else rawEdges
+    if (rawEdges.getNumPartitions > maxEdgeParts)
+      System.err.println(s"[graphx] edge partitions capped at $maxEdgeParts " +
+        s"(heap ${Runtime.getRuntime.maxMemory() >> 30}g, " +
+        s"|V|=${meta.numVertices})")
+    val cappedEdges = if (rawEdges.getNumPartitions > maxEdgeParts)
+      rawEdges.coalesce(maxEdgeParts) else rawEdges
     val edgeRdd = cappedEdges
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val vertRdd = vertices.select("id").rdd.map(r => (r.getLong(0), ()))

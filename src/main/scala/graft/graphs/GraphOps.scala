@@ -732,8 +732,15 @@ object GraphOps {
     val h1 = normalize(hubStep(a1))
     val a2 = normalize(authStep(h1))
     val h2 = normalize(hubStep(a2))
-    a2.select($"id", $"x".as("auth"))
+    val out = a2.select($"id", $"x".as("auth"))
       .join(h2.select($"id".as("hid"), $"x".as("hub")), $"id" === $"hid")
       .select($"id", $"auth", $"hub")
+    // Release the cache-manager entries before returning (KMeans.fitOn's
+    // pattern): the built plan still reuses one materialization of e/v
+    // across the four matvecs at execution time, without the entries
+    // outliving the query in the gate's shared block manager.
+    e.unpersist()
+    v.unpersist()
+    out
   }
 }

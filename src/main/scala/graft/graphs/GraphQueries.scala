@@ -544,7 +544,57 @@ object GraphQueries {
         .map { case (c, i) => ((i + 1).toLong, c) }
         .toDF("round", "n_changed")
     }),
+    // BENCH anchor 8: TRIANGLE COUNT at the ≥8M-edge tier — the
+    // reference's biggest published win (TC G1: GraphX 16.3 s vs GMR
+    // 1.0 s at 1.03M edges, 实验数据.xlsx sheet1; algorithms.h:117-195)
+    // and, until this anchor, the only headline algorithm with no
+    // large-scale bench row (g02/g07/g18 run at sf scale). Same
+    // canonical-edge wedge-close plan as the production triangleCount
+    // (GraphOps.scala): orient each undirected edge low→high, enumerate
+    // wedges by the (e1.b = e2.a) join, close them against the edge set —
+    // Catalyst shuffles join keys only, never adjacency lists. On the b02
+    // generator's 8M directed edges the canonical relation is ~7.97M
+    // edges and the wedge relation ~32M rows. Self-pinned: the global
+    // triangle total is REQUIRE-checked against the recorded golden
+    // (deterministic generator), so a wrong-count regression at scale
+    // fails the gate run loudly. Phase split (canonical-edge build vs
+    // wedge close) is recorded for the bench sidecar.
+    "b08_triangles_8m" -> ((s, dir) => {
+      import s.implicits._
+      val t0 = System.nanoTime()
+      val ue = uniformEdges8M(s)
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b")
+        .distinct().cache()
+      ue.count()
+      val t1 = System.nanoTime()
+      val tri = ue.as("e1")
+        .join(ue.as("e2"), $"e2.a" === $"e1.b")
+        .join(ue.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .count()
+      val t2 = System.nanoTime()
+      ue.unpersist(blocking = false)
+      lastTriStats = ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      require(tri == B08TriGolden,
+        s"b08 triangle total drifted from the pinned golden: $tri")
+      Seq(tri).toDF("triangles")
+    }),
   )
+
+  /** Pinned global triangle total of the b02/b08 8M-edge generator graph
+    * (deterministic xxhash64 edges; recorded once, REQUIRE-checked every
+    * run — the TC analogue of b03's depth-histogram pin). 635 closed
+    * wedges over 7,999,918 canonical undirected edges — near the
+    * E[tri] ≈ d³/6 ≈ 683 of a uniform random digraph at out-degree 8.
+    */
+  private[graft] val B08TriGolden = 635L
+
+  /** Phase wall-clock of the last [[queries b08_triangles_8m]] run:
+    * (canonical-edge build seconds, wedge-close seconds) — Bench records
+    * them beside the throughput so the anchor carries the same per-phase
+    * observability as the reference's own TC logs.
+    */
+  @volatile private[graft] var lastTriStats: (Double, Double) = (0.0, 0.0)
 
   private val bfsOracle =
     s"""WITH RECURSIVE e AS ($edgesSql),

@@ -33,10 +33,14 @@ object LlmOraclesB {
     // are integer and sig6-rounded arithmetic. As with l04/l15, the
     // sub-unit recall is the method's, not the engine's — both engines
     // miss the identical cross-bucket pairs.
-    "l08_embed_dup_lsh" -> srpLshOracle(bandBits = 12),
-    // Same plane literals and signature CTEs, re-banded 8×6 — the mid-sim
-    // operating point reproduces its EXTRA bucket collisions (and their
-    // verified survivors) identically in DuckDB.
+    // Banding inlined per the ADAPTIVE config: l08 runs the registry
+    // default (threshold 0.45), so the oracle bands with bandBitsFor(0.45)
+    // — a banding-rule change moves both sides together.
+    "l08_embed_dup_lsh" -> srpLshOracle(bandBits = Similarity.bandBitsFor(0.45)),
+    // Same plane literals and signature CTEs at the FIXED 8×6 point — the
+    // regression pin for the operating point the adaptive default selects
+    // at threshold 0.45 (bandBitsFor(0.45) == 6, so l08 and l51 currently
+    // coincide; a banding-rule drift separates them loudly).
     "l51_embed_dup_lsh_mid" -> srpLshOracle(bandBits = 6),
     // IVF approximate top-k reproduced exactly: the coarse quantizer is
     // l14's statically unrolled Lloyd (shared CTEs — `c5` is the trained
@@ -421,7 +425,12 @@ object LlmOraclesB {
     // summed per (query, vector) over the vector's codes, re-rounded,
     // (adc, vec_id)-ranked.
     "l55_pq_topk" -> {
-      val (ss, sd, kC, it) = (4, 16, 4, 3)
+      // Constants come from the SAME vals that default pqTopK's parameters
+      // (Similarity.Pq*) — the oracle pins the registry defaults, and a
+      // default drift moves both sides together instead of silently
+      // diverging them.
+      val (ss, sd, kC, it) = (Similarity.PqSubspaces, Similarity.PqSubDim,
+        Similarity.PqCodes, Similarity.PqIters)
       val ip = "list_inner_product"
       val sub = (0 until ss).map { sp =>
         val rel = s"pts$sp"
@@ -446,7 +455,7 @@ object LlmOraclesB {
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |${sub.map(t => t._2 + ",\n" + t._3).mkString(",\n")},
-         |q AS (SELECT vec_id, v FROM pts WHERE vec_id < 5),
+         |q AS (SELECT vec_id, v FROM pts WHERE vec_id < ${Similarity.PqQueries}),
          |dt AS MATERIALIZED (
          |$dts),
          |codes AS (
@@ -461,7 +470,7 @@ object LlmOraclesB {
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY adc, vec_id) AS rn
          |  FROM adc) t
-         |WHERE rn <= 10""".stripMargin
+         |WHERE rn <= ${Similarity.PqK}""".stripMargin
     },
   )
 }

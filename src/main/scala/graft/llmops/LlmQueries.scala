@@ -21,13 +21,17 @@ object LlmQueries {
     "l05_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "l06_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "l07_embed_dup" -> ((s, dir) => Similarity.embedDupPairs(s, dir)),
+    // THRESHOLD-ADAPTIVE banding (r8-advice): the default call derives its
+    // operating point from the 0.45 threshold via bandBitsFor — 8 bands ×
+    // 6 bits, whose S-curve actually fires at the corpus's natural
+    // cos≈0.47 pair regime (sidecar l08_recall_vs_l07 was 0.0 under the
+    // old fixed 4×12; DedupSpec still pins the 4×12 profile's ≥0.9 recall
+    // at hi-sim and its use at threshold ≥0.9).
     "l08_embed_dup_lsh" -> ((s, dir) => Similarity.embedDupPairsLsh(s, dir)),
-    // The MID-SIMILARITY operating point of the same SRP sketch: 8 bands
-    // × 6 bits (vs l08's 4×12). Per-band agreement needs p^6 not p^12,
-    // so recall at the production threshold's cos≈0.5 regime is ~0.5
-    // where l08's is ~0 by design — paid for with ~8× the candidate
-    // volume (64 buckets/band). Same signatures, same exact verify; the
-    // bench sidecar records l51_recall_vs_l07 every round.
+    // The FIXED 8×6 mid-similarity point, retained as the regression pin
+    // for the operating point the adaptive default now selects at 0.45
+    // (the bench sidecar records l51_recall_vs_l07 every round; if the
+    // adaptive rule drifts, l08 and l51 diverge loudly).
     "l51_embed_dup_lsh_mid" -> ((s, dir) =>
       Similarity.embedDupPairsLsh(s, dir, bandBits = 6)),
     // The APPLY twin of l39: tokens covered by cross-document duplicated

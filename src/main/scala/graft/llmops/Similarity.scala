@@ -53,9 +53,20 @@ object Similarity {
     * total order — so DuckDB's statically unrolled per-subspace Lloyd
     * lands the identical codes, tables, and cut.
     */
-  def pqTopK(s: SparkSession, dir: String, subspaces: Int = 4,
-             subDim: Int = 16, kCodes: Int = 4, iters: Int = 3,
-             nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** Registry defaults for [[pqTopK]], shared with the l55 oracle generator
+    * (LlmOraclesB) so a default drift here cannot silently diverge the two
+    * sides — the oracle pins exactly this configuration.
+    */
+  private[graft] val PqSubspaces = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqCodes = 4
+  private[graft] val PqIters = 3
+  private[graft] val PqQueries = 5
+  private[graft] val PqK = 10
+
+  def pqTopK(s: SparkSession, dir: String, subspaces: Int = PqSubspaces,
+             subDim: Int = PqSubDim, kCodes: Int = PqCodes, iters: Int = PqIters,
+             nQueries: Int = PqQueries, k: Int = PqK): DataFrame = {
     import s.implicits._
     val pts = Tables.load(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
@@ -69,8 +80,10 @@ object Similarity {
     val q = pts.filter($"vec_id" < nQueries)
     val dt = parts.map { case (sp, cents, _) =>
       val qs = slice($"v", sp * subDim + 1, subDim)
+      // Explicit broadcast: the build side is ≤kCodes centroid rows, but
+      // without the hint the plan depends on AQE's runtime estimate.
       q.select($"vec_id".as("query_id"), qs.as("qs"))
-        .crossJoin(cents)
+        .crossJoin(broadcast(cents))
         .select($"query_id", lit(sp).as("sp"), $"cluster",
           sig6(GraftFunctions.arrayDot(s, $"c", $"c") -
             lit(2.0) * GraftFunctions.arrayDot(s, $"qs", $"c") +
@@ -84,9 +97,14 @@ object Similarity {
       .groupBy($"query_id", $"vec_id")
       .agg(sig6(sum($"d2")).as("adc"))
     val w = Window.partitionBy($"query_id").orderBy($"adc".asc, $"vec_id".asc)
-    adc.withColumn("rn", row_number().over(w))
+    val out = adc.withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"query_id", $"vec_id", $"adc")
+    // The cache's heavy consumers (the per-subspace Lloyd fits) ran eagerly
+    // above; release it before returning (fitOn's own pattern) so the gate's
+    // pooled phase does not accumulate per-query cached frames.
+    pts.unpersist()
+    out
   }
 
   /** Int8 scalar quantization of the embedding column — the storage-side
@@ -292,6 +310,25 @@ object Similarity {
     Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Threshold-adaptive banding: the divisor r of the 48-bit signature
+    * whose S-curve midpoint s* = (1/b)^(1/r) = (r/48)^(1/r) sits closest
+    * to the SRP per-bit agreement probability p(t) = 1 − acos(t)/π of the
+    * requested similarity threshold. Candidate set {4, 6, 8, 12}: 12 is
+    * the genuine-near-duplicate end (few candidates, recall ~1 only at
+    * cos ≥ 0.9), 4 the high-recall / 12×-band end for low thresholds.
+    * t = 0.45 → p ≈ 0.649 → 6 bits (8 bands — l51's measured operating
+    * point); t ≥ 0.9 → p ≥ 0.856 → 12 bits (the classic narrow profile).
+    * Wider-than-12 bands are deliberately excluded: at 2–3 bands a single
+    * unlucky bit flip erases a pair's only collision chances, dropping
+    * hi-sim recall below the ≥0.9 DedupSpec pin.
+    */
+  private[llmops] def bandBitsFor(threshold: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    Seq(4, 6, 8, 12).minBy { r =>
+      math.abs(math.pow(r.toDouble / Planes, 1.0 / r) - p)
+    }
+  }
+
   /** 48-bit SRP signature via the native [[graft.functions.SrpSignature]]
     * expression (one fused loop; the plane matrix rides as a reference
     * object). Registered lazily per session.
@@ -318,26 +355,31 @@ object Similarity {
     *
     * `bandBits` is the OPERATING POINT (the S-curve knob): the 48-bit
     * signature splits into 48/bandBits bands, and a pair is a candidate
-    * when all bandBits bits of some band agree. The default 4×12 targets
-    * genuine near-duplicates (recall ~1 at cos ≥0.9, ~0 at 0.5 — few
-    * candidates); 8×6 is the MID-SIMILARITY point (per-band agreement
-    * p^6 instead of p^12, ~8× the bucket collision volume) for callers
-    * whose duplicates live around cos 0.5-0.8, where the narrow-band
-    * profile is blind. Same signatures, same verify — only the banding
-    * (candidate-volume vs recall trade) moves.
+    * when all bandBits bits of some band agree. 4×12 targets genuine
+    * near-duplicates (recall ~1 at cos ≥0.9, ~0 at 0.5 — few candidates);
+    * 8×6 is the MID-SIMILARITY point (per-band agreement p^6 instead of
+    * p^12, ~8× the bucket collision volume) for duplicates around
+    * cos 0.5-0.8, where the narrow-band profile is blind. By DEFAULT the
+    * banding now derives from `threshold` via [[bandBitsFor]] — a
+    * 0.45-threshold run gets the 8×6-class S-curve (measured recall 0.47
+    * at sf0.1 where 4×12's is 0.0 by design, per the bench sidecar), a
+    * ≥0.9 run the classic 4×12. Same signatures, same verify — only the
+    * banding (candidate-volume vs recall trade) moves, and an explicit
+    * bandBits still overrides (l51 pins the fixed 8×6 point).
     */
   def embedDupPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.45,
-                       bandBits: Int = BandBits): DataFrame = {
+                       bandBits: Int = 0): DataFrame = {
     import s.implicits._
-    require(Planes % bandBits == 0,
-      s"bandBits=$bandBits must divide the $Planes-bit signature")
+    val bb = if (bandBits > 0) bandBits else bandBitsFor(threshold)
+    require(Planes % bb == 0,
+      s"bandBits=$bb must divide the $Planes-bit signature")
     val e = emb(s, dir)
     val sig = e.withColumn("sig", srpSig(s, $"v"))
-    val mask = (1L << bandBits) - 1
+    val mask = (1L << bb) - 1
     val banded = sig.select($"vec_id", $"v", $"norm",
-        explode(array((0 until Planes / bandBits).map(b =>
+        explode(array((0 until Planes / bb).map(b =>
           struct(lit(b).as("band_id"),
-            shiftrightunsigned($"sig", b * bandBits).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("bk"))
+            shiftrightunsigned($"sig", b * bb).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("bk"))
       .select($"vec_id", $"v", $"norm", $"bk.band_id", $"bk.band_key")
     banded.as("a").join(banded.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&

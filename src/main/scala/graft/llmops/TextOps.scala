@@ -523,13 +523,19 @@ object Dedup {
     * in at least one OTHER document is removed, and the surviving tokens
     * are reassembled into the scrubbed text.
     *
-    * Scale shape: the only corpus-keyed exchanges carry (doc_id, position,
-    * 60-bit digest) triples — never text. The duplicated-digest set joins
-    * back as a semi-join (AQE broadcasts it when the boilerplate tail is
-    * small); covered positions collapse to one small per-doc set; the text
-    * itself is touched exactly once, doc-locally, by an indexed HOF filter
-    * at the end. Reassembly is order-exact because positions, not strings,
-    * drive the filter.
+    * Scale shape: every shingle-cardinality exchange carries (doc_id,
+    * position, 60-bit digest) triples — never text. The duplicated-digest
+    * set joins back as a semi-join (AQE broadcasts it when the boilerplate
+    * tail is small); covered positions collapse to one small per-doc set;
+    * the text itself is touched exactly once, doc-locally, by an indexed
+    * HOF filter at the end. When the covered relation outgrows broadcast,
+    * the final assembly degrades to ONE hash(doc_id) co-partition of the
+    * token arrays — text relocates once at corpus cardinality (bucketed
+    * storage at rest makes even that free), never at shingle or candidate
+    * cardinality. PlanAuditSpec pins BOTH forms: the broadcast plan
+    * ("no exchange carries text") and the past-threshold plan ("text
+    * co-partitions ONCE on doc_id"). Reassembly is order-exact because
+    * positions, not strings, drive the filter.
     */
   def spanScrub(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import s.implicits._
@@ -581,12 +587,19 @@ object Dedup {
     val bench = TextOps.shingleHashesOf(docs.filter($"doc_id" % 10 === 0), n)
       .select($"h").distinct()
     val tot = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    sh.join(broadcast(bench), Seq("h"), "left_semi")
+    val out = sh.join(broadcast(bench), Seq("h"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
       .join(tot, Seq("doc_id"))
       .select($"doc_id", $"n_shingles", $"n_shared",
         graft.Canon.sig6($"n_shared".cast("double") / $"n_shingles")
           .as("contam_frac"))
       .withColumn("flagged", $"contam_frac" >= tau)
+    // Release the cache-manager entry before returning (KMeans.fitOn's
+    // pattern): the built plan still shares one in-memory materialization
+    // across its two consumers at execution time, but the entry no longer
+    // accumulates in the shared block manager across the gate's pooled
+    // 182-query phase.
+    sh.unpersist()
+    out
   }
 }

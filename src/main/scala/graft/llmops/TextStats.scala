@@ -594,9 +594,15 @@ object TextStats {
       .select($"b", graft.Canon.sig6(
         log10((coalesce($"ct", lit(0L)) + 1.0) / ($"nt" + buckets)) -
           log10(($"cr" + 1.0) / ($"nr" + buckets))).as("lr"))
-    toks.join(broadcast(lr), Seq("b"))
+    val out = toks.join(broadcast(lr), Seq("b"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         graft.Canon.sig6(avg($"lr")).as("dsir_w"))
+    // Release the cache-manager entry before returning (KMeans.fitOn's
+    // pattern) so the gate's pooled phase doesn't accumulate per-query
+    // cached token relations; the already-built plan still materializes
+    // the shared token scan once at execution time.
+    toks.unpersist()
+    out
   }
 }

@@ -36,9 +36,15 @@ object RelationalExt2 {
       val pt = t(s, dir, "part")
         .filter($"p_brand" === "Brand#23" && $"p_size" <= 15)
         .select($"p_partkey")
+      // cache(): the semi-joined frame has TWO consumers (the per-part
+      // threshold agg and the probe) — uncached, the lineitem scan + the
+      // broadcast semi join plan and execute twice. Brand-selectivity-
+      // sized (~1/25 of lineitem × 3 columns), so the cache is small;
+      // q71's revenue view caches for the same reason.
       val li = t(s, dir, "lineitem")
         .select($"l_partkey", $"l_quantity", $"l_extendedprice")
         .join(broadcast(pt), $"l_partkey" === $"p_partkey", "left_semi")
+        .cache()
       val thr = li.groupBy($"l_partkey".as("tk"))
         .agg(sig6(avg($"l_quantity") * 0.5).as("thr"))
       li.join(thr, $"l_partkey" === $"tk")
@@ -82,11 +88,15 @@ object RelationalExt2 {
         .join(broadcast(t(s, dir, "nation").filter($"n_regionkey" === 1)),
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
+      // cache(): two consumers (the global threshold scalar and the probe)
+      // — part-cardinality after the aggregate, so the cache is tiny and
+      // saves a second fact scan + partkey shuffle (q71's pattern).
       val pv = t(s, dir, "lineitem")
         .join(broadcast(supR), $"l_suppkey" === $"s_suppkey", "left_semi")
         .groupBy($"l_partkey")
         .agg(sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
           .as("value"))
+        .cache()
       val thr = pv.agg(sig6(avg($"value") * 2.0).as("thr"))
       pv.join(broadcast(thr), $"value" > $"thr")
         .select($"l_partkey", $"value")

@@ -239,8 +239,11 @@ class DedupSpec extends AnyFunSuite {
       .filter($"sim" >= 0.3))
     val mid = pairs(Similarity.embedDupPairsLsh(spark, dir, threshold = 0.3,
       bandBits = 6))
+    // Explicit 12: the default banding is now threshold-ADAPTIVE (a 0.3
+    // threshold derives 4-bit bands), and this test contrasts the fixed
+    // narrow profile against the mid-sim one.
     val narrow = pairs(Similarity.embedDupPairsLsh(spark, dir,
-      threshold = 0.3))
+      threshold = 0.3, bandBits = 12))
     assert(exact.size >= 15, s"brute force must find the planted pairs: $exact")
     // Candidates are exact-verified: both operating points can only MISS.
     assert(mid.subsetOf(exact) && narrow.subsetOf(exact))

@@ -53,14 +53,24 @@ class RegistrySpec extends AnyFunSuite {
       "b07_pagerank_conv64m", // converged PageRank (d=0.5 parity, ε=1e-4)
                             // at 64M; self-pinned via the changed-count
                             // trace golden
+      "b08_triangles_8m",   // 8M-edge TriangleCount anchor (same
+                            // xxhash64-generator CTE-infeasibility
+                            // rationale as b02); self-pinned: the query
+                            // REQUIREs the global triangle total against
+                            // a recorded golden, and g02/g07/g18 oracle-
+                            // gate the same plan at sf scale
       "q12_approx_distinct", // approximate by design; numerically
                             // tolerance-checked (5% rel err vs exact
                             // distincts) by tools/oracle_check.py's
-                            // APPROX_CHECKS mirror pass
+                            // APPROX_CHECKS mirror pass AND by Verify's
+                            // in-process tolerance_pass.json sidecar
+                            // (same bounds, recorded beside the dumps)
       "q52_approx_percentile" // approximate by design (OperatorsSpec rank
                             // bound; oracle_check.py additionally pins
                             // each estimate inside DuckDB's exact ±0.02
-                            // rank envelope)
+                            // rank envelope, and Verify's
+                            // tolerance_pass.json sidecar records the
+                            // same envelope check in the gate artifacts)
     )
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expectedRowsOnly,
