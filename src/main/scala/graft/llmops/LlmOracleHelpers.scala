@@ -21,7 +21,11 @@ object LlmOracleHelpers {
     * land identical rows on both engines. lazy: toksSql must initialize
     * first.
     */
-  private[llmops] lazy val minhashCtes: String = {
+  /** MinHash CTE chain with `rows`-wide bands — parameterized exactly like
+    * the Spark side's explodeBands so the adaptive-banding variants (l56)
+    * inline their own operating point.
+    */
+  private[llmops] def minhashCtesWith(rows: Int): String = {
     val P = graft.functions.MinHashSig.P
     val perms = (0 until 32).map(i =>
       s"($i, ${graft.functions.MinHashSig.permA(i)}, " +
@@ -37,9 +41,11 @@ object LlmOracleHelpers {
        |  FROM sh, perms GROUP BY doc_id, pid),
        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, pid // 4 AS band_id, list(mh ORDER BY pid) AS bkey
-       |  FROM sig GROUP BY doc_id, pid // 4)""".stripMargin
+       |  SELECT doc_id, pid // $rows AS band_id, list(mh ORDER BY pid) AS bkey
+       |  FROM sig GROUP BY doc_id, pid // $rows)""".stripMargin
   }
+
+  private[llmops] lazy val minhashCtes: String = minhashCtesWith(4)
 
   /** Shared BPE merge-round CTE chain for the l42 (train) / l45 (encode)
     * oracles. Words are VARCHAR[] symbol lists; each round counts adjacent

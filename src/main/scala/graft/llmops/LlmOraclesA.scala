@@ -60,6 +60,28 @@ object LlmOraclesA {
          |       CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
          |FROM ix JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5""".stripMargin,
+    // The ADAPTIVE-banding high-threshold point: identical pipeline with
+    // 4×8 bands inlined (minhashCtesWith(8) — the width rowsFor(0.85)
+    // derives) and the 0.85 Jaccard cut. Same engine-agnostic integer
+    // arithmetic, so DuckDB reproduces the stricter candidate set and its
+    // verified survivors verbatim.
+    "l56_minhash_pairs_hi" ->
+      s"""${minhashCtesWith(8)},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+         |FROM ix JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.85""".stripMargin,
     // The incremental variant restates the SAME pipeline with candidate
     // generation restricted to cross-split pairs (corpus % 5 <> 0 joined
     // to batch % 5 = 0) — per-doc signatures are per-doc aggregates, so

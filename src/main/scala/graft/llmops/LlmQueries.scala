@@ -17,6 +17,11 @@ object LlmQueries {
     "l02_exact_dedup" -> ((s, dir) => Dedup.exactDedup(s, dir)),
     "l03_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
     "l04_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    // The adaptive-banding HIGH-THRESHOLD operating point (rowsFor(0.85)
+    // → 4×8 bands): near-exact duplicate scan with ~8× fewer candidate
+    // collisions than l04's 8×4 curve would pass to the verifier.
+    "l56_minhash_pairs_hi" -> ((s, dir) =>
+      Dedup.minhashPairs(s, dir, threshold = 0.85)),
     "l50_incremental_minhash" -> ((s, dir) => Dedup.incrementalMinhash(s, dir)),
     "l05_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "l06_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),

@@ -322,7 +322,7 @@ object Similarity {
     * unlucky bit flip erases a pair's only collision chances, dropping
     * hi-sim recall below the ≥0.9 DedupSpec pin.
     */
-  private[llmops] def bandBitsFor(threshold: Double): Int = {
+  private[graft] def bandBitsFor(threshold: Double): Int = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     Seq(4, 6, 8, 12).minBy { r =>
       math.abs(math.pow(r.toDouble / Planes, 1.0 / r) - p)

@@ -101,11 +101,27 @@ object TextOps {
 object Dedup {
   import TextOps._
 
-  // LSH banding: 32 permutations in 8 bands of 4 rows (the signature itself
-  // comes from the MinHashSig TypedImperativeAggregate, graft.functions).
+  // LSH banding: 32 permutations, default 8 bands of 4 rows (the signature
+  // itself comes from the MinHashSig TypedImperativeAggregate,
+  // graft.functions). The band width is threshold-ADAPTIVE by default —
+  // see [[rowsFor]]; 4 remains the derived width at the classic 0.5
+  // Jaccard threshold.
   private val NumPerm = 32
   private val Bands = 8
   private val Rows = NumPerm / Bands
+
+  /** Threshold-adaptive MinHash banding (the Jaccard twin of
+    * Similarity.bandBitsFor): rows-per-band r ∈ {2, 4, 8, 16} whose
+    * S-curve midpoint (1/b)^(1/r) = (r/32)^(1/r) sits closest to the
+    * requested Jaccard threshold (P(minhash agree) = J exactly, so the
+    * midpoint lives directly in Jaccard space). 0.5 → 4 rows (the classic
+    * 8×4), 0.85 → 8 rows (16-row bands at 0.95+ for near-exact dups;
+    * 2-row bands for broad 0.25-class sweeps).
+    */
+  private[graft] def rowsFor(threshold: Double): Int =
+    Seq(2, 4, 8, 16).minBy { r =>
+      math.abs(math.pow(r.toDouble / NumPerm, 1.0 / r) - threshold)
+    }
 
   /** All (a, b) pairs with a < b from a SORTED array — the posting-list /
     * bucket pair expansion used by every near-dup path. Pure higher-order
@@ -118,15 +134,15 @@ object Dedup {
 
   /** Explode a (…, sig) frame into one row per LSH band, carrying every
     * non-sig column through: (…, band_id, band_key). Band keys are the
-    * raw 4-value signature slices (see [[minhashPairs]] for why raw
+    * raw `rows`-value signature slices (see [[minhashPairs]] for why raw
     * slices, not hashes) — shared by the full scan and the incremental
     * path so the banding cannot drift between them.
     */
-  private def explodeBands(sigDf: DataFrame): DataFrame = {
+  private def explodeBands(sigDf: DataFrame, rows: Int = Rows): DataFrame = {
     val keep = sigDf.columns.filterNot(_ == "sig").map(col)
-    val bk = explode(array((0 until Bands).map(b =>
+    val bk = explode(array((0 until NumPerm / rows).map(b =>
       struct(lit(b).as("band_id"),
-        slice(col("sig"), b * Rows + 1, Rows).as("band_key"))): _*)).as("bk")
+        slice(col("sig"), b * rows + 1, rows).as("band_key"))): _*)).as("bk")
     sigDf.select(keep :+ bk: _*)
       .select(keep :+ col("bk.band_id") :+ col("bk.band_key"): _*)
   }
@@ -293,10 +309,19 @@ object Dedup {
     * DuckDB and the result hash-checks exactly, recall curve and all. One
     * tokenize+shingle pass feeds BOTH the signatures and the verification
     * (the signature permutes the same [[TextOps.strHash60]] shingle hashes).
+    *
+    * Banding is threshold-ADAPTIVE by default ([[rowsFor]] — the Jaccard
+    * twin of the SRP path's bandBitsFor): 0.5 keeps the classic 8×4, a
+    * 0.85 near-exact scan gets 4×8 (fewer, stricter buckets — candidate
+    * volume drops ~8× where the wide curve would flood the verifier), an
+    * explicit `rows` still overrides.
     */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double = 0.5,
-                   maxBucket: Option[Int] = None): DataFrame = {
+                   maxBucket: Option[Int] = None, rows: Int = 0): DataFrame = {
     import s.implicits._
+    val rw = if (rows > 0) rows else rowsFor(threshold)
+    require(NumPerm % rw == 0,
+      s"rows=$rw must divide the $NumPerm-permutation signature")
     val sh = docShingleHashes(s, dir).cache()
     // ONE aggregation yields both the signature and the per-doc shingle
     // count (sh is distinct per (doc, h), so count(1) = |shingle set|) —
@@ -310,7 +335,7 @@ object Dedup {
     // slice groups/joins exactly, which is what lets the DuckDB oracle
     // reproduce the candidate set verbatim; a hashed key would re-introduce
     // an engine-specific function for a 24-byte-per-row saving.
-    val banded = explodeBands(sig.select($"doc_id", $"sig"))
+    val banded = explodeBands(sig.select($"doc_id", $"sig"), rw)
     val buckets = banded.groupBy($"band_id", $"band_key")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
       .filter(size($"ds") >= 2)

@@ -40,6 +40,35 @@ class DedupSpec extends AnyFunSuite {
     assert(merged == single)
   }
 
+  test("adaptive banding derives the documented operating points") {
+    // MinHash (Jaccard space: midpoint (r/32)^(1/r) vs the threshold).
+    assert(Dedup.rowsFor(0.25) == 2)
+    assert(Dedup.rowsFor(0.5) == 4)
+    assert(Dedup.rowsFor(0.85) == 8)
+    assert(Dedup.rowsFor(0.97) == 16)
+    // SRP (cosine → per-bit agreement p = 1 − acos(t)/π first).
+    assert(Similarity.bandBitsFor(0.45) == 6)
+    assert(Similarity.bandBitsFor(0.9) == 12)
+    assert(Similarity.bandBitsFor(0.99) == 12)
+  }
+
+  test("l56 high-threshold minhash: verified subset of the exact scan at 0.85") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.jaccardPairs(spark, sf).filter($"jaccard" >= 0.85))
+    val hi = pairs(Dedup.minhashPairs(spark, sf, threshold = 0.85))
+    // Candidates are exact-verified: the 4×8 curve can only MISS, never
+    // invent, and every emitted jaccard must equal the brute-force value.
+    assert(hi.keySet.subsetOf(exact.keySet),
+      s"invented pairs: ${hi.keySet -- exact.keySet}")
+    hi.foreach { case (k, j) => assert(j == exact(k)) }
+    // Stricter banding admits no pair the wide 8×4 curve misses.
+    val l04at = pairs(Dedup.minhashPairs(spark, sf).filter($"jaccard" >= 0.85))
+    assert(hi.keySet.subsetOf(l04at.keySet))
+  }
+
   test("simhash_sig equals the column-wise bit-majority formulation") {
     import spark.implicits._
     val toks = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"), (1L, "alpha"),

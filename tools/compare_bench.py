@@ -74,6 +74,21 @@ def main(old_path, new_path, thr=1.5):
                       "(MISSING/FAILED on one side — investigate)")
         elif "salted" in key or key.endswith("_iters"):
             print(f"  {key}: {old.get(key)} -> {new.get(key)}")
+    # Calibration-normalized comparison (round 9+ artifacts): when both
+    # sides carry host_factor, the *_norm ratio removes the host speed
+    # difference entirely — read IT, not the raw band, when available.
+    hf_o, hf_n = old.get("host_factor"), new.get("host_factor")
+    if isinstance(hf_o, (int, float)) and isinstance(hf_n, (int, float)):
+        print(f"host_factor: {hf_o} -> {hf_n} (calibration-normalized "
+              "ratios below are host-independent)")
+        for key in sorted(set(old) & set(new)):
+            if key.endswith(("_eips_loop_norm", "_eps_norm")):
+                ov, nv = old[key], new[key]
+                if ov > 0 and nv > 0:
+                    print(f"  {key}: {ov:.3g} -> {nv:.3g} (x{nv/ov:.2f})")
+    for key in sorted(set(old) | set(new)):
+        if key.endswith("_contention") or key.endswith("_rerun"):
+            print(f"  {key}: {old.get(key)} -> {new.get(key)}")
     print(f"hosts: {old.get('host_cpu', '?')} -> {new.get('host_cpu', '?')}")
 
 
