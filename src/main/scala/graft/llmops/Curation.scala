@@ -204,4 +204,56 @@ object Curation {
       .select($"source", ($"pos" + 1).cast("long").as("rank"),
         $"col.id".as("doc_id"), (-$"col.ord").as("n_chars"))
   }
+
+  /** L57: the END-TO-END curation funnel — the pipeline a user of this
+    * library actually runs between a raw crawl and a training set, as ONE
+    * query: exact dedup → fused quality gate → near-dup cluster removal →
+    * benchmark decontamination, reported as a per-stage (docs, tokens)
+    * funnel. Each stage is the library's own component operator
+    * (l02/l40/l25+l44/l26), composed by their keep/drop masks.
+    *
+    * Composition semantics (the auditable independent-masks form real
+    * pipelines use): every signal is computed over the INPUT corpus —
+    * quality statistics (LM frequencies, entropy) and dedup clusters are
+    * corpus-stable rather than order-dependent on earlier stages — and the
+    * stage sets are the cumulative AND of the masks. That keeps each
+    * stage's decision independently explainable AND makes the funnel a
+    * pure function of the input (re-running after appending data can only
+    * append decisions, the hallmark of every operator in this module).
+    *
+    * Scale shape: every mask relation is (doc_id)-only — the corpus text
+    * is touched exactly by the component operators' own pinned shapes
+    * (digest-only shingle exchanges, broadcast benchmark set, doc-local
+    * quality projections) — and the funnel's semi/anti joins key on
+    * doc_id with mask sides AQE-broadcast at gate scale. The output is
+    * five summary rows.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", md5($"text").as("h"),
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    // Stage masks, each from the component operator.
+    val exKeep = docs.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val qKeep = TextStats.fusedQuality(s, dir)
+      .filter($"keep").select($"doc_id")
+    val ndDrop = graft.graphs.GraphOps.wcc(s,
+        Dedup.jaccardPairs(s, dir).select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .filter($"id" =!= $"comp").select($"id".as("doc_id"))
+    val contam = Dedup.decontaminate(s, dir).select($"doc_id")
+    val s1 = docs.join(exKeep, Seq("doc_id"), "left_semi")
+    val s2 = s1.join(qKeep, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(ndDrop, Seq("doc_id"), "left_anti")
+    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          $"n_docs", $"n_tokens")
+    Seq((docs, 0, "input"), (s1, 1, "exact_dedup"), (s2, 2, "quality"),
+        (s3, 3, "near_dedup"), (s4, 4, "decontaminated"))
+      .map { case (df, o, n) => stage(df, o, n) }
+      .reduce(_ unionByName _)
+  }
 }

@@ -318,6 +318,91 @@ object LlmOraclesB {
          |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
          |WHERE lab.id IS NULL OR lab.comp = d.doc_id
          |GROUP BY d.lang""".stripMargin,
+    // The END-TO-END funnel composed from the component oracles: the
+    // neardup label closure (l25/l44's CTEs), l40's fused-quality chain
+    // (verdict folded to a keep set), l26's 8-gram contamination flags
+    // (renamed s8/flag — the 4-gram `sh` of the neardup chain coexists),
+    // an md5-survivor set, and cumulative-mask stage aggregates. `m` is
+    // MATERIALIZED: it is referenced once per stage row, and un-hinted
+    // DuckDB would inline the entire upstream (pair join + quality chain +
+    // 8-gram self-join) five times — the g28 lesson.
+    "l57_curation_funnel" -> {
+      val entSql = "sum(-(CAST(ccnt AS DOUBLE) / cn) * ln(CAST(ccnt AS DOUBLE) / cn))"
+      val verdict =
+        """CASE WHEN rule_reason <> 'ok' THEN 'rules:' || rule_reason
+          |     WHEN top_tok_frac > 0.15 THEN 'repetition'
+          |     WHEN logprob < -1.5 THEN 'lm_score'
+          |     WHEN char_entropy < 2.8 THEN 'entropy'
+          |     ELSE 'ok' END""".stripMargin
+      def stageRow(ord: Int, name: String, cond: String): String =
+        s"""SELECT CAST($ord AS BIGINT) AS stage_ord, '$name' AS stage,
+           |       CAST(count(*) FILTER (WHERE $cond) AS BIGINT) AS n_docs,
+           |       CAST(coalesce(sum(n_tokens) FILTER (WHERE $cond), 0) AS BIGINT) AS n_tokens
+           |FROM m""".stripMargin
+      s"""$neardupLabCtes,
+         |t AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN chars < 150 THEN 'too_short'
+         |              WHEN n_tokens < 20 THEN 'few_tokens'
+         |              WHEN stop_ratio > 0.45 THEN 'stopword_heavy'
+         |              ELSE 'ok' END AS rule_reason
+         |  FROM t),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_tok_frac
+         |        FROM tc GROUP BY doc_id),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq),
+         |lm AS (
+         |  SELECT doc_id, ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
+         |  FROM tk JOIN freq USING (tok), n GROUP BY doc_id),
+         |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS cc
+         |       FROM documents, unnest(range(1, length(text) + 1)) t(i)),
+         |cf AS (SELECT doc_id, cc, count(*) AS ccnt FROM ch GROUP BY doc_id, cc),
+         |e AS (
+         |  SELECT cf.doc_id AS doc_id, ${sig6Sql(entSql)} AS char_entropy
+         |  FROM cf JOIN (SELECT doc_id, CAST(sum(ccnt) AS DOUBLE) AS cn
+         |                FROM cf GROUP BY doc_id) nn USING (doc_id)
+         |  GROUP BY cf.doc_id),
+         |fq AS (
+         |  SELECT r.doc_id AS doc_id
+         |  FROM r LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |         LEFT JOIN e USING (doc_id)
+         |  WHERE ($verdict) = 'ok'),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |s8 AS (
+         |  SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |           || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+         |           || ' ' || ws[i+7] AS s
+         |  FROM toks, unnest(range(1, len(ws) - 6)) t(i)),
+         |flag AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM s8 c JOIN s8 b ON c.s = b.s
+         |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  GROUP BY c.doc_id, b.doc_id
+         |  HAVING count(*) >= 2),
+         |m AS MATERIALIZED (
+         |  SELECT t.doc_id, t.n_tokens,
+         |         t.doc_id IN (SELECT doc_id FROM ex) AS k1,
+         |         t.doc_id IN (SELECT doc_id FROM fq) AS kq,
+         |         t.doc_id IN (SELECT id FROM lab WHERE id <> comp) AS nd,
+         |         t.doc_id IN (SELECT doc_id FROM flag) AS ct
+         |  FROM t)
+         |${stageRow(0, "input", "TRUE")}
+         |UNION ALL ${stageRow(1, "exact_dedup", "k1")}
+         |UNION ALL ${stageRow(2, "quality", "k1 AND kq")}
+         |UNION ALL ${stageRow(3, "near_dedup", "k1 AND kq AND NOT nd")}
+         |UNION ALL ${stageRow(4, "decontaminated",
+           "k1 AND kq AND NOT nd AND NOT ct")}""".stripMargin
+    },
     // Bigram conditional logprob: both engines aggregate the identical
     // doc-level (w1, w2, k) relation and compute the identical weighted
     // mean Σ k·log10(bcnt/pcnt) / Σ k — same terms, integer weights, one

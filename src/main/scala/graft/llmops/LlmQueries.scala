@@ -92,32 +92,12 @@ object LlmQueries {
     // adds no new shuffle shape. Thresholds compare either integer-exact
     // ratios (top_tok_frac) or grid-rounded values (logprob, entropy), so
     // no libm noise can flip a verdict across engines.
-    "l40_quality_fused" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.functions._
-      val rules = TextStats.qualityFilter(s, dir)
-        .select($"doc_id", $"reason".as("rule_reason"))
-      val rep = TextStats.repetitionStats(s, dir)
-        .select($"doc_id", $"top_tok_frac")
-      val lm = TextStats.unigramLogProb(s, dir)
-        .select($"doc_id", $"logprob")
-      val ent = TextStats.charEntropy(s, dir)
-        .select($"doc_id", $"char_entropy")
-      // LEFT joins from the rules relation (a total projection): a
-      // zero-token document has no repetition/LM row at all, but it must
-      // still receive its (rules-family) verdict — the rules check runs
-      // first in the CASE, so the null signals can never be compared.
-      rules.join(rep, Seq("doc_id"), "left")
-        .join(lm, Seq("doc_id"), "left")
-        .join(ent, Seq("doc_id"), "left")
-        .withColumn("reason",
-          when($"rule_reason" =!= "ok", concat(lit("rules:"), $"rule_reason"))
-            .when($"top_tok_frac" > 0.15, lit("repetition"))
-            .when($"logprob" < -1.5, lit("lm_score"))
-            .when($"char_entropy" < 2.8, lit("entropy"))
-            .otherwise(lit("ok")))
-        .withColumn("keep", ($"reason" === "ok").cast("boolean"))
-    }),
+    "l40_quality_fused" -> ((s, dir) => TextStats.fusedQuality(s, dir)),
+    // The end-to-end curation pipeline as ONE query: exact dedup → fused
+    // quality gate → near-dup cluster removal → decontamination, reported
+    // as a per-stage (docs, tokens) funnel — the composition a real user
+    // runs, built from the library's own component operators.
+    "l57_curation_funnel" -> ((s, dir) => Curation.curationFunnel(s, dir)),
     // Corpus-composition analysis: pairwise source 8-gram Jaccard — which
     // sources mirror each other (and would be double-counted by l24's
     // mixture weights).

@@ -558,6 +558,38 @@ object TextStats {
       .agg(graft.Canon.sig6(sum($"contrib")).as("score"))
   }
 
+  /** L40: the fused multi-signal quality verdict — hard rules first
+    * (length/token/stopword), then the statistical signals in a fixed
+    * precedence (repetition, LM score, entropy). One row per document
+    * with every signal and the final keep flag; l57's funnel consumes the
+    * keep mask, the registry exposes the full row.
+    */
+  def fusedQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = TextStats.qualityFilter(s, dir)
+      .select($"doc_id", $"reason".as("rule_reason"))
+    val rep = TextStats.repetitionStats(s, dir)
+      .select($"doc_id", $"top_tok_frac")
+    val lm = TextStats.unigramLogProb(s, dir)
+      .select($"doc_id", $"logprob")
+    val ent = TextStats.charEntropy(s, dir)
+      .select($"doc_id", $"char_entropy")
+    // LEFT joins from the rules relation (a total projection): a
+    // zero-token document has no repetition/LM row at all, but it must
+    // still receive its (rules-family) verdict — the rules check runs
+    // first in the CASE, so the null signals can never be compared.
+    rules.join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when($"rule_reason" =!= "ok", concat(lit("rules:"), $"rule_reason"))
+          .when($"top_tok_frac" > 0.15, lit("repetition"))
+          .when($"logprob" < -1.5, lit("lm_score"))
+          .when($"char_entropy" < 2.8, lit("entropy"))
+          .otherwise(lit("ok")))
+      .withColumn("keep", ($"reason" === "ok").cast("boolean"))
+  }
+
   /** L54: DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") — per-document hashed
     * unigram importance: weight = mean over the doc's tokens of
