@@ -371,6 +371,35 @@ object MultimodalOps {
     }.toDF("doc_id", "phash")
   }
 
+  /** Audio perceptual fingerprint — the audio twin of [[imagePhash]]:
+    * decode the real WAV payload, split the clip into 16 index-balanced
+    * windows (window(i) = i·16÷n), and emit one sign bit per window from
+    * the exact integer cross-multiply `windowSum·n > totalSum·windowCount`
+    * (i.e. window mean above clip mean — no float division, so the bits
+    * are engine-exact). Clips sharing all 16 bits are perceptual
+    * duplicates; the oracle restates the decoded samples as the
+    * ((id+i) mod 256 − 128)·256 closed form.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val xs = decodeAudio(m.payload)
+      val n = xs.length
+      var tot = 0L
+      xs.foreach(tot += _)
+      val wsum = new Array[Long](16)
+      val wcnt = new Array[Long](16)
+      var i = 0
+      while (i < n) {
+        val w = (i.toLong * 16 / n).toInt
+        wsum(w) += xs(i); wcnt(w) += 1; i += 1
+      }
+      val bits = (0 until 16).map(w =>
+        if (wsum(w) * n > tot * wcnt(w)) '1' else '0').mkString
+      (m.doc_id, bits)
+    }.toDF("doc_id", "afp")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Driver-facing queries — all three oracle-checked since round 5 (the
@@ -433,6 +462,16 @@ object MultimodalOps {
         .groupBy($"phash")
         .agg(count(lit(1)).as("n_images"), min($"doc_id").as("min_id"))
         .filter($"n_images" >= 2)
+    }),
+    // Audio-fingerprint dedup: real WAV decode → 16 window-mean sign bits
+    // → dup groups (the audio twin of m07). Emits EVERY clip's
+    // fingerprint with its group size, so the oracle hashes all 16·n bits
+    // rather than only the groups that happen to collide.
+    "m08_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      audioFingerprint(mediaTable(s, dir, onlyKind = Some("audio")))
+        .groupBy($"afp")
+        .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_id"))
     }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself. The
@@ -600,5 +639,30 @@ object MultimodalOps {
          |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
          |       min(doc_id) AS min_id
          |FROM b GROUP BY phash HAVING count(*) >= 2""".stripMargin,
+    // Audio fingerprint restated: sample i of clip id =
+    // ((id+i) mod 256 − 128)·256 over n = 256 + n_chars mod 256 units,
+    // window(i) = (i·16)//n, bit via the exact integer cross-multiply
+    // wsum·n > tot·wcnt (window mean above clip mean), bits in window
+    // order.
+    "m08_audio_fingerprint" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id, 256 + n_chars % 256 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (
+         |  SELECT doc_id, n, (i * 16) // n AS w,
+         |         ((doc_id + i) % 256 - 128) * 256 AS v
+         |  FROM aud, unnest(range(0, n)) t(i)),
+         |t AS (SELECT doc_id, sum(v) AS tot FROM s GROUP BY doc_id),
+         |ws AS (
+         |  SELECT doc_id, w, any_value(n) AS n, sum(v) AS wsum,
+         |         count(*) AS wcnt
+         |  FROM s GROUP BY doc_id, w),
+         |b AS (
+         |  SELECT ws.doc_id,
+         |         string_agg(CASE WHEN ws.wsum * ws.n > t.tot * ws.wcnt
+         |                         THEN '1' ELSE '0' END, '' ORDER BY ws.w) AS afp
+         |  FROM ws JOIN t USING (doc_id) GROUP BY ws.doc_id)
+         |SELECT afp, CAST(count(*) AS BIGINT) AS n_clips, min(doc_id) AS min_id
+         |FROM b GROUP BY afp""".stripMargin,
   )
 }
