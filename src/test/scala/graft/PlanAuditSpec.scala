@@ -580,6 +580,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle count: wedge-close joins, no cartesian, key-only shuffles") {
+    // The g02/b08 shape claim: canonical low→high edges, wedges from the
+    // (e1.b = e2.a) join, closure against the edge set — every exchange
+    // carries (a, b) long keys only (never adjacency lists; g18's typed
+    // tier ships those deliberately, as the reference's own shape), and
+    // no stage degenerates to a cartesian product. Scale-invariant: the
+    // b08 anchor runs this identical plan at 8M edges.
+    val df = graphs.GraphOps.triangleCount(spark,
+      graphs.GraphOps.edges(spark, sf))
+    df.collect()
+    val nodes = expand(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "triangle closure must join on keys, not enumerate pairs")
+    nodes.collect {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => ex
+    }.foreach { ex =>
+      assert(ex.output.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType),
+        s"non-key column in a triangle shuffle: ${ex.output}")
+    }
+  }
+
   test("l52 span scrub: past the broadcast threshold, text co-partitions ONCE on doc_id") {
     // The BOUNDED form of the previous pin (r8 item): with broadcasts
     // disabled — the case where the covered-positions relation outgrows

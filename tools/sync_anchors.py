@@ -50,12 +50,27 @@ def block():
         rows.append(f"| b06 64M uniform SSSP (GraphX runner) "
                     f"| {Q['b06_sssp_graphx64m']:.1f} | — | — "
                     f"| cross-runner equality pin (b03 depth golden) |")
+    # b08: TriangleCount anchor (edges/s, not edge-relaxations/s — the
+    # baseline comparable is TC G1 GMR @1 slave ≈ 1.02M edges/s).
+    if "b08_eps" in B and "b08_triangles_8m" in Q:
+        rows.append(f"| b08 8M TriangleCount (wedge-close) "
+                    f"| {Q['b08_triangles_8m']:.1f} | {m(B['b08_eps'])} e/s "
+                    f"| — | canon {B['b08_canon_sec']:.1f}s + close "
+                    f"{B['b08_close_sec']:.1f}s; total pinned (635); "
+                    f"TC baseline ≈ 1.02M e/s |")
     host = B.get("host_cpu", "unknown")
+    calib = ""
+    if "host_factor" in B:
+        calib = (f"; calibration probe cpu {B['calib_cpu_sec']:.2f}s / mem "
+                 f"{B['calib_mem_sec']:.2f}s → host_factor "
+                 f"{B['host_factor']:.2f} — the *_eips_loop_norm fields are "
+                 "host-independent")
     return ("\n".join(rows) +
-            f"\n\nArtifact: `BENCH_LOCAL.json` (host: {host}; the 64M anchors"
-            " are clock/memory-bandwidth-bound and per-round VMs differ — "
-            "compare eips ratios, not absolute walls, across rounds; "
-            "BASELINE.md's native convention ≈ 7.1M eips total). Generated "
+            f"\n\nArtifact: `BENCH_LOCAL.json` (host: {host}{calib}; the 64M"
+            " anchors are clock/memory-bandwidth-bound and per-round VMs"
+            " differ — compare calibration-normalized eips, not absolute"
+            " walls, across rounds; BASELINE.md's native convention ≈ 7.1M"
+            " eips total). Generated "
             "by `tools/sync_anchors.py`; do not hand-edit this block.\n")
 
 
