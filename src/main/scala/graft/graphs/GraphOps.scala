@@ -46,6 +46,24 @@ object GraphOps {
       .distinct()
   }
 
+  /** Coloring-specific sparser variant (1/171 of orders — the g04 sparse
+    * view's DENSITY CLASS at sf0.1): Jones–Plassmann's round count is the
+    * longest decreasing-priority path, which grows with density (measured:
+    * 353 rounds on the dense view at sf0.1, 39 on the /17 sparse view —
+    * both beyond any static-unroll oracle), so the ORACLE-GATED coloring
+    * query runs here while the library function stays general (the spec
+    * proves properness + the mex witness on the dense view, where the loop
+    * simply runs deeper). Kept in sync with [[GraphQueries.colorEdgesSql]].
+    */
+  def colorEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .filter($"o_orderkey" % 171 === 0)
+      .select(($"o_custkey" % 1000).as("src"), ($"o_orderkey" % 1000).as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
   /** G1 — hop-count SSSP from `source` (reference semantics: unit weights ⇒
     * BFS level). Frontier-driven: each round only newly-discovered vertices
     * send messages; terminates early when the frontier empties.
@@ -335,6 +353,115 @@ object GraphOps {
     }
   }
 
+  /** The g30 oracle's static unroll depth — same convention as
+    * [[MatchRounds]]/[[MisRounds]]: the loop runs to the true fixpoint
+    * (guaranteed: the globally max-priority uncolored vertex colors every
+    * round), converged rounds are idempotent, and the registry entry
+    * REQUIREs fixpoint ≤ half this depth per run. JP's depth is the
+    * longest decreasing-priority PATH — it tracks density, not just size
+    * (measured: dense view 16/63/353 rounds at sf0.001/0.01/0.1, the /17
+    * sparse view 39 at sf0.1 — CANNOT be statically unrolled), which is
+    * why the oracle-gated query runs on [[colorEdges]] (measured 2/4/6
+    * rounds) and the cap is 16, the g26/g27 value.
+    */
+  val ColorRounds = 16
+
+  /** A [[greedyColoringRun]] result: the (id, color) relation plus the
+    * measured fixpoint depth (returned per call, no shared state).
+    */
+  final case class Coloring(colors: DataFrame, rounds: Int)
+
+  /** Deterministic GREEDY GRAPH COLORING — Jones–Plassmann (Jones &
+    * Plassmann 1993), the coloring member of the Luby symmetry-breaking
+    * family beside [[maximalMatching]] (edges) and
+    * [[maximalIndependentSet]] (vertices): every vertex draws ONE static
+    * priority (md5 of the vertex id, tie-broken by id into a total order —
+    * the engine-portable RNG used by the walks/splits/matching); each
+    * round, every still-uncolored vertex whose priority exceeds all
+    * still-uncolored neighbors' takes the SMALLEST color absent from its
+    * already-colored neighborhood (the greedy mex), and the loop repeats
+    * on the shrinking remainder to the fixpoint — O(log n / log log n)
+    * expected rounds on bounded-degree graphs. Proper by construction: two
+    * adjacent vertices can never win the same round (strict comparison
+    * under a total order), and the mex excludes every earlier-colored
+    * neighbor. Colors are bounded by degree+1 (the greedy bound).
+    *
+    * Scale shape: each round is one neighbor-max aggregation over the
+    * both-endpoints-uncolored remainder plus one mex aggregation over the
+    * winners' colored neighborhoods — per-vertex partitioned windows, no
+    * global ordering anywhere; the remainder shrinks geometrically in
+    * expectation. The priority is a single fixed-width string (8 hex md5
+    * chars ++ 12-digit zero-padded id) so lexicographic comparison IS the
+    * (hash, id) total order in any engine — ids are asserted < 1e12.
+    */
+  def greedyColoring(s: SparkSession, edgeDf: DataFrame): DataFrame =
+    greedyColoringRun(s, edgeDf).colors
+
+  /** [[greedyColoring]] plus the measured fixpoint depth. */
+  def greedyColoringRun(s: SparkSession, edgeDf: DataFrame): Coloring = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Fixed-width string priority: lexicographic = (md5-bucket, id) order.
+    def pri(c: org.apache.spark.sql.Column) =
+      concat(substring(md5(concat(lit("color:"), c.cast("string"))), 1, 8),
+        lpad(c.cast("string"), 12, "0"))
+    val canon0 = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val m = canon0.count()
+    withShuffleParts(s, LoopConf.sizedParallelism(s, m, 24)) {
+      // Full symmetric neighbor view (for the mex over COLORED neighbors —
+      // retired edges still constrain colors) + the shrinking uncolored
+      // remainder (for the priority contest).
+      val sym = canon0.select($"a".as("v"), $"b".as("nb"))
+        .unionByName(canon0.select($"b".as("v"), $"a".as("nb")))
+        .localCheckpoint()
+      var remE = canon0.localCheckpoint()
+      canon0.unpersist()
+      var remV = remE.select($"a".as("v")).union(remE.select($"b"))
+        .distinct().localCheckpoint()
+      var colored = remV.limit(0)
+        .select($"v".as("id"), lit(0L).as("color"))
+      var rounds = 0
+      while (!remV.isEmpty) {
+        rounds += 1
+        // Max uncolored-neighbor priority per vertex, over BOTH
+        // orientations of the remaining canonical edges (the g26/g27
+        // both-sides lesson).
+        val nbrMax = remE
+          .select($"a".as("v"), pri($"b").as("p"))
+          .unionByName(remE.select($"b".as("v"), pri($"a").as("p")))
+          .groupBy($"v").agg(max($"p").as("mp"))
+        val winners = remV.join(nbrMax, Seq("v"), "left")
+          .filter($"mp".isNull || pri($"v") > $"mp")
+          .select($"v").localCheckpoint()
+        // Greedy mex over each winner's already-colored neighbors: rank
+        // the distinct neighbor colors ascending; the mex is the first
+        // rank whose color differs from it, else the count (colors are a
+        // dense 0.. prefix iff no gap). Window is per-vertex partitioned.
+        val ncol = sym.join(winners, Seq("v"), "left_semi")
+          .join(colored.withColumnRenamed("id", "nb"), Seq("nb"))
+          .select($"v", $"color").distinct()
+        val rn = row_number().over(
+          Window.partitionBy($"v").orderBy($"color")) - 1
+        val mex = ncol.withColumn("rn", rn.cast("long"))
+          .groupBy($"v")
+          .agg(min(when($"color" =!= $"rn", $"rn")).as("gap"),
+            count(lit(1)).as("n"))
+          .select($"v", coalesce($"gap", $"n").as("color"))
+        colored = colored
+          .unionByName(winners.join(mex, Seq("v"), "left")
+            .select($"v".as("id"), coalesce($"color", lit(0L)).as("color")))
+          .localCheckpoint()
+        remV = remV.join(winners, Seq("v"), "left_anti").localCheckpoint()
+        remE = remE.join(winners.select($"v".as("a")), Seq("a"), "left_anti")
+        remE = remE.join(winners.select($"v".as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+      }
+      Coloring(colored, rounds)
+    }
+  }
+
   def randomWalks(s: SparkSession, edgeDf: DataFrame, steps: Int = WalkSteps)
       : DataFrame = {
     import s.implicits._
@@ -400,6 +527,101 @@ object GraphOps {
       .groupBy($"v".as("id"))
       .agg(count(lit(1)).as("n_sources"),
         graft.Canon.sig6(sum($"w12").cast("double") / 12.0).as("harmonic"))
+  }
+
+  /** Hop-bounded betweenness centrality (Brandes 2001 restricted to
+    * shortest paths of length ≤ 4): BC4(v) = Σ_{u≠v≠w, d(u,w)≤4}
+    * σ_uw(v)/σ_uw — how much shortest-path traffic within the 4-hop
+    * horizon routes THROUGH v. The centrality companion to [[harmonic4]]
+    * (closeness asks "how near is v to everyone"; betweenness asks "who
+    * must pass through v").
+    *
+    * Exact two-phase Brandes, level-synchronous on the directed graph:
+    *  1. forward — the same four distinct-frontier joins as harmonic4
+    *     yield true hop distances d(u,v); path counts σ(u,v) accumulate
+    *     level by level (σ_d(v) = Σ σ_{d-1}(x) over DAG edges x→v), all
+    *     INTEGER arithmetic, exact on every engine;
+    *  2. backward — dependencies walk the shortest-path DAG from depth 3
+    *     down to 1: δ(x) = Σ_{x→v ∈ DAG} (σ(x)/σ(v))·(1 + δ(v)), with
+    *     depth-4 vertices the δ=0 base (no targets beyond the horizon).
+    *     Each depth's δ is rounded on the shared 9-sig grid (the g28
+    *     chained-stage lesson) so both engines feed identical doubles
+    *     into the next depth; BC(v) = Σ_u δ_u(v), rounded once more.
+    *
+    * Scale posture = harmonic4's: hop-bounding caps the per-source ball
+    * (exact all-pairs Brandes is O(VE) and does not distribute); every
+    * stage is a key-partitioned join/agg on (u, v) pairs — no global
+    * structure, no driver-side state; at cluster scale the source set is
+    * additionally landmark-sampled. Sources with out-degree 0 contribute
+    * nothing (their ball is {u}); vertices never interior to a ≤4-hop
+    * shortest path end with BC 0 and are filtered, matching the oracle.
+    */
+  def betweenness4(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.select($"src", $"dst")
+    val v = e.select($"src".as("id")).union(e.select($"dst")).distinct()
+    def step(prev: DataFrame): DataFrame =
+      prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
+        .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
+    val l0 = v.select($"id".as("u"), $"id".as("v"))
+    val levels = Iterator.iterate(l0)(step).take(5).toVector
+    val all = levels.zipWithIndex.map { case (df, d) =>
+      df.select($"u", $"v", lit(d).as("d")) }.reduce(_ union _)
+    // True hop distances within the horizon. Cached: every σ level, every
+    // DAG-edge restriction, and the final depth lookup re-join md — five
+    // consumers over a relation the size of the 4-hop pair set.
+    val md = all.groupBy($"u", $"v").agg(min($"d").as("d")).cache()
+    // Forward: integer path counts, level-synchronous (σ rows at depth k
+    // only ever extend σ rows at depth k-1, so each level is one join).
+    var sig = md.filter($"d" === 0).select($"u", $"v", lit(1L).as("sig"))
+    val sigLevels = Vector.newBuilder[DataFrame]
+    sigLevels += sig
+    for (k <- 1 to 4) {
+      sig = sig.as("p")
+        .join(e.as("ed"), col("p.v") === col("ed.src"))
+        .join(md.as("m"),
+          col("m.u") === col("p.u") && col("m.v") === col("ed.dst") &&
+            col("m.d") === k)
+        .groupBy(col("p.u").as("u"), col("ed.dst").as("v"))
+        .agg(sum($"sig").as("sig"))
+      sigLevels += sig
+    }
+    val sigma = sigLevels.result().reduce(_ unionByName _)
+      .join(md, Seq("u", "v"))
+      .cache()
+    // Backward: δ over the shortest-path DAG, depth 3 → 1, each stage
+    // grid-rounded. DAG edge (u, x→v): d(u,v) = d(u,x) + 1.
+    var delta = sigma.filter($"d" === 4)
+      .select($"u", $"v", lit(0.0).as("delta"))
+    val deltas = Vector.newBuilder[DataFrame]
+    for (k <- 3 to 1 by -1) {
+      val child = sigma.filter($"d" === k + 1)
+        .join(delta.withColumnRenamed("delta", "dch"),
+          Seq("u", "v"), "left")
+        .select($"u", $"v".as("cv"), $"sig".as("csig"),
+          coalesce($"dch", lit(0.0)).as("dch"))
+      delta = sigma.filter($"d" === k).as("x")
+        .join(e.as("ed"), col("x.v") === col("ed.src"))
+        .join(child.as("c"),
+          col("c.u") === col("x.u") && col("c.cv") === col("ed.dst"))
+        .groupBy(col("x.u").as("u"), col("x.v").as("v"))
+        .agg(graft.Canon.sig6(
+          sum(col("x.sig").cast("double") / col("c.csig") *
+            (lit(1.0) + col("c.dch")))).as("delta"))
+      deltas += delta
+    }
+    // Materialize the (vertex-sized) result eagerly, then free the two
+    // pair-sized intermediates — the r8-advice cache-hygiene rule: a
+    // registry query must not leave corpus-scale blocks in the shared
+    // block manager for the rest of a 180-query sweep.
+    val out = deltas.result().reduce(_ unionByName _)
+      .groupBy($"v".as("id"))
+      .agg(graft.Canon.sig6(sum($"delta")).as("bc"))
+      .filter($"bc" > 0.0)
+      .localCheckpoint()
+    md.unpersist(blocking = false)
+    sigma.unpersist(blocking = false)
+    out
   }
 
   /** G2 — global triangle count (reference semantics: each triangle a<b<c

@@ -122,6 +122,15 @@ object GraphQueries {
       "FROM orders WHERE o_orderkey % 17 = 0 " +
       "AND (o_custkey % 1000) <> (o_orderkey % 1000)"
 
+  /** The coloring view (1/171 of orders) — see [[GraphOps.colorEdges]]:
+    * JP's fixpoint depth tracks density, and only this density class keeps
+    * the statically-unrolled oracle feasible at every gate SF.
+    */
+  val colorEdgesSql: String =
+    "SELECT DISTINCT (o_custkey % 1000) AS src, (o_orderkey % 1000) AS dst " +
+      "FROM orders WHERE o_orderkey % 171 = 0 " +
+      "AND (o_custkey % 1000) <> (o_orderkey % 1000)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_sssp_bfs" -> ((s, dir) =>
       GraphOps.bfs(s, GraphOps.edges(s, dir))),
@@ -310,6 +319,21 @@ object GraphQueries {
           "GraphOps.MisRounds")
       run.members
     }),
+    // Jones–Plassmann greedy coloring — the coloring member of the Luby
+    // symmetry-breaking family (g26 matching, g27 MIS): static md5
+    // priorities, each round the priority-local maxima of the uncolored
+    // remainder take the greedy mex over their already-colored neighbors.
+    // Same fixpoint/static-unroll contract as g26/g27: the engine loops to
+    // the TRUE fixpoint, the oracle unrolls 2x-headroom deep, and a graph
+    // needing more rounds fails HERE with a depth error.
+    "g30_coloring" -> ((s, dir) => {
+      val run = GraphOps.greedyColoringRun(s, GraphOps.colorEdges(s, dir))
+      require(run.rounds * 2 <= GraphOps.ColorRounds,
+        s"coloring fixpoint ${run.rounds} rounds exceeds half the g30 " +
+          s"oracle's static unroll (${GraphOps.ColorRounds}) — deepen " +
+          "GraphOps.ColorRounds")
+      run.colors
+    }),
     // HITS hubs & authorities, two unrolled full iterations — the
     // link-analysis companion to g03's PageRank: mutual reinforcement
     // (good hubs point at good authorities) instead of damped mass flow.
@@ -386,6 +410,13 @@ object GraphQueries {
     // (semantics + scale posture in GraphOps.harmonic4's doc).
     "g20_harmonic4" -> ((s, dir) =>
       GraphOps.harmonic4(s, GraphOps.sparseEdges(s, dir))),
+    // Hop-bounded betweenness centrality (exact Brandes within the 4-hop
+    // horizon): who must shortest-path traffic pass THROUGH — the flow
+    // companion to g20's nearness. Forward integer path counts + backward
+    // dependency accumulation over the shortest-path DAG, every δ stage
+    // grid-rounded (semantics + scale posture in GraphOps.betweenness4).
+    "g31_betweenness4" -> ((s, dir) =>
+      GraphOps.betweenness4(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -796,6 +827,63 @@ object GraphQueries {
          |       ${graft.Canon.sig6Sql(s"CAST(sum($w12) AS DOUBLE) / 12.0")} AS harmonic
          |FROM md WHERE d > 0 GROUP BY v""".stripMargin
     },
+    // Brandes within the 4-hop horizon, statically staged: the same
+    // leveled BFS as g20 gives true distances; σ accumulates level by
+    // level in BIGINT (each s_k row is depth-k by construction, so it
+    // carries its own d tag — no md re-join needed); δ walks the DAG
+    // depth 3 → 1 with each stage MATERIALIZED and rounded on the shared
+    // grid exactly like the Spark side (the g28 chained-stage lesson).
+    "g31_betweenness4" -> {
+      def lvl(k: Int) =
+        s"""l$k AS (SELECT DISTINCT p.u, e.dst AS v
+           |  FROM l${k - 1} p JOIN e ON e.src = p.v)""".stripMargin
+      def sigLvl(k: Int) =
+        s"""s$k AS MATERIALIZED (SELECT p.u, e.dst AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+           |  FROM s${k - 1} p JOIN e ON e.src = p.v
+           |  JOIN md m ON m.u = p.u AND m.v = e.dst AND m.d = $k
+           |  GROUP BY p.u, e.dst)""".stripMargin
+      def deltaLvl(k: Int) =
+        s"""ch${k + 1} AS (SELECT s.u, s.v AS cv, s.sig AS csig,
+           |  ${if (k == 3) "0.0" else s"coalesce(dl${k + 1}.delta, 0.0)"} AS dch
+           |  FROM sg s${if (k == 3) ""
+          else
+            s" LEFT JOIN dl${k + 1} ON dl${k + 1}.u = s.u AND dl${k + 1}.v = s.v"}
+           |  WHERE s.d = ${k + 1}),
+           |dl$k AS MATERIALIZED (SELECT x.u, x.v,
+           |  ${graft.Canon.sig6Sql(
+            "sum(CAST(x.sig AS DOUBLE) / c.csig * (1.0 + c.dch))")} AS delta
+           |  FROM sg x JOIN e ON e.src = x.v
+           |  JOIN ch${k + 1} c ON c.u = x.u AND c.cv = e.dst
+           |  WHERE x.d = $k GROUP BY x.u, x.v)""".stripMargin
+      val unions = (0 to 4).map(d => s"SELECT u, v, $d AS d FROM l$d")
+        .mkString("\n  UNION ALL ")
+      val sgUnions = (0 to 4).map(k => s"SELECT u, v, sig, $k AS d FROM s$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS MATERIALIZED ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |l0 AS (SELECT id AS u, id AS v FROM v),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}, ${lvl(4)},
+         |alld AS (
+         |  $unions),
+         |md AS MATERIALIZED (SELECT u, v, min(d) AS d FROM alld GROUP BY u, v),
+         |s0 AS (SELECT u, v, CAST(1 AS BIGINT) AS sig FROM md WHERE d = 0),
+         |${sigLvl(1)},
+         |${sigLvl(2)},
+         |${sigLvl(3)},
+         |${sigLvl(4)},
+         |sg AS MATERIALIZED (
+         |  $sgUnions),
+         |${deltaLvl(3)},
+         |${deltaLvl(2)},
+         |${deltaLvl(1)},
+         |bc AS (SELECT v AS id,
+         |  ${graft.Canon.sig6Sql("sum(delta)")} AS bc
+         |  FROM (SELECT u, v, delta FROM dl3
+         |        UNION ALL SELECT u, v, delta FROM dl2
+         |        UNION ALL SELECT u, v, delta FROM dl1) t
+         |  GROUP BY v)
+         |SELECT id, bc FROM bc WHERE bc > 0.0""".stripMargin
+    },
     // SCC: id's component = min vertex mutually reachable with it (the
     // directed closure joined with its transpose).
     "g09_scc" -> sccOracle,
@@ -928,6 +1016,7 @@ object GraphQueries {
          |$ctes
          |$sels""".stripMargin
     },
+    "g30_coloring" -> coloringOracle(GraphOps.ColorRounds),
     // HITS: the same four matvec+normalize stages as GraphOps.hits, each
     // normalized vector rounded on the shared grid so every stage starts
     // from identical doubles on both engines. A stage is (sum over the
@@ -996,6 +1085,64 @@ object GraphQueries {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
   )
+
+  /** DuckDB oracle for g30: Jones–Plassmann statically unrolled. The
+    * priority is the SAME fixed-width string as the Spark side (8 md5 hex
+    * chars ++ 12-digit zero-padded id), so lexicographic max IS the
+    * (hash, id) total order in both engines; the mex ranks each winner's
+    * distinct colored-neighbor colors ascending and takes the first rank
+    * whose color differs from it (else the count — a gapless 0.. prefix).
+    * Converged rounds see an empty remainder and are no-ops, so any unroll
+    * depth past the fixpoint is exact (the g15/g26/g27 convention); the
+    * registry entry REQUIREs fixpoint ≤ rounds/2 per run.
+    */
+  private def coloringOracle(rounds: Int): String = {
+    def round(k: Int, prevV: String, prevE: String, prevC: String) =
+      s"""nmax$k AS (SELECT v, max(p) AS mp FROM (
+         |    SELECT e.a AS v, pr.p FROM $prevE e JOIN pr ON pr.v = e.b
+         |    UNION ALL
+         |    SELECT e.b, pr.p FROM $prevE e JOIN pr ON pr.v = e.a) t
+         |  GROUP BY v),
+         |win$k AS MATERIALIZED (SELECT r.v FROM $prevV r
+         |  JOIN pr ON pr.v = r.v
+         |  LEFT JOIN nmax$k nm ON nm.v = r.v
+         |  WHERE nm.mp IS NULL OR pr.p > nm.mp),
+         |nc$k AS (SELECT DISTINCT s.v, c.color FROM sym s
+         |  JOIN win$k w ON w.v = s.v
+         |  JOIN $prevC c ON c.id = s.nb),
+         |mex$k AS (SELECT v,
+         |    coalesce(min(CASE WHEN color <> rn THEN rn END), count(*)) AS color
+         |  FROM (SELECT v, color,
+         |          row_number() OVER (PARTITION BY v ORDER BY color) - 1 AS rn
+         |        FROM nc$k) t
+         |  GROUP BY v),
+         |col$k AS MATERIALIZED (SELECT id, color FROM $prevC
+         |  UNION ALL
+         |  SELECT w.v, CAST(coalesce(m.color, 0) AS BIGINT)
+         |  FROM win$k w LEFT JOIN mex$k m ON m.v = w.v),
+         |rv$k AS MATERIALIZED (SELECT v FROM $prevV
+         |  WHERE v NOT IN (SELECT v FROM win$k)),
+         |re$k AS MATERIALIZED (SELECT a, b FROM $prevE
+         |  WHERE a NOT IN (SELECT v FROM win$k)
+         |    AND b NOT IN (SELECT v FROM win$k))""".stripMargin
+    val ctes = (1 to rounds).map(k => round(k,
+      if (k == 1) "v0" else s"rv${k - 1}",
+      if (k == 1) "c0" else s"re${k - 1}",
+      if (k == 1) "col0" else s"col${k - 1}")).mkString(",\n")
+    s"""WITH e AS ($colorEdgesSql),
+       |c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e WHERE src <> dst),
+       |v0 AS MATERIALIZED (SELECT a AS v FROM c0 UNION SELECT b FROM c0),
+       |sym AS MATERIALIZED (SELECT a AS v, b AS nb FROM c0
+       |       UNION ALL SELECT b, a FROM c0),
+       |pr AS MATERIALIZED (SELECT v,
+       |       concat(substr(md5('color:' || CAST(v AS VARCHAR)), 1, 8),
+       |              lpad(CAST(v AS VARCHAR), 12, '0')) AS p FROM v0),
+       |col0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color
+       |         WHERE false),
+       |$ctes
+       |SELECT id, color FROM col$rounds""".stripMargin
+  }
 
   /** DuckDB oracle for g15: the degree-peel statically unrolled. Round r
     * keeps the vertices with degree ≥ k in the round-(r-1) edge set and

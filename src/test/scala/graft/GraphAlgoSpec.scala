@@ -430,4 +430,112 @@ class GraphAlgoSpec extends AnyFunSuite {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.5, f"IVF recall $recall%.2f below floor")
   }
+
+  test("PCA power iteration: unit component, projections centered, and " +
+      "variance dominates every coordinate axis") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val scores = graft.llmops.Similarity.pcaPowerProject(spark, sf)
+      .collect().map(r => r.getDouble(1))
+    val n = scores.length.toDouble
+    val mean = scores.sum / n
+    // Projections of centered data onto a direction are centered (up to
+    // the 9-sig grid rounding of each stage).
+    assert(math.abs(mean) < 1e-3, s"projection mean $mean")
+    val pcVar = scores.map(x => (x - mean) * (x - mean)).sum / n
+    // Rayleigh check: the component's variance must beat every coordinate
+    // axis — the property that makes it the TOP component (3 power rounds
+    // on a clustered corpus are far past this bar).
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = emb.head.length
+    (0 until dim).foreach { i =>
+      val xs = emb.map(_(i).toDouble)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(pcVar > v, s"axis $i variance $v >= component variance $pcVar")
+    }
+    // Determinism: no RNG state anywhere.
+    val again = graft.llmops.Similarity.pcaPowerProject(spark, sf)
+      .collect().map(r => r.getDouble(1))
+    assert(again.toSeq == scores.toSeq)
+  }
+
+  test("betweenness4: hand goldens — chain interior counts, diamond splits " +
+      "fractionally, hop bound cuts") {
+    import spark.implicits._
+    // Directed 5-chain: every interior vertex carries all pairs routing
+    // through it; the 4-hop bound still admits the full 1→5 path.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val gotChain = GraphOps.betweenness4(spark, chain).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotChain == Map(2L -> 3.0, 3L -> 4.0, 4L -> 3.0), s"$gotChain")
+    // Diamond 1→{2,3}→4: two equal shortest paths, each middle vertex
+    // carries half a pair — the σ-ratio arithmetic, not just counting.
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val gotD = GraphOps.betweenness4(spark, diamond).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(gotD == Map(2L -> 0.5, 3L -> 0.5), s"$gotD")
+    // Hop bound: a 6-chain's endpoint pair (1,6) is 5 hops — beyond the
+    // horizon, so vertex 3 loses exactly that pair vs the unbounded count.
+    val chain6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got6 = GraphOps.betweenness4(spark, chain6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // Unbounded BC of v3 in a 6-chain is 2*3=6 ordered... directed: pairs
+    // (1,4),(1,5),(2,4),(2,5),(2,6),(3..): through 3: (1,4),(1,5),(2,4),
+    // (2,5),(2,6) = 5 within 4 hops; (1,6) is cut.
+    assert(got6(3L) == 5.0, s"$got6")
+  }
+
+  test("coloring: proper, greedy-tight, deterministic, within half the " +
+      "g30 unroll at both gate SFs") {
+    import spark.implicits._
+    // Small fixture: a 4-clique forces 4 colors; the pendant and the
+    // separate edge stay low. Invariants are exhaustively checkable.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (8L, 8L)).toDF("src", "dst")
+    val got = GraphOps.greedyColoring(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "every non-self-loop vertex colored exactly once")
+    assert(Set(1L, 2L, 3L, 4L).map(got).size == 4,
+      s"4-clique needs 4 distinct colors: $got")
+    // Determinism: static md5 priorities, no RNG state.
+    val again = GraphOps.greedyColoring(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == got)
+    // Gate graphs: properness and the greedy-mex witness (every color
+    // below a vertex's own appears in its neighborhood — the mex never
+    // skips) on the DENSE sf0.01 view, where the JP loop runs ~63 rounds
+    // (the library function is depth-unbounded; only the oracle view is
+    // unroll-capped). The depth pin runs on the oracle's own colorEdges
+    // view at BOTH gate SFs, the g26/g27 convention.
+    val eDense = GraphOps.edges(spark, "/root/testdata/sf0.01").cache()
+    val dense = GraphOps.greedyColoring(spark, eDense).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val es = eDense.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2)
+    es.foreach { case (a, b) =>
+      assert(dense(a) != dense(b), s"edge ($a,$b) monochromatic")
+    }
+    val nbrs = es.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (v, ps) => v -> ps.map(_._2).toSet }
+    dense.foreach { case (v, c) =>
+      val nbrColors = nbrs.getOrElse(v, Set.empty).map(dense)
+      (0L until c).foreach { lower =>
+        assert(nbrColors(lower),
+          s"vertex $v color $c skips unused color $lower — not a mex")
+      }
+    }
+    eDense.unpersist()
+    for (sf <- Seq("sf0.001", "sf0.1")) {
+      val run = GraphOps.greedyColoringRun(spark,
+        GraphOps.colorEdges(spark, s"/root/testdata/$sf"))
+      run.colors.collect()
+      assert(run.rounds > 0 && run.rounds * 2 <= GraphOps.ColorRounds,
+        s"$sf: rounds=${run.rounds} cap=${GraphOps.ColorRounds}")
+    }
+  }
 }
