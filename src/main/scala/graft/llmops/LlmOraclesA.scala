@@ -347,6 +347,52 @@ object LlmOraclesA {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, ${sig6Sql("raw")} AS score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Hard-negative mining = l32's BM25 chain + l03's Jaccard-pair chain +
+    // an anti-join: positive = BM25 top-1, its ≥0.5-Jaccard near-dups are
+    // excluded as false negatives, the next k docs rank as negatives.
+    // Scores are grid-rounded before every rank/cut (doc_id tie-break), so
+    // both engines cut identical boundaries.
+    "l59_hard_negatives" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln((st.nd - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |             (tf.tf * 2.2) /
+         |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS raw
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+         |  GROUP BY tf.doc_id),
+         |scores AS MATERIALIZED (SELECT doc_id, ${sig6Sql("raw")} AS score FROM sc),
+         |top1 AS (SELECT doc_id AS pos_id FROM scores
+         |         ORDER BY score DESC, doc_id LIMIT 1),
+         |toks AS (
+         |  SELECT doc_id, $toksSql AS ws FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+         |  FROM toks, unnest(range(1, len(ws) - 2)) t(i)
+         |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |jpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b FROM jpairs
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(ca.n + cb.n - inter) >= 0.5),
+         |dups AS (SELECT doc_b AS doc_id FROM jp JOIN top1 ON doc_a = pos_id
+         |  UNION SELECT doc_a FROM jp JOIN top1 ON doc_b = pos_id
+         |  UNION SELECT pos_id FROM top1),
+         |negs AS (SELECT doc_id, score FROM scores
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |         AS neg_rank, doc_id, score
+         |FROM negs ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // RRF fusion of the BM25 pool and the cosine pool (see
     // Similarity.hybridRrf): both legs rank 9-sig-rounded scores with id
     // tie-breaks, so pools/ranks are identical integers in both engines

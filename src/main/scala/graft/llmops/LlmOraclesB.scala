@@ -557,5 +557,46 @@ object LlmOraclesB {
          |  FROM adc) t
          |WHERE rn <= ${Similarity.PqK}""".stripMargin
     },
+    // Power iteration statically unrolled (Similarity.PcaIters rounds, the
+    // SAME val that defaults pcaPowerProject): every stage — μ, the
+    // centering scalar c, per-row scores s, accumulated a_i / b, the
+    // recombined w_i, the normalized v_i — lands on the shared grid
+    // exactly like the Spark side (the g28 chained-stage discipline), so
+    // the unrolled iterations hold bit-identical doubles throughout.
+    "l58_pca_project" -> {
+      def iter(t: Int, prev: String) =
+        s"""c$t AS (SELECT ${sig6Sql("sum(m * x)")} AS c
+           |  FROM mu JOIN $prev USING (i)),
+           |s$t AS MATERIALIZED (SELECT b.vec_id,
+           |  ${sig6Sql("sum(b.e * v.x) - (SELECT c FROM c" + t + ")")} AS sc
+           |  FROM base b JOIN $prev v USING (i) GROUP BY b.vec_id),
+           |a$t AS (SELECT b.i, ${sig6Sql("sum(s.sc * b.e)")} AS a
+           |  FROM base b JOIN s$t s USING (vec_id) GROUP BY b.i),
+           |b$t AS (SELECT ${sig6Sql("sum(sc)")} AS bb FROM s$t),
+           |w$t AS MATERIALIZED (SELECT a.i,
+           |  ${sig6Sql("a.a - (SELECT bb FROM b" + t + ") * mu.m")} AS w
+           |  FROM a$t a JOIN mu USING (i)),
+           |nrm$t AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i,
+           |  ${sig6Sql("w / (SELECT nrm FROM nrm" + t + ")")} AS x
+           |  FROM w$t)""".stripMargin
+      val n = Similarity.PcaIters
+      val iters = (1 to n)
+        .map(t => iter(t, if (t == 1) "v0" else s"v${t - 1}"))
+        .mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, i, embedding[i]::DOUBLE AS e
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+         |mu AS MATERIALIZED (SELECT i,
+         |  ${sig6Sql(
+            "sum(e) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)")} AS m
+         |  FROM base GROUP BY i),
+         |v0 AS (SELECT i, 1.0 AS x FROM mu),
+         |$iters,
+         |cf AS (SELECT ${sig6Sql("sum(m * x)")} AS c FROM mu JOIN v$n USING (i))
+         |SELECT b.vec_id,
+         |  ${sig6Sql("sum(b.e * v.x) - (SELECT c FROM cf)")} AS score
+         |FROM base b JOIN v$n v USING (i) GROUP BY b.vec_id""".stripMargin
+    },
   )
 }

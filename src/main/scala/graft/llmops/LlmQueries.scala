@@ -52,6 +52,10 @@ object LlmQueries {
     // Product-quantization ADC top-k — the third ANN tier beside l08 (LSH)
     // and l15 (IVF); per-subspace codebooks via the shared Lloyd.
     "l55_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // Top principal component by power iteration (C·v as X^T(Xv) — one
+    // corpus aggregation per round, no covariance matrix, no shuffle) and
+    // the corpus projected onto it — the whitening/anisotropy primitive.
+    "l58_pca_project" -> ((s, dir) => Similarity.pcaPowerProject(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),
@@ -76,6 +80,10 @@ object LlmQueries {
     "l30_repetition" -> ((s, dir) => TextStats.repetitionStats(s, dir)),
     "l31_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
     "l32_bm25_topk" -> ((s, dir) => TextStats.bm25TopK(s, dir)),
+    // Hard-negative mining (DPR-style): BM25 top-1 is the positive, its
+    // Jaccard near-dups are excluded as false negatives, the next k docs
+    // ship as contrastive-training negatives — l32 ∘ l03 ∘ anti-join.
+    "l59_hard_negatives" -> ((s, dir) => TextStats.hardNegatives(s, dir)),
     "l33_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     "l34_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "l35_winnow_fingerprints" -> ((s, dir) => TextStats.winnowFingerprints(s, dir)),

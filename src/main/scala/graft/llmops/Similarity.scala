@@ -107,6 +107,78 @@ object Similarity {
     out
   }
 
+  /** Registry default for [[pcaPowerProject]], shared with the l58 oracle
+    * generator so the unroll depth cannot silently diverge.
+    */
+  private[graft] val PcaIters = 3
+
+  /** L58: top principal component via POWER ITERATION, and the corpus
+    * projected onto it — the embedding-analysis primitive behind whitening,
+    * anisotropy checks ("all-but-the-top"), and 1-D semantic sorts. The
+    * covariance matvec never materializes the covariance matrix: C·v =
+    * Σ_x s_x·(x−μ) with s_x = ⟨x−μ, v⟩, so each of the `iters` rounds is
+    * ONE corpus aggregation (per-row fused dot + elementwise-sum sketch)
+    * — the classic X^T(Xv) factorization. μ and v stay dim-sized: they
+    * collect to the driver (the KMeans-centroid convention — bounded by
+    * the embedding width, never by the corpus) and re-enter each round as
+    * broadcast literals, so the corpus never shuffles at all; at 100 TB
+    * every round is a map-side partial aggregation.
+    *
+    * Determinism (the g28 chained-stage discipline): every stage lands on
+    * the shared 9-sig grid — μ_i, the centering scalar c = ⟨μ,v⟩, each
+    * row's score s_x, the accumulated a_i and b = Σs, the recombined
+    * w_i = a_i − b·μ_i, and the normalized v_i — so the DuckDB oracle's
+    * statically unrolled iterations hold bit-identical doubles throughout.
+    * v0 = all-ones (normalization happens after the first matvec); the
+    * component's SIGN follows the deterministic iteration, not a
+    * convention. Output: (vec_id, score), score = ⟨x−μ, v_final⟩.
+    */
+  def pcaPowerProject(s: SparkSession, dir: String, iters: Int = PcaIters)
+      : DataFrame = {
+    import s.implicits._
+    val pts = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .cache()
+    val n = pts.count()
+    def litArr(a: Array[Double]): Column = array(a.map(lit(_)): _*)
+    // Per-dimension grid-rounded mean (one ArraySumAgg pass).
+    val mu: Array[Double] = pts
+      .agg(GraftFunctions.arraySumAgg(s, $"v").as("sv"))
+      .select(posexplode($"sv"))
+      .select($"pos", sig6($"col" / lit(n.toDouble)).as("m"))
+      .orderBy($"pos").collect().map(_.getDouble(1))
+    val muArr = litArr(mu)
+    // The centering scalar on the same grid as the oracle (computed by the
+    // engine, not driver math, so round() semantics cannot drift).
+    def dotMu(v: Array[Double]): Double = s.range(1)
+      .select(sig6(GraftFunctions.arrayDot(s, muArr, litArr(v))).as("c"))
+      .head().getDouble(0)
+    var v = Array.fill(mu.length)(1.0)
+    for (_ <- 1 to iters) {
+      val c = dotMu(v)
+      val sdf = pts.select($"vec_id",
+        sig6(GraftFunctions.arrayDot(s, $"v", litArr(v)) - lit(c)).as("sc"),
+        $"v")
+      val agg = sdf.agg(
+        GraftFunctions.arraySumAgg(s, transform($"v", e => e * $"sc")).as("sv"),
+        sum($"sc").as("ss"))
+      // nrm over the dim-sized w relation: a global window over 64 rows,
+      // not a corpus-scale sort.
+      v = agg.select(posexplode($"sv"), sig6($"ss").as("b"))
+        .select($"pos",
+          sig6(sig6($"col") - $"b" * element_at(muArr, $"pos" + 1)).as("w"))
+        .withColumn("nrm", sqrt(sum($"w" * $"w").over(Window.partitionBy())))
+        .select($"pos", sig6($"w" / $"nrm").as("x"))
+        .orderBy($"pos").collect().map(_.getDouble(1))
+    }
+    val cF = dotMu(v)
+    val out = pts.select($"vec_id",
+        sig6(GraftFunctions.arrayDot(s, $"v", litArr(v)) - lit(cF)).as("score"))
+      .localCheckpoint()
+    pts.unpersist()
+    out
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage-side
     * companion to similarity search (a 100 TB embedding store keeps int8
     * codes + per-vector (min, scale), 4× smaller than float32). Per vector:

@@ -558,6 +558,40 @@ object TextStats {
       .agg(graft.Canon.sig6(sum($"contrib")).as("score"))
   }
 
+  /** L59: HARD-NEGATIVE MINING for retrieval training — the standard
+    * dense-retriever data recipe (DPR/Karpukhin et al. 2020: "BM25 hard
+    * negatives"): for the query, take the BM25 ranking, call the top-1 the
+    * positive, EXCLUDE the positive and its near-duplicates (an n-gram
+    * Jaccard pair is a false negative waiting to poison the contrastive
+    * loss — the well-known caveat), and emit the next k highest-scoring
+    * docs as the training negatives. Pure composition of first-class
+    * operators: l32's BM25 relation + l03's Jaccard pairs + an anti-join.
+    *
+    * Scale posture: the scored relation is bounded by the query-term
+    * postings (term filter before any aggregation, per bm25Scores); the
+    * positive + its dup set is tiny and broadcast into the anti-join; the
+    * final cut is orderBy+limit (TakeOrdered) with the rank assigned
+    * within the k-row result, never a corpus-wide window. Determinism:
+    * scores are grid-rounded before every rank/cut, ties break on doc_id.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scores = bm25Scores(s, dir, Seq("spark", "join", "window"), 1.2, 0.75)
+    val top1 = scores.orderBy($"score".desc, $"doc_id").limit(1)
+      .select($"doc_id".as("pos_id"))
+    val pairs = Dedup.jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+    val dups = pairs.join(broadcast(top1), $"doc_a" === $"pos_id")
+        .select($"doc_b".as("doc_id"))
+      .unionByName(pairs.join(broadcast(top1), $"doc_b" === $"pos_id")
+        .select($"doc_a".as("doc_id")))
+      .unionByName(top1.select($"pos_id".as("doc_id")))
+    scores.join(broadcast(dups), Seq("doc_id"), "left_anti")
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .select(row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+        .cast("long").as("neg_rank"), $"doc_id", $"score")
+  }
+
   /** L40: the fused multi-signal quality verdict — hard rules first
     * (length/token/stopword), then the statistical signals in a fixed
     * precedence (repetition, LM score, entropy). One row per document

@@ -400,6 +400,49 @@ object MultimodalOps {
     }.toDF("doc_id", "afp")
   }
 
+  /** Block-based SCENE-CHANGE detection over the video rows — the cheap
+    * shot-boundary detector every video-curation pipeline fronts with
+    * (block difference is how encoder lookaheads flag cuts): decode each
+    * frame through the REAL codec, sum pixels per 4×4 tile (integer,
+    * exact), and score each consecutive-frame pair by the mean absolute
+    * TILE-SUM difference (Σ_t |s_{f+1,t} − s_{f,t}| / n_px). Tile sums —
+    * not whole-frame means — carry the spatial signal a global mean
+    * cancels out. A pair is a cut when the score clears `threshold`.
+    *
+    * All arithmetic is integer sums divided by a power of two, so the
+    * scores are exact dyadic doubles — no grid rounding needed, the
+    * oracle's closed forms match bit-for-bit. Codec-in-partition,
+    * shuffle-free row explosion bounded by the frame count (the m02
+    * shape).
+    */
+  def sceneCuts(media: Dataset[MediaRow], threshold: Double = 40.0): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val frames = decodeVideo(m.payload)
+      val side = m.width
+      val tilesPerRow = side / 4
+      val nTiles = tilesPerRow * tilesPerRow
+      def tileSums(px: Array[Int]): Array[Long] = {
+        val sums = new Array[Long](nTiles)
+        var i = 0
+        while (i < px.length) {
+          val t = (i / side / 4) * tilesPerRow + (i % side) / 4
+          sums(t) += px(i)
+          i += 1
+        }
+        sums
+      }
+      val ts = frames.map(tileSums)
+      (0 until frames.length - 1).map { f =>
+        var sd = 0L
+        var t = 0
+        while (t < nTiles) { sd += math.abs(ts(f + 1)(t) - ts(f)(t)); t += 1 }
+        val mad = sd.toDouble / (side * side)
+        (m.doc_id, f.toLong, mad, mad > threshold)
+      }
+    }.toDF("doc_id", "frame_from", "mad", "is_cut")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Driver-facing queries — all three oracle-checked since round 5 (the
@@ -473,6 +516,13 @@ object MultimodalOps {
         .groupBy($"afp")
         .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_id"))
     }),
+    // Scene-change detection: decode → per-frame 4×4 tile sums →
+    // consecutive-pair block-difference score + cut flag. The oracle
+    // restates every tile sum in (doc_id, frame, tile) arithmetic; scores
+    // are exact dyadic doubles (integer sums / 256), so any decode or
+    // tiling error breaks the hash without rounding slack.
+    "m09_scene_cuts" -> ((s, dir) =>
+      sceneCuts(mediaTable(s, dir, onlyKind = Some("video")))),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself. The
     // payload is never read, so the codec is skipped outright
@@ -639,6 +689,32 @@ object MultimodalOps {
          |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
          |       min(doc_id) AS min_id
          |FROM b GROUP BY phash HAVING count(*) >= 2""".stripMargin,
+    // Scene cuts restated: pixel i of frame f is (id + 31f + i) mod 256;
+    // tile t of a 16×16 frame holds the 16 indices
+    // i = 16·(4·(t÷4) + j÷4) + 4·(t mod 4) + j mod 4, j ∈ [0,16); the
+    // score is Σ_t |s_{f+1,t} − s_{f,t}| / 256 — integer sums over a
+    // power-of-two divisor, bit-exact on both engines.
+    "m09_scene_cuts" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id, 2 + (doc_id // 3) % 3 AS n_f
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, unnest(range(n_f)) AS f FROM vid),
+         |ts AS (
+         |  SELECT doc_id, f, t,
+         |         sum((doc_id + 31 * f
+         |              + 16 * (4 * (t // 4) + j // 4)
+         |              + 4 * (t % 4) + j % 4) % 256) AS s
+         |  FROM fr, unnest(range(0, 16)) a(t), unnest(range(0, 16)) b(j)
+         |  GROUP BY doc_id, f, t),
+         |d AS (
+         |  SELECT a.doc_id, a.f AS frame_from, sum(abs(b.s - a.s)) AS sd
+         |  FROM ts a JOIN ts b ON b.doc_id = a.doc_id AND b.t = a.t
+         |                     AND b.f = a.f + 1
+         |  GROUP BY a.doc_id, a.f)
+         |SELECT doc_id, CAST(frame_from AS BIGINT) AS frame_from,
+         |       CAST(sd AS DOUBLE) / 256.0 AS mad,
+         |       (CAST(sd AS DOUBLE) / 256.0 > 40.0) AS is_cut
+         |FROM d""".stripMargin,
     // Audio fingerprint restated: sample i of clip id =
     // ((id+i) mod 256 − 128)·256 over n = 256 + n_chars mod 256 units,
     // window(i) = (i·16)//n, bit via the exact integer cross-multiply

@@ -151,4 +151,36 @@ class MultimodalSpec extends AnyFunSuite {
     // Full 256-cycle per frame: every frame mean is exactly 127.5.
     assert(fr.forall(r => r.getInt(2) == 256 && r.getDouble(3) == 127.5))
   }
+
+  test("scene cuts: one row per consecutive frame pair, tile-sum scores " +
+      "match the pixel arithmetic, both cut classes occur") {
+    val rows = MultimodalOps.sceneCuts(
+        MultimodalOps.mediaTable(spark, dir, onlyKind = Some("video")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val vids = MultimodalOps.mediaTable(spark, dir, onlyKind = Some("video"))
+      .collect().map(_.doc_id)
+    // Row count: frames − 1 pairs per video.
+    assert(rows.size == vids.map(id => (1 + (id / 3) % 3).toInt).sum)
+    // Independent recompute from the generator arithmetic (the decode path
+    // under test never enters here): tile sums over (id + 31f + i) % 256.
+    def tileSum(id: Long, f: Int, t: Int): Long =
+      (0 until 16).map { j =>
+        val i = 16 * (4 * (t / 4) + j / 4) + 4 * (t % 4) + j % 4
+        (id + 31L * f + i) % 256
+      }.sum
+    vids.foreach { id =>
+      val nf = (2 + (id / 3) % 3).toInt
+      (0 until nf - 1).foreach { f =>
+        val sd = (0 until 16)
+          .map(t => math.abs(tileSum(id, f + 1, t) - tileSum(id, f, t))).sum
+        val (mad, cut) = rows((id, f.toLong))
+        assert(mad == sd.toDouble / 256.0, s"doc $id pair $f")
+        assert(cut == (mad > 40.0))
+      }
+    }
+    // The threshold is a real boundary on this corpus, not a constant flag.
+    assert(rows.values.exists(_._2) && rows.values.exists(!_._2))
+  }
 }

@@ -386,4 +386,27 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(got(en)._2 > got(zh)._2,
         s"en doc $en (${got(en)._2}) should outscore zh doc $zh (${got(zh)._2})")))
   }
+
+  test("hard negatives: positive and its near-dups excluded, ranks dense, " +
+      "scores descend the BM25 order") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val negs = TextStats.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(negs.length == 20)
+    assert(negs.map(_._1).toSeq == (1L to 20L), "dense 1..k ranks")
+    assert(negs.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) }, "BM25 descending")
+    val scores = TextStats.bm25Scores(spark, sf,
+      Seq("spark", "join", "window"), 1.2, 0.75)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val pos = scores.minBy { case (id, sc) => (-sc, id) }._1
+    assert(!negs.exists(_._2 == pos), "the positive itself is excluded")
+    val dupOfPos = graft.llmops.Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if a == pos => b; case (a, b) if b == pos => a }
+      .toSet
+    assert(negs.forall(n => !dupOfPos(n._2)),
+      "near-duplicates of the positive are excluded as false negatives")
+  }
 }
