@@ -102,6 +102,39 @@ object RelationalExt2 {
         .select($"l_partkey", $"value")
     }),
 
+    // TPC-H Q2 shape: the MINIMUM-COST SUPPLIER per part across one
+    // region — the classic correlated-min-over-a-derived-view + multi-dim
+    // join. No partsupp table in this schema, so supply cost derives from
+    // the fact: cost(part, supplier) = min unit price across their
+    // lineitems (grid-rounded before the argmin). Scale shape: the
+    // region's supplier set reduces via a broadcast nation join and
+    // semi-joins the fact BEFORE the (partkey, suppkey) aggregate — the
+    // one fact shuffle — and the per-part argmin is a min(struct) reusing
+    // the same partkey partitioning; dims broadcast back for names.
+    "q74_min_cost_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val supR = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter($"n_regionkey" === 2)),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+      val pts = t(s, dir, "part").filter($"p_size" === 15)
+        .select($"p_partkey")
+      val cost = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey",
+          ($"l_extendedprice" / $"l_quantity").as("unit"))
+        .join(broadcast(pts), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(broadcast(supR.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sig6(min($"unit")).as("cost"))
+      val best = cost
+        .groupBy($"l_partkey".as("p_partkey"))
+        .agg(min(struct($"cost", $"l_suppkey")).as("b"))
+        .select($"p_partkey", $"b.l_suppkey".as("s_suppkey"), $"b.cost".as("cost"))
+      best.join(broadcast(supR), Seq("s_suppkey"))
+        .select($"p_partkey", $"s_suppkey", $"s_name", $"n_name", $"cost")
+    }),
+
     // TPC-H Q22 shape: high-balance customers with no big order — a
     // scalar-subquery filter (global positive-balance average, broadcast
     // as a one-row cross join) composed with an anti-join against the
@@ -155,6 +188,27 @@ object RelationalExt2 {
          |  GROUP BY l_partkey)
          |SELECT l_partkey, value FROM pv
          |WHERE value > (SELECT ${sig6Sql("avg(value) * 2.0")} FROM pv)""".stripMargin,
+    "q74_min_cost_supplier" ->
+      s"""WITH supr AS (
+         |  SELECT s_suppkey, s_name, n_name
+         |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+         |  WHERE n_regionkey = 2),
+         |cost AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ${sig6Sql("min(l_extendedprice / l_quantity)")} AS cost
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+         |    AND l_suppkey IN (SELECT s_suppkey FROM supr)
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT l_partkey, l_suppkey, cost FROM (
+         |    SELECT l_partkey, l_suppkey, cost,
+         |           row_number() OVER (PARTITION BY l_partkey
+         |             ORDER BY cost, l_suppkey) AS rn
+         |    FROM cost) t WHERE rn = 1)
+         |SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         |       s_name, n_name, cost
+         |FROM best JOIN supr ON supr.s_suppkey = best.l_suppkey""".stripMargin,
     "q73_idle_balance" ->
       s"""SELECT c_mktsegment, count(*) AS numcust,
          |       ${sig6Sql("sum(c_acctbal)")} AS totbal

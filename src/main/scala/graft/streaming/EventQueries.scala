@@ -412,6 +412,41 @@ object EventQueries {
           max($"n_events").as("n_events"))
     }),
 
+    // transformWithState with LIST-VALUED state (s08 gates ValueState):
+    // per-user last-3 events via a ListState that each batch MERGES into
+    // and re-ranks. The replay splits by event_id PARITY into two
+    // maxFilesPerTrigger=1 batches, so batch 2 carries events EARLIER
+    // than batch 1's — correctness requires the persisted list to be
+    // displaced, not appended to. The monotone n_seen counter picks each
+    // user's final emission out of the append-mode drain; the oracle is
+    // the plain per-user top-3 window over the batch table.
+    "s12_stream_lastn" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val staged = stage(ev.filter($"event_id" % 2 === 0), "s12", dir)
+      ev.filter($"event_id" % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(staged)
+      // RocksDB provider on a child session (the s08 scoping rationale).
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      val src = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .as[EventStreams.Ev]
+      val drained =
+        drain(s2, EventStreams.lastN(src).toDF(), "s12", "append", dir)
+      unstage(staged)
+      val w = Window.partitionBy($"user_id")
+      drained.withColumn("mx", max($"n_seen").over(w))
+        .filter($"n_seen" === $"mx")
+        .select($"user_id", $"pos".cast("long").as("pos"), $"event_id",
+          $"ms", $"value")
+    }),
+
     // CHAINED STATEFUL OPERATORS in one streaming query: watermarked dedup
     // of a doubled replay feeding a tumbling event-time aggregation — the
     // multi-stateful-operator pipeline (dedup state AND window state in
@@ -705,6 +740,18 @@ object EventQueries {
     "s04_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
         |FROM events""".stripMargin,
+    // The final ListState per user must equal the plain top-3 window over
+    // the batch table — a lost list entry, an append instead of a merge,
+    // or a wrong displacement order all hash-mismatch. Millis because the
+    // processor ranks on Timestamp.getTime (the s04 epoch_ms convention).
+    "s12_stream_lastn" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS pos, event_id,
+        |       epoch_ms(ts) AS ms, value
+        |FROM (SELECT user_id, event_id, ts, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn <= 3""".stripMargin,
     "q35_range_join" -> rangeJoinOracle,
     "s05_stream_interval_join" -> rangeJoinOracle,
     "s06_stream_outer_join" ->

@@ -174,6 +174,65 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class LastEv(user_id: Long, n_seen: Long, pos: Int,
+                          event_id: Long, ms: Long, value: Double)
+
+  /** Per-user LAST-N tracking through `transformWithState` with a typed
+    * `ListState` — the list-valued state primitive (s08's HwmProcessor
+    * covers ValueState): the state holds the user's N most-recent events
+    * by (event-time, event_id), each batch MERGES its rows into the stored
+    * list and re-ranks (arrival order is deliberately not time order in
+    * the s12 replay, so a batch can displace entries persisted by an
+    * earlier one — the cross-batch list is load-bearing, not an append
+    * log). A monotone `n_seen` counter (ValueState) rides along so a
+    * finite multi-batch replay can select each key's FINAL emission from
+    * the drained append-mode relation without any ordering assumption.
+    * This is the recommendation-feed / feature-store "recent activity"
+    * state shape.
+    */
+  final class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, LastEv] {
+    @transient private var lst:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, Double)] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lst = getHandle.getListState[(Long, Long, Double)]("lastn",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LastEv] = {
+      val incoming = rows
+        .map(r => (r.ev_ts.getTime, r.event_id, r.value)).toArray
+      val cnt = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      val merged = (lst.get().toArray ++ incoming)
+        .sortBy(t => (-t._1, -t._2)).take(n)
+      lst.clear()
+      lst.put(merged)
+      seen.update(cnt)
+      merged.iterator.zipWithIndex.map { case ((ms, id, v), i) =>
+        LastEv(key, cnt, i + 1, id, ms, v)
+      }
+    }
+  }
+
+  def lastN(events: Dataset[Ev], n: Int = 3): Dataset[LastEv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMs` event-time of the previous one.
     * Custom per-key state — the streaming analogue of the reference's

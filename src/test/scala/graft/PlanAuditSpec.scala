@@ -562,6 +562,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q74: both dims semi-join broadcast; fact scanned once; every hash " +
+      "exchange is partkey-keyed aggregation") {
+    // Q2's shape claim: the part filter and the region's supplier set both
+    // reduce the fact through BROADCAST semi joins before the
+    // (partkey, suppkey) cost aggregate — the fact is scanned once and
+    // never sort-merge-joined — and the only hash exchanges are the two
+    // partkey-rooted aggregate partitionings (cost, then argmin).
+    val plan = ranPlan("q74_min_cost_supplier")
+    assert("LeftSemi".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("l_partkey")),
+      s"expected only partkey aggregate exchanges:\n${hashEx.mkString("\n")}")
+  }
+
   test("l52 span scrub: no exchange carries text or token arrays") {
     // The scrub's scale claim: every corpus-keyed exchange carries
     // (doc_id, position, digest) rows; the token arrays meet the covered-

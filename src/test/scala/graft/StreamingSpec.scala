@@ -265,6 +265,35 @@ class StreamingSpec extends AnyFunSuite {
       s"expected >=2 micro-batches (two staged files), got $batches")
   }
 
+  test("transformWithState lastN: ListState merges (not appends) across " +
+      "two micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // The s12 replay splits by event_id PARITY, so the second batch holds
+    // events EARLIER than the first's — the persisted list must be
+    // displaced/re-ranked, not appended to. Equality with the batch top-3
+    // window proves the merge; the drain stats pin the two batches.
+    val got = SparkEntry.queries("s12_stream_lastn")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_millis($"ts".cast("timestamp")).desc, $"event_id".desc)
+    val exp = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter($"pos" <= 3)
+      .select($"user_id", $"pos", $"event_id",
+        unix_millis($"ts".cast("timestamp")).as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == exp)
+    val (batches, _) = graft.streaming.EventQueries.lastDrainStats.get("s12")
+    assert(batches >= 2,
+      s"expected >=2 micro-batches (two staged files), got $batches")
+  }
+
   test("checkpointed restart: file source → file sink is exactly-once") {
     import spark.implicits._
     val base = TestSpark.tempDir("graft-restart")
