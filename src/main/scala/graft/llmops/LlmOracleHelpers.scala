@@ -8,7 +8,9 @@ import graft.Canon.sig6Sql
   */
 object LlmOracleHelpers {
 
-  private[llmops] val toksSql =
+  // private[graft]: the m10 pair-manifest oracle (multimodal package)
+  // composes the l16 quality CTE and needs the same tokenizer text.
+  private[graft] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Shared MinHash CTE chain (shingle hashes → mod-P permuted signatures →

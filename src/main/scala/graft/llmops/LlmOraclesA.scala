@@ -296,6 +296,31 @@ object LlmOraclesA {
          |       ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
          |FROM tk JOIN freq USING (tok), n
          |GROUP BY doc_id""".stripMargin,
+    // CCNet bucketing = l27's score chain + a per-language ranked window +
+    // integer bucket arithmetic ((rank−1)·3 // n) — the rank orders the
+    // grid-rounded score with doc_id tie-break, so bucket membership is
+    // engine-exact.
+    "l60_ppl_buckets" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq),
+         |lp AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         ${sig6Sql("avg(log10(cnt / n.n))")} AS logprob
+         |  FROM tk JOIN freq USING (tok), n
+         |  GROUP BY doc_id),
+         |r AS (
+         |  SELECT d.lang, lp.n_tokens, lp.logprob,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY lp.logprob DESC, lp.doc_id) AS rank,
+         |         count(*) OVER (PARTITION BY d.lang) AS nl
+         |  FROM lp JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(((rank - 1) * 3) // nl AS BIGINT) AS bucket,
+         |       count(*) AS n_docs,
+         |       ${sig6Sql("avg(logprob)")} AS avg_logprob,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM r GROUP BY lang, bucket""".stripMargin,
     // Int8 scalar quantization: identical IEEE double arithmetic on both
     // sides; round() ties differ only at exact .5 (HALF_UP vs away-from-
     // zero), which agree for the non-negative arguments here.

@@ -75,6 +75,9 @@ object LlmQueries {
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),
     "l27_unigram_logprob" -> ((s, dir) => TextStats.unigramLogProb(s, dir)),
+    // CCNet head/middle/tail perplexity bucketing: per-language ranked
+    // thirds of l27's LM score — the mixture-design table (Wenzek 2020).
+    "l60_ppl_buckets" -> ((s, dir) => TextStats.pplBuckets(s, dir)),
     "l28_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "l29_tfidf_top" -> ((s, dir) => TextStats.tfidfTop(s, dir)),
     "l30_repetition" -> ((s, dir) => TextStats.repetitionStats(s, dir)),

@@ -242,6 +242,39 @@ object TextStats {
         graft.Canon.sig6(avg(log10($"cnt" / $"n"))).as("logprob"))
   }
 
+  /** L60: CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020) — the
+    * head/middle/tail split every CommonCrawl curation pipeline applies:
+    * per language, rank documents by the LM quality score (l27's unigram
+    * log-prob, higher = more fluent) and cut into `nBuckets` equal-count
+    * buckets (0 = head … nBuckets−1 = tail), reporting each bucket's
+    * volume and mean score — the table a data-mixture designer reads
+    * before deciding how much tail to keep.
+    *
+    * Determinism: ranks order the grid-rounded score with doc_id
+    * tie-break (a total order), and the bucket is pure integer arithmetic
+    * ((rank−1)·nBuckets div n) — no float boundary can flip membership.
+    * Scale: the windows are LANGUAGE-partitioned (CCNet itself ranks per
+    * language shard), never corpus-global, and the output is
+    * (lang × bucket)-sized.
+    */
+  def pplBuckets(s: SparkSession, dir: String, nBuckets: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(s, dir)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"lang")
+    val w = Window.partitionBy($"lang").orderBy($"logprob".desc, $"doc_id")
+    val cw = Window.partitionBy($"lang")
+    scored.join(docs, "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("bucket",
+        expr(s"CAST(((rank - 1) * $nBuckets) DIV n AS BIGINT)"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.Canon.sig6(avg($"logprob")).as("avg_logprob"),
+        sum($"n_tokens").as("total_tokens"))
+  }
+
   /** L43: per-document mean bigram conditional log-probability under the
     * corpus's own bigram model — the next rung up the CCNet-style quality
     * ladder from l27's unigram score (a doc of real phrases scores high even

@@ -523,6 +523,27 @@ object MultimodalOps {
     // tiling error breaks the hash without rounding slack.
     "m09_scene_cuts" -> ((s, dir) =>
       sceneCuts(mediaTable(s, dir, onlyKind = Some("video")))),
+    // The CLIP-style image–text PAIR MANIFEST: what a multimodal training
+    // run actually ingests. Each image doc pairs with its own caption
+    // (the documents row's text); the pair survives iff (a) it is the
+    // perceptual-dedup survivor of its aHash group (m07's hash, min
+    // doc_id wins — near-identical images must not ship twice) and
+    // (b) the caption passes the l16 quality gate. Cross-modality
+    // composition of two first-class operators; only (doc_id, 64-bit
+    // hash, counts) rows ever shuffle — the image payloads stay
+    // partition-local inside the phash pass.
+    "m10_pair_manifest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ph = imagePhash(mediaTable(s, dir, onlyKind = Some("image")))
+      val q = graft.llmops.TextStats.qualityFilter(s, dir)
+        .select($"doc_id", $"n_tokens", $"keep")
+      val w = Window.partitionBy($"phash").orderBy($"doc_id")
+      ph.join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"keep")
+        .select($"doc_id", $"phash", $"n_tokens")
+    }),
     // Metadata-only stats: kind/width/height are deterministic arithmetic
     // over (doc_id, n_chars) — pins the media-table schema itself. The
     // payload is never read, so the codec is skipped outright
@@ -715,6 +736,43 @@ object MultimodalOps {
          |       CAST(sd AS DOUBLE) / 256.0 AS mad,
          |       (CAST(sd AS DOUBLE) / 256.0 > 40.0) AS is_cut
          |FROM d""".stripMargin,
+    // Pair manifest = m07's phash CTE ∘ l16's quality CTE ∘ a per-hash
+    // survivor window: both component chains restated verbatim, joined on
+    // doc_id, survivor = min doc_id per phash, keep = the l16 verdict.
+    "m10_pair_manifest" -> {
+      val toksSql = graft.llmops.LlmOracleHelpers.toksSql
+      s"""WITH img AS (
+         |  SELECT doc_id, 16 + n_chars % 16 AS w, 16 + doc_id % 16 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |s AS (
+         |  SELECT doc_id, cy * 8 + cx AS k,
+         |         (doc_id + ((cy * h) // 8) * w + ((cx * w) // 8)) % 256 AS v
+         |  FROM img, unnest(range(0, 8)) tx(cx), unnest(range(0, 8)) ty(cy)),
+         |t AS (SELECT doc_id, sum(v) AS tot FROM s GROUP BY doc_id),
+         |b AS (
+         |  SELECT s.doc_id,
+         |         string_agg(CASE WHEN s.v * 64 > t.tot THEN '1' ELSE '0' END,
+         |                    '' ORDER BY s.k) AS phash
+         |  FROM s JOIN t USING (doc_id) GROUP BY s.doc_id),
+         |q AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, n_tokens,
+         |         (chars >= 150 AND n_tokens >= 20 AND stop_ratio <= 0.45)
+         |           AS keep
+         |  FROM q),
+         |r AS (
+         |  SELECT b.doc_id, b.phash, k.n_tokens, k.keep,
+         |         row_number() OVER (PARTITION BY b.phash
+         |           ORDER BY b.doc_id) AS rn
+         |  FROM b JOIN k USING (doc_id))
+         |SELECT doc_id, phash, n_tokens FROM r WHERE rn = 1 AND keep""".stripMargin
+    },
     // Audio fingerprint restated: sample i of clip id =
     // ((id+i) mod 256 − 128)·256 over n = 256 + n_chars mod 256 units,
     // window(i) = (i·16)//n, bit via the exact integer cross-multiply

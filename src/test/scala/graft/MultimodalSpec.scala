@@ -152,6 +152,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.forall(r => r.getInt(2) == 256 && r.getDouble(3) == 127.5))
   }
 
+  test("pair manifest: one survivor per phash group, every caption passes " +
+      "the quality gate") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("m10_pair_manifest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Survivorship: phashes are unique (dedup applied) and each survivor
+    // is its group's min doc_id.
+    assert(got.map(_._2).distinct.length == got.length, "duplicate phash")
+    val groups = MultimodalOps.imagePhash(
+        MultimodalOps.mediaTable(spark, dir, onlyKind = Some("image")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    got.foreach { case (id, h, _) =>
+      assert(groups(h) == id, s"survivor of $h should be ${groups(h)}, got $id")
+    }
+    // Quality: every manifest caption passes l16.
+    val keep = graft.llmops.TextStats.qualityFilter(spark, dir)
+      .filter($"keep").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(g => keep(g._1)))
+  }
+
   test("scene cuts: one row per consecutive frame pair, tile-sum scores " +
       "match the pixel arithmetic, both cut classes occur") {
     val rows = MultimodalOps.sceneCuts(

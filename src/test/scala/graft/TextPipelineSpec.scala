@@ -387,6 +387,24 @@ class TextPipelineSpec extends AnyFunSuite {
         s"en doc $en (${got(en)._2}) should outscore zh doc $zh (${got(zh)._2})")))
   }
 
+  test("ppl buckets: equal-count thirds per language, head outscores tail") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.pplBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val langs = rows.keys.map(_._1).toSet
+    langs.foreach { lang =>
+      val counts = (0L to 2L).map(b => rows((lang, b))._1)
+      // Equal-count split: the integer bucket arithmetic puts sizes within
+      // one of each other.
+      assert(counts.max - counts.min <= 1, s"$lang: $counts")
+      // Head (bucket 0) has the best mean LM score, tail the worst.
+      val means = (0L to 2L).map(b => rows((lang, b))._2)
+      assert(means(0) > means(1) && means(1) > means(2), s"$lang: $means")
+    }
+  }
+
   test("hard negatives: positive and its near-dups excluded, ranks dense, " +
       "scores descend the BM25 order") {
     import spark.implicits._
