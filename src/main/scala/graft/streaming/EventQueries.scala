@@ -447,6 +447,41 @@ object EventQueries {
           $"ms", $"value")
     }),
 
+    // transformWithState EVENT-TIME TIMERS (s08: ValueState, s12:
+    // ListState — this gates the timer API): per-user inactivity
+    // timeouts. Two staged batches: the real events, then one sentinel
+    // 2h past the corpus max — the watermark advances BETWEEN batches,
+    // so users quiet for >30min before the corpus end fire after batch 1
+    // (their state must survive to the firing) and the rest fire when
+    // the sentinel advances the watermark. Every real user times out
+    // exactly once, so the oracle is the plain per-user (max ts, count).
+    "s13_stream_timeout" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val sentinel = ev.agg(max($"ev_ts").as("mx"))
+        .select(lit(-1L).as("event_id"),
+          ($"mx" + expr("INTERVAL 2 HOURS")).as("ev_ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"))
+      val staged = stage(ev, "s13", dir)
+      sentinel.coalesce(1).write.mode("append").parquet(staged)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      val src = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .withWatermark("ev_ts", "0 seconds")
+        .as[EventStreams.Ev]
+      val drained = drain(s2,
+        EventStreams.inactivityTimeouts(src).toDF(), "s13", "append", dir)
+      unstage(staged)
+      drained.filter($"user_id" >= 0L)
+        .select($"user_id", $"last_ms", $"n_events")
+    }),
+
     // CHAINED STATEFUL OPERATORS in one streaming query: watermarked dedup
     // of a doubled replay feeding a tumbling event-time aggregation — the
     // multi-stateful-operator pipeline (dedup state AND window state in
@@ -740,6 +775,13 @@ object EventQueries {
     "s04_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
         |FROM events""".stripMargin,
+    // Every real user's timer fires exactly once (the sentinel advances
+    // the closing watermark), so the timeout record is the plain per-user
+    // last-seen + volume aggregate.
+    "s13_stream_timeout" ->
+      """SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+        |       count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
     // The final ListState per user must equal the plain top-3 window over
     // the batch table — a lost list entry, an append instead of a merge,
     // or a wrong displacement order all hash-mismatch. Millis because the

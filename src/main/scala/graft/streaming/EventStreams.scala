@@ -233,6 +233,61 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class Timeout(user_id: Long, last_ms: Long, n_events: Long)
+
+  /** Per-user INACTIVITY TIMEOUT through transformWithState EVENT-TIME
+    * TIMERS — the third leg of the arbitrary-state API beside s08's
+    * ValueState and s12's ListState: each batch updates the user's
+    * (last event time, running count) ValueState, cancels the previously
+    * registered timer, and re-registers one at last + `gapMs`; when the
+    * WATERMARK passes a live timer, [[handleExpiredTimer]] fires exactly
+    * once and emits the timeout record (the churn-alert / session-expiry
+    * push shape that polling cannot express). State and timer are both
+    * per-key in the state store; eviction is the watermark contract
+    * itself.
+    */
+  final class TimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, Timeout] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("last",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Timeout] = {
+      val (prevMs, prevN) = if (st.exists()) st.get() else (Long.MinValue, 0L)
+      var mx = prevMs
+      var n = prevN
+      rows.foreach { r => mx = math.max(mx, r.ev_ts.getTime); n += 1 }
+      if (prevMs != Long.MinValue) getHandle.deleteTimer(prevMs + gapMs)
+      getHandle.registerTimer(mx + gapMs)
+      st.update((mx, n))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Timeout] = {
+      val (mx, n) = st.get()
+      Iterator.single(Timeout(key, mx, n))
+    }
+  }
+
+  def inactivityTimeouts(events: Dataset[Ev],
+                         gapMs: Long = 30 * 60 * 1000L): Dataset[Timeout] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMs` event-time of the previous one.
     * Custom per-key state — the streaming analogue of the reference's

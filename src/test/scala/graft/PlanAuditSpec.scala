@@ -578,6 +578,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected only partkey aggregate exchanges:\n${hashEx.mkString("\n")}")
   }
 
+  test("l59 hard negatives: broadcast anti probe, TakeOrdered cut, no SMJ") {
+    // The mined-negative set must come off the scored relation through a
+    // BROADCAST anti join (the positive + its dup set is tiny) and the
+    // k-cut must plan as TakeOrdered, never a global sort of the corpus.
+    val plan = ranPlan("l59_hard_negatives")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("l60 ppl buckets: every window is language-partitioned, none global") {
+    // CCNet's rank is per-language by definition; a corpus-global window
+    // would serialize the whole corpus through one task at scale.
+    val df = SparkEntry.queries("l60_ppl_buckets")(spark, sf)
+    df.collect()
+    val wins = expand(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window nodes")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window in plan: $w"))
+  }
+
+  test("m10 pair manifest: no exchange carries image payload bytes") {
+    // The cross-modality join must move only (doc_id, hash, counts) rows;
+    // the PNG payloads stay inside the partition-local phash pass.
+    val df = SparkEntry.queries("m10_pair_manifest")(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { ex =>
+      val names = ex.output.map(_.name)
+      assert(!names.exists(Set("payload", "text")),
+        s"exchange carries payload/text: $names")
+    }
+  }
+
+  test("g31 betweenness: equi-joins only — no cartesian, no nested loop") {
+    val plan = ranPlan("g31_betweenness4")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("l52 span scrub: no exchange carries text or token arrays") {
     // The scrub's scale claim: every corpus-keyed exchange carries
     // (doc_id, position, digest) rows; the token arrays meet the covered-

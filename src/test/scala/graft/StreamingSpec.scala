@@ -294,6 +294,29 @@ class StreamingSpec extends AnyFunSuite {
       s"expected >=2 micro-batches (two staged files), got $batches")
   }
 
+  test("transformWithState timers: every user fires exactly once across " +
+      "the watermark-advancing batches") {
+    import spark.implicits._
+    // Batch 1 holds every real event; batch 2 only the sentinel that
+    // advances the watermark — so each firing consumes state written in a
+    // PRIOR batch (a lost ValueState would fire with nothing to emit, a
+    // lost timer would never fire).
+    val got = SparkEntry.queries("s13_stream_timeout")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(got.map(_._1).distinct.length == got.length,
+      "a user timed out more than once")
+    val exp = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"user_id")
+      .agg(max(unix_millis($"ts".cast("timestamp"))).as("last_ms"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(got.toMap == exp.toMap)
+    val (batches, _) = graft.streaming.EventQueries.lastDrainStats.get("s13")
+    assert(batches >= 2,
+      s"expected >=2 micro-batches (data, then sentinel), got $batches")
+  }
+
   test("checkpointed restart: file source → file sink is exactly-once") {
     import spark.implicits._
     val base = TestSpark.tempDir("graft-restart")
