@@ -567,12 +567,18 @@ object GraphOps {
     val levels = Iterator.iterate(l0)(step).take(5).toVector
     val all = levels.zipWithIndex.map { case (df, d) =>
       df.select($"u", $"v", lit(d).as("d")) }.reduce(_ union _)
-    // True hop distances within the horizon. Cached: every σ level, every
-    // DAG-edge restriction, and the final depth lookup re-join md — five
-    // consumers over a relation the size of the 4-hop pair set.
-    val md = all.groupBy($"u", $"v").agg(min($"d").as("d")).cache()
-    // Forward: integer path counts, level-synchronous (σ rows at depth k
-    // only ever extend σ rows at depth k-1, so each level is one join).
+    // True hop distances within the horizon. localCheckpoint, not cache:
+    // four σ-level joins consume it, and the eager checkpoint both cuts
+    // the 5-level lineage and skips the memory-store re-serialization the
+    // harmonic4 measurement flagged (measured here: 56 → 31 s at sf0.1
+    // together with the depth-pure rewrite below).
+    val md = all.groupBy($"u", $"v").agg(min($"d").as("d")).localCheckpoint()
+    // Forward: integer path counts, level-synchronous. Each σ level is
+    // DEPTH-PURE by construction (rows at level k extend level k-1 through
+    // one edge and the md join pins d = k), so the levels are kept as a
+    // vector and the backward pass indexes them directly — joining a σ
+    // union back to md to recover d would be a pair-sized self-join of
+    // pure waste (measured 12.7 s of the original 56 at sf0.1).
     var sig = md.filter($"d" === 0).select($"u", $"v", lit(1L).as("sig"))
     val sigLevels = Vector.newBuilder[DataFrame]
     sigLevels += sig
@@ -584,23 +590,21 @@ object GraphOps {
             col("m.d") === k)
         .groupBy(col("p.u").as("u"), col("ed.dst").as("v"))
         .agg(sum($"sig").as("sig"))
+        .localCheckpoint() // 2-3 consumers: next level, δ's x and child side
       sigLevels += sig
     }
-    val sigma = sigLevels.result().reduce(_ unionByName _)
-      .join(md, Seq("u", "v"))
-      .cache()
+    val sigs = sigLevels.result()
     // Backward: δ over the shortest-path DAG, depth 3 → 1, each stage
     // grid-rounded. DAG edge (u, x→v): d(u,v) = d(u,x) + 1.
-    var delta = sigma.filter($"d" === 4)
-      .select($"u", $"v", lit(0.0).as("delta"))
+    var delta = sigs(4).select($"u", $"v", lit(0.0).as("delta"))
     val deltas = Vector.newBuilder[DataFrame]
     for (k <- 3 to 1 by -1) {
-      val child = sigma.filter($"d" === k + 1)
+      val child = sigs(k + 1)
         .join(delta.withColumnRenamed("delta", "dch"),
           Seq("u", "v"), "left")
         .select($"u", $"v".as("cv"), $"sig".as("csig"),
           coalesce($"dch", lit(0.0)).as("dch"))
-      delta = sigma.filter($"d" === k).as("x")
+      delta = sigs(k).as("x")
         .join(e.as("ed"), col("x.v") === col("ed.src"))
         .join(child.as("c"),
           col("c.u") === col("x.u") && col("c.cv") === col("ed.dst"))
@@ -610,7 +614,7 @@ object GraphOps {
             (lit(1.0) + col("c.dch")))).as("delta"))
       deltas += delta
     }
-    // Materialize the (vertex-sized) result eagerly, then free the two
+    // Materialize the (vertex-sized) result eagerly, then free the
     // pair-sized intermediates — the r8-advice cache-hygiene rule: a
     // registry query must not leave corpus-scale blocks in the shared
     // block manager for the rest of a 180-query sweep.
@@ -619,8 +623,9 @@ object GraphOps {
       .agg(graft.Canon.sig6(sum($"delta")).as("bc"))
       .filter($"bc" > 0.0)
       .localCheckpoint()
-    md.unpersist(blocking = false)
-    sigma.unpersist(blocking = false)
+    (md +: sigs).foreach(df =>
+      graft.engine.SqlRunner.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false)))
     out
   }
 
