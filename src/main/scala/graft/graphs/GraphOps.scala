@@ -397,17 +397,75 @@ object GraphOps {
   def greedyColoring(s: SparkSession, edgeDf: DataFrame): DataFrame =
     greedyColoringRun(s, edgeDf).colors
 
+  /** Driver-tier threshold for [[greedyColoringRun]] — the wcc convention:
+    * a graph whose canonical edge list fits comfortably in driver memory
+    * runs the SEQUENTIAL greedy (provably ≡ JP: each vertex's color
+    * depends only on its higher-priority neighbors' colors, which are
+    * schedule-independent) instead of dispatching dozens of near-empty
+    * distributed rounds; a 100 TB graph takes the loop below. The
+    * distributed loop stays value-locked by the tier-equality spec.
+    */
+  private[graft] val DriverColorEdgeLimit = 1000000L
+
   /** [[greedyColoring]] plus the measured fixpoint depth. */
   def greedyColoringRun(s: SparkSession, edgeDf: DataFrame): Coloring = {
+    import s.implicits._
+    val canonD = edgeDf
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val mD = canonD.count()
+    val out = if (mD <= DriverColorEdgeLimit)
+      driverColoring(s, canonD) else distributedColoringRun(s, canonD)
+    canonD.unpersist(blocking = false)
+    out
+  }
+
+  /** The sequential tier: greedy coloring in decreasing (md5, id) priority
+    * order — the exact JP result — with the JP round of each vertex
+    * (1 + max over higher-priority neighbors' rounds) computed alongside
+    * so the fixpoint-depth contract is identical across tiers.
+    */
+  private def driverColoring(s: SparkSession, canon: DataFrame): Coloring = {
+    import s.implicits._
+    val edges = canon.as[(Long, Long)].collect()
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // The SAME fixed-width priority string as the distributed loop and the
+    // oracle: md5 hex chars are identical across implementations.
+    def priStr(v: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"color:$v".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString + f"$v%012d"
+    }
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+      nbrs(b) = a :: nbrs.getOrElse(b, Nil)
+    }
+    val order = verts.sortBy(priStr).reverse
+    val color = scala.collection.mutable.Map.empty[Long, Long]
+    val round = scala.collection.mutable.Map.empty[Long, Int]
+    var maxRound = 0
+    order.foreach { v =>
+      val colored = nbrs(v).filter(color.contains)
+      val used = colored.map(color).toSet
+      color(v) = Iterator.from(0).map(_.toLong).find(!used(_)).get
+      val r = 1 + colored.map(round).foldLeft(0)(math.max)
+      round(v) = r
+      maxRound = math.max(maxRound, r)
+    }
+    Coloring(color.toSeq.toDF("id", "color"), maxRound)
+  }
+
+  /** The distributed JP loop — the ≥[[DriverColorEdgeLimit]] tier. */
+  private[graft] def distributedColoringRun(s: SparkSession,
+                                            canon: DataFrame): Coloring = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // Fixed-width string priority: lexicographic = (md5-bucket, id) order.
     def pri(c: org.apache.spark.sql.Column) =
       concat(substring(md5(concat(lit("color:"), c.cast("string"))), 1, 8),
         lpad(c.cast("string"), 12, "0"))
-    val canon0 = edgeDf
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct().cache()
+    val canon0 = canon.cache()
     val m = canon0.count()
     withShuffleParts(s, LoopConf.sizedParallelism(s, m, 24)) {
       // Full symmetric neighbor view (for the mex over COLORED neighbors —

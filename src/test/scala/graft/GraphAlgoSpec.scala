@@ -537,5 +537,23 @@ class GraphAlgoSpec extends AnyFunSuite {
       assert(run.rounds > 0 && run.rounds * 2 <= GraphOps.ColorRounds,
         s"$sf: rounds=${run.rounds} cap=${GraphOps.ColorRounds}")
     }
+    // Tier equality: the driver-tier sequential greedy (what the gate
+    // graphs take) and the distributed JP loop (the 100 TB path) are the
+    // SAME function — identical colors AND identical fixpoint depth (JP's
+    // round of v = 1 + max over higher-priority neighbors' rounds).
+    import org.apache.spark.sql.functions.{greatest, least}
+    val ce = GraphOps.colorEdges(spark, "/root/testdata/sf0.01")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val loop = GraphOps.distributedColoringRun(spark, ce)
+    val loopColors = loop.colors.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val drv = GraphOps.greedyColoringRun(spark,
+      GraphOps.colorEdges(spark, "/root/testdata/sf0.01"))
+    val drvColors = drv.colors.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loopColors == drvColors, "tier colors diverge")
+    assert(loop.rounds == drv.rounds,
+      s"tier rounds diverge: loop=${loop.rounds} driver=${drv.rounds}")
   }
 }
