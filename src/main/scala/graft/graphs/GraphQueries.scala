@@ -410,6 +410,26 @@ object GraphQueries {
     // (semantics + scale posture in GraphOps.harmonic4's doc).
     "g20_harmonic4" -> ((s, dir) =>
       GraphOps.harmonic4(s, GraphOps.sparseEdges(s, dir))),
+    // 4-cycle (square) MOTIF COUNT — the next motif up from the
+    // reference's triangles (algorithms.h:117-195 counts the 3-cycle;
+    // squares are the bipartite-community signal triangles cannot see):
+    // #C4 = ½ Σ_{a<b} C(cn(a,b), 2) — every square is counted once by
+    // each of its two diagonal pairs. Pure integer arithmetic end to end
+    // (the pair sum is even by construction). Scale posture = g16's: the
+    // common-neighbor expansion self-joins on the shared-neighbor key, so
+    // the blowup is degree-bounded, and the result is one global
+    // aggregate — no per-pair state survives the sum.
+    "g32_squares" -> ((s, dir) => {
+      import s.implicits._
+      val sym = GraphOps.symmetrize(s, GraphOps.sparseEdges(s, dir),
+        dropSelfLoops = true)
+      sym.as("x").join(sym.as("y"),
+          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+        .groupBy($"x.src".as("a"), $"y.src".as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .agg(expr(
+          "CAST(sum((cn * (cn - 1)) DIV 2) DIV 2 AS BIGINT) AS squares"))
+    }),
     // Hop-bounded betweenness centrality (exact Brandes within the 4-hop
     // horizon): who must shortest-path traffic pass THROUGH — the flow
     // companion to g20's nearness. Forward integer path counts + backward
@@ -793,6 +813,18 @@ object GraphQueries {
          |FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
          |GROUP BY x.src, y.src
          |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+    // The same wedge join as g16, closed into the diagonal-pair formula:
+    // Σ C(cn,2) over ordered pairs counts each square twice (once per
+    // diagonal), so the integer half is exact.
+    "g32_squares" ->
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |s2 AS (SELECT src, dst FROM sym WHERE src <> dst),
+         |cn AS (SELECT x.src AS a, y.src AS b, count(*) AS cn
+         |       FROM s2 x JOIN s2 y ON x.dst = y.dst AND x.src < y.src
+         |       GROUP BY x.src, y.src)
+         |SELECT CAST(sum((cn * (cn - 1)) // 2) // 2 AS BIGINT) AS squares
+         |FROM cn""".stripMargin,
     // Same pair join weighted by 1/ln(symmetric degree of the shared
     // neighbor), rounded on the shared grid before the (aa, a, b) cut.
     "g29_adamic_adar" ->

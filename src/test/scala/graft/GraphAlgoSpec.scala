@@ -431,6 +431,29 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF recall $recall%.2f below floor")
   }
 
+  test("squares: hand goldens — chorded 4-cycle counts once, K4 holds 3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    def squares(edges: Seq[(Long, Long)]): Long = {
+      val sym = GraphOps.symmetrize(spark, edges.toDF("src", "dst"),
+        dropSelfLoops = true)
+      sym.as("x").join(sym.as("y"),
+          $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+        .groupBy($"x.src".as("a"), $"y.src".as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .agg(expr(
+          "CAST(sum((cn * (cn - 1)) DIV 2) DIV 2 AS BIGINT) AS squares"))
+        .head().getLong(0)
+    }
+    // One 4-cycle; the 1-3 chord adds triangles but no new square.
+    assert(squares(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))) == 1L)
+    // K4: exactly 3 distinct 4-cycles.
+    assert(squares(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) == 3L)
+    // Square-free: a star has no cycle at all.
+    assert(squares(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == 0L)
+  }
+
   test("PCA power iteration: unit component, projections centered, and " +
       "variance dominates every coordinate axis") {
     import spark.implicits._
