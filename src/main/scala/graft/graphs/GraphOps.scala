@@ -414,6 +414,19 @@ object GraphOps {
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct().cache()
     val mD = canonD.count()
+    // Both tiers encode the id tail of the JP priority as a fixed 12-char
+    // decimal (f"%012d" in the driver tier, lpad(...,12,'0') in the
+    // distributed loop); the encodings agree ONLY for ids in [0, 1e12) —
+    // outside it lpad truncates where format widens and a '-' sorts
+    // differently, silently breaking the (hash, id) total order and tier
+    // equality. One aggregate over the already-cached canonical relation
+    // enforces it for BOTH tiers (ADVICE r9).
+    if (mD > 0) {
+      val r = canonD.agg(min($"a"), max($"b")).head()
+      require(r.getLong(0) >= 0L && r.getLong(1) < 1000000000000L,
+        "coloring priority encoding requires vertex ids in [0, 1e12); got " +
+          s"[${r.getLong(0)}, ${r.getLong(1)}]")
+    }
     val out = if (mD <= DriverColorEdgeLimit)
       driverColoring(s, canonD) else distributedColoringRun(s, canonD)
     canonD.unpersist(blocking = false)
@@ -441,7 +454,10 @@ object GraphOps {
       nbrs(a) = b :: nbrs.getOrElse(a, Nil)
       nbrs(b) = a :: nbrs.getOrElse(b, Nil)
     }
-    val order = verts.sortBy(priStr).reverse
+    // Hash each vertex's priority ONCE: Scala's sortBy(f) re-evaluates f
+    // on every comparison, which near the 1M-edge tier ceiling would cost
+    // O(n log n) MD5 digests (ADVICE r9).
+    val order = verts.map(v => (priStr(v), v)).sortBy(_._1).reverse.map(_._2)
     val color = scala.collection.mutable.Map.empty[Long, Long]
     val round = scala.collection.mutable.Map.empty[Long, Int]
     var maxRound = 0
@@ -670,18 +686,24 @@ object GraphOps {
         .agg(graft.Canon.sig6(
           sum(col("x.sig").cast("double") / col("c.csig") *
             (lit(1.0) + col("c.dch")))).as("delta"))
+        // 2 consumers (the next depth's child side AND the final union) —
+        // without the checkpoint the union embeds each depth's plan inside
+        // the shallower ones and Spark re-evaluates the pair-scale dl3 join
+        // three times when materializing the result (ADVICE r9).
+        .localCheckpoint()
       deltas += delta
     }
     // Materialize the (vertex-sized) result eagerly, then free the
     // pair-sized intermediates — the r8-advice cache-hygiene rule: a
     // registry query must not leave corpus-scale blocks in the shared
     // block manager for the rest of a 180-query sweep.
-    val out = deltas.result().reduce(_ unionByName _)
+    val ds = deltas.result()
+    val out = ds.reduce(_ unionByName _)
       .groupBy($"v".as("id"))
       .agg(graft.Canon.sig6(sum($"delta")).as("bc"))
       .filter($"bc" > 0.0)
       .localCheckpoint()
-    (md +: sigs).foreach(df =>
+    ((md +: sigs) ++ ds).foreach(df =>
       graft.engine.SqlRunner.checkpointRdd(df)
         .foreach(_.unpersist(blocking = false)))
     out

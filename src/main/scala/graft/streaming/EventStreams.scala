@@ -275,6 +275,11 @@ object EventStreams {
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[Timeout] = {
       val (mx, n) = st.get()
+      // Standard session-expiry pattern: clear the key's state once its
+      // timeout fires, so a user who comes back in a LATER batch starts a
+      // fresh session instead of re-registering a timer over stale counts
+      // and firing a second timeout for the old one (ADVICE r9).
+      st.clear()
       Iterator.single(Timeout(key, mx, n))
     }
   }
