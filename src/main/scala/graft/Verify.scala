@@ -110,64 +110,10 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // q12/q52 TOLERANCE SIDECAR — the driver's hash gate can't express
-    // numeric bounds, so the two approximate-aggregate queries read as bare
-    // `no_oracle` in CORRECTNESS_rN. This in-process re-statement of
-    // tools/oracle_check.py's APPROX_CHECKS records bounds + measured
-    // deltas beside the dumps, so a gate reader can tell
-    // "tolerance-verified" from "unverifiable". (The exact envelope uses
-    // Spark's exact `percentile` where the mirror uses DuckDB's
-    // quantile_disc — interpolated vs discrete differ by at most one
-    // inter-sample gap, immaterial under the 0.02-rank slack.)
-    try {
-      import org.apache.spark.sql.functions.{col, countDistinct, expr}
-      import org.apache.spark.sql.Row
-      def num(r: Row, c: String): Double = r.getAs[Number](c).doubleValue
-      val checks = Seq.newBuilder[(String, Boolean, String)]
-      if (selected.contains("q12_approx_distinct")) {
-        val ex = Tables.load(spark, sfDir, "lineitem")
-          .agg(countDistinct(col("l_partkey")).cast("double").as("p"),
-            countDistinct(col("l_suppkey")).cast("double").as("s")).head()
-        val est = spark.read.parquet(s"$outDir/q12_approx_distinct").head()
-        val ep = math.abs(num(est, "approx_parts") - ex.getDouble(0)) / ex.getDouble(0)
-        val es = math.abs(num(est, "approx_supps") - ex.getDouble(1)) / ex.getDouble(1)
-        checks += (("q12_approx_distinct", ep <= 0.05 && es <= 0.05,
-          f"rel err parts $ep%.4f, supps $es%.4f; bound 0.05 " +
-            "(~3-sigma of the declared rsd=0.01, with slack)"))
-      }
-      if (selected.contains("q52_approx_percentile")) {
-        val env = Tables.load(spark, sfDir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(expr("percentile(l_quantity, 0.48)").as("qlo"),
-            expr("percentile(l_quantity, 0.52)").as("qhi"),
-            expr("percentile(l_extendedprice, 0.88)").as("plo"),
-            expr("percentile(l_extendedprice, 0.92)").as("phi"))
-          .collect().map(r => r.getString(0) -> r).toMap
-        val bad = spark.read.parquet(s"$outDir/q52_approx_percentile")
-          .collect().flatMap { r =>
-            val e = env(r.getAs[String]("l_returnflag"))
-            Seq(("p50_qty", num(r, "p50_qty"), num(e, "qlo"), num(e, "qhi")),
-              ("p90_price", num(r, "p90_price"), num(e, "plo"), num(e, "phi")))
-              .collect { case (c, v, lo, hi) if v < lo || v > hi =>
-                f"${r.getString(0)}.$c=$v outside [$lo, $hi]" }
-          }
-        checks += (("q52_approx_percentile", bad.isEmpty,
-          if (bad.isEmpty) "all group estimates inside the exact " +
-            "±0.02-rank envelope (sketch guarantee 1/accuracy=0.001, 20x slack)"
-          else bad.mkString("; ")))
-      }
-      val rows = checks.result()
-      if (rows.nonEmpty) {
-        val tolJson = rows.map { case (n, pass, detail) =>
-          s"${q(n)}: {${q("pass")}: $pass, ${q("detail")}: ${q(detail)}}"
-        }.mkString("{", ", ", "}")
-        Files.writeString(Paths.get(s"$outDir/tolerance_pass.json"), tolJson)
-        println(s"TOLERANCE $tolJson")
-      }
-    } catch {
-      case e: Throwable if scala.util.control.NonFatal(e) =>
-        System.err.println(s"[verify] tolerance sidecar failed: ${e.getMessage}")
-    }
+    // (The round-9 q12/q52 tolerance sidecar is retired: since round 10
+    // those queries compute their exact twin in the same aggregate and
+    // emit the tolerance verdict, which their DuckDB oracles assert — the
+    // bound is hash-gated by the driver itself, no sidecar needed.)
     // A stopped context here means some query killed it (executor loss,
     // fatal error on a pool thread that a library wrapped non-fatally):
     // the dump is incomplete in a way per-query stderr lines don't convey,

@@ -131,14 +131,30 @@ object RelationalCore {
           count(lit(1)).as("n_rows"))
     }),
 
-    // Q9b — HyperLogLog++ sketch counterpart; no SQL oracle (algorithmic
-    // estimate — the driver records a rows-only check).
+    // Q9b — HyperLogLog++ sketch counterpart. The sketch estimate itself is
+    // engine-specific, so the query emits the TOLERANCE VERDICT instead:
+    // each estimate is compared against the exact distinct count computed
+    // in the same aggregate (rel err ≤ 0.05 ≈ 3σ of the declared rsd=0.01,
+    // with slack), and the oracle asserts the exact counts plus
+    // within_tol=true — the driver's hash gate now carries the bound that
+    // previously lived only in the tolerance_pass.json sidecar (r9 verdict
+    // item 3). Both aggregates are map-side partial; at 100 TB the exact
+    // countDistinct is the expensive twin, which is exactly why q12's
+    // PRODUCTION shape is approx_count_distinct alone — the exact column
+    // here is the gate harness, not the operator.
     "q12_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .agg(
-          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-          approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"))
+          approx_count_distinct($"l_partkey", 0.01).as("ap"),
+          approx_count_distinct($"l_suppkey", 0.01).as("asu"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .select($"n_parts", $"n_supps",
+          (abs($"ap" - $"n_parts") <= $"n_parts" * 0.05)
+            .as("parts_within_tol"),
+          (abs($"asu" - $"n_supps") <= $"n_supps" * 0.05)
+            .as("supps_within_tol"))
     }),
 
     // Q10 — ROLLUP over the join of orders→customer→nation.
@@ -239,16 +255,28 @@ object RelationalCore {
 
     // Sketch-based percentiles — the KLL-style counterpart of q26's exact
     // interpolated percentiles (as q12 is to q11 for distinct counts): one
-    // mergeable sketch per group, constant state, map-side partials. No SQL
-    // oracle (algorithm-specific estimate); OperatorsSpec pins the error
-    // bound against the exact q26 values.
+    // mergeable sketch per group, constant state, map-side partials. Like
+    // q12, the sketch estimate is engine-specific, so the query emits the
+    // per-group TOLERANCE VERDICT: each estimate must land inside the
+    // exact ±0.02-RANK envelope (percentile at 0.48/0.52 resp. 0.88/0.92 —
+    // the sketch guarantee is 1/accuracy = 0.001, so 20× slack), and the
+    // oracle asserts within_tol=true per group — hash-gated through the
+    // driver (r9 verdict item 3). The exact-percentile twin is the gate
+    // harness; the production shape is the sketch alone.
     "q52_approx_percentile" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_price"))
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90"),
+          expr("percentile(l_quantity, 0.48)").as("qlo"),
+          expr("percentile(l_quantity, 0.52)").as("qhi"),
+          expr("percentile(l_extendedprice, 0.88)").as("plo"),
+          expr("percentile(l_extendedprice, 0.92)").as("phi"))
+        .select($"l_returnflag",
+          ($"p50" >= $"qlo" && $"p50" <= $"qhi").as("p50_within_tol"),
+          ($"p90" >= $"plo" && $"p90" <= $"phi").as("p90_within_tol"))
     }),
 
     // Scalar subquery: price relative to the global mean.
@@ -426,6 +454,21 @@ object RelationalCore {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+    // q12/q52: the Spark side computes sketch estimate AND exact twin in
+    // one aggregate and emits the tolerance verdict; the oracle asserts
+    // the exact values and that every verdict is true — the numeric bound
+    // is now hash-gated by the driver instead of sidecar-only.
+    "q12_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       true AS parts_within_tol,
+        |       true AS supps_within_tol
+        |FROM lineitem""".stripMargin,
+    "q52_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       true AS p50_within_tol,
+        |       true AS p90_within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q13_rollup" ->
       s"""SELECT n_name, o_orderpriority, count(*) AS cnt,
          |       ${sig6Sql("sum(o_totalprice)")} AS rev

@@ -29,15 +29,18 @@ class RegistrySpec extends AnyFunSuite {
   test("deliberately oracle-less queries are a closed, documented set") {
     // Anything new without an oracle must be added here CONSCIOUSLY (the
     // driver records only a weak rows-only check for these).
-    // The b0x generators use Spark's xxhash64; a bit-exact DuckDB port
+    // The 64M generators use Spark's xxhash64; a bit-exact DuckDB port
     // exists (XXH64 via HUGEINT split-multiply mod-2^64 arithmetic,
-    // validated value-for-value) but measures ~230 s for b02's 8M hashes
-    // alone — an order of magnitude past gate budget, before the 8M-edge
-    // recursive-CTE BFS. Measured, not assumed: these four stay rows-only.
+    // validated value-for-value) but measures ~230 s for 8M hashes
+    // alone — an order of magnitude past gate budget. The 8M anchors
+    // (b02/b08) escaped this in round 10 by switching their generator to
+    // an md5-derived edge rule DuckDB reproduces natively, and now carry
+    // real oracles; at 64M even the md5 mirror (regeneration + a
+    // recursive CTE over 8× the edges and ~4× the depth-state) is an
+    // order of magnitude past budget, so the 64M five stay golden-pinned.
     val expectedRowsOnly = Set(
-      "b02_sssp_rand8m",    // 8M-edge synthetic anchor (CTE oracle infeasible;
-                            // EngineSpec pins runner equality at 200k)
-      "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (same rationale;
+      "b03_sssp_rand64m",   // 64M-edge distributed-tier anchor (CTE oracle
+                            // infeasible at 64M — see note above;
                             // forced through SqlRunner past the 32M threshold;
                             // self-pinned: the query REQUIREs its depth
                             // histogram against a recorded golden)
@@ -50,27 +53,12 @@ class RegistrySpec extends AnyFunSuite {
                             // pinned against b03's own depth golden — the
                             // cross-runner equality pin at the real 64M
                             // tier (same CTE-infeasibility rationale)
-      "b07_pagerank_conv64m", // converged PageRank (d=0.5 parity, ε=1e-4)
+      "b07_pagerank_conv64m" // converged PageRank (d=0.5 parity, ε=1e-4)
                             // at 64M; self-pinned via the changed-count
                             // trace golden
-      "b08_triangles_8m",   // 8M-edge TriangleCount anchor (same
-                            // xxhash64-generator CTE-infeasibility
-                            // rationale as b02); self-pinned: the query
-                            // REQUIREs the global triangle total against
-                            // a recorded golden, and g02/g07/g18 oracle-
-                            // gate the same plan at sf scale
-      "q12_approx_distinct", // approximate by design; numerically
-                            // tolerance-checked (5% rel err vs exact
-                            // distincts) by tools/oracle_check.py's
-                            // APPROX_CHECKS mirror pass AND by Verify's
-                            // in-process tolerance_pass.json sidecar
-                            // (same bounds, recorded beside the dumps)
-      "q52_approx_percentile" // approximate by design (OperatorsSpec rank
-                            // bound; oracle_check.py additionally pins
-                            // each estimate inside DuckDB's exact ±0.02
-                            // rank envelope, and Verify's
-                            // tolerance_pass.json sidecar records the
-                            // same envelope check in the gate artifacts)
+      // q12/q52 left this set in round 10: the queries now emit their
+      // tolerance VERDICT (estimate vs in-aggregate exact twin) and the
+      // oracle asserts it — the approximate aggregates are hash-gated.
     )
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expectedRowsOnly,
