@@ -178,6 +178,27 @@ object Bench {
       def contention: Double = if (medTask > 0) maxTask / medTask else 0.0
     }
     val anchorStats = scala.collection.mutable.Map.empty[String, AnchorRun]
+    // GENERIC anchors (r9 verdict item 1): b02 (local CSR tier), b06
+    // (GraphX), b08 (TriangleCount) run no SqlRunner superstep loop, so
+    // the loop-keyed machinery above cannot adjudicate them — and b06/b08
+    // were exactly the two anchors the r9 gate artifact could not clear.
+    // Same listener-derived max/median-task contention signal, same
+    // threshold, same post-sweep rerun; stats are (wall sec, task spread).
+    val genericNames = Set("b02_sssp_rand8m", "b06_sssp_graphx64m",
+      "b08_triangles_8m")
+    // loopSec/iters carry the LocalRunner CSR-loop figures for b02 (the
+    // other generics have no superstep loop → 0), captured at run time so
+    // later small-graph queries overwriting the volatiles can't race.
+    final case class GRun(sec: Double, maxTask: Double, medTask: Double,
+                          loopSec: Double, iters: Int) {
+      def contention: Double = if (medTask > 0) maxTask / medTask else 0.0
+    }
+    def gRun(name: String, dt: Double, mxT: Double, medT: Double): GRun =
+      if (name.startsWith("b02"))
+        GRun(dt, mxT, medT, graft.engine.LocalRunner.lastLoopSeconds,
+          graft.engine.LocalRunner.lastIterations)
+      else GRun(dt, mxT, medT, 0.0, 0)
+    val genericStats = scala.collection.mutable.Map.empty[String, GRun]
     // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
     // bytes per phase; here each query's own read/write/spill) — reported in
     // the FILE artifact only, the stdout line must stay under the driver's
@@ -226,6 +247,7 @@ object Bench {
           graft.engine.SqlRunner.lastIterations,
           graft.engine.SqlRunner.lastSaltedHubs,
           graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT)
+      if (ok && genericNames(name)) genericStats(name) = gRun(name, dt, mxT, medT)
       val mb = 1024.0 * 1024.0
       perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb, mxT))
       // Queries are independent: drop cached relations AND the persisted
@@ -298,8 +320,48 @@ object Bench {
         System.gc()
       }
     }
+    // Generic-anchor contention rerun: identical protocol to the loop
+    // anchors above (post-sweep, once, both runs recorded); the 5 s floor
+    // keeps sub-second-anchor noise out (a 0.2 s query's max/median ratio
+    // is dominated by scheduler jitter, not host contention).
+    val genericRerun = scala.collection.mutable.Map.empty[String, GRun]
+    genericStats.toSeq.sortBy(_._1).foreach { case (name, first) =>
+      if (first.contention > 12.0 && first.sec >= 5.0) {
+        System.err.println(
+          f"BENCH rerun $name: contention ${first.contention}%.1f > 12")
+        settled()
+        listener.resetMaxTask()
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH rerun FAIL $name: ${e.getMessage}")
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        settled()
+        val (mxT, medT) = listener.taskSpread()
+        if (ok) genericRerun(name) = gRun(name, dt, mxT, medT)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+    }
+    /** Better of first run / contention rerun, plus the rerun audit-trail
+      * fields when one happened — mirrors the loop anchors' adjudication.
+      */
+    def bestGeneric(name: String): Option[(GRun, String)] =
+      genericStats.get(name).map { first =>
+        val rr = genericRerun.get(name).filter(_.sec < first.sec)
+        val best = rr.getOrElse(first)
+        val key = name.take(3)
+        val audit = f""","${key}_contention":${best.contention}%.1f""" +
+          rr.map(_ => f""","${key}_rerun":true,"${key}_first_sec":${first.sec}%.3f,"${key}_first_contention":${first.contention}%.1f""").getOrElse("")
+        (best, audit)
+      }
     lazy val uniformEdges = graphs.GraphQueries.uniformEdges64M(spark).count()
     lazy val skewEdges = graphs.GraphQueries.skewEdges64M(spark).count()
+    lazy val edges8M = graphs.GraphQueries.uniformEdges8M(spark).count()
     val anchorExtra = anchorStats.toSeq.sortBy(_._1).map {
       case (name, first) =>
         // The eips fields report the better of first run / contention
@@ -320,24 +382,38 @@ object Bench {
         f""","${key}_edges":$edges,"${key}_iters":${best.iters},"${key}_loop_sec":${best.loopSec}%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_eips_loop_norm":$eipsLoopNorm%.0f,"${key}_salted_hubs":${best.hubs},"${key}_salt_factor":${best.saltF},"${key}_max_task_sec":${best.maxTask}%.1f,"${key}_median_task_sec":${best.medTask}%.2f,"${key}_contention":${best.contention}%.1f""" +
           rr.map(r => f""","${key}_rerun":true,"${key}_first_loop_sec":${first.loopSec}%.3f,"${key}_first_contention":${first.contention}%.1f""").getOrElse("")
     }.mkString +
-      // b02 runs the single-task CSR tier (no SqlRunner sidecar); its round
-      // count is implied by the spec-pinned depth golden — recorded here so
-      // tools/sync_anchors.py derives throughput from the artifact alone.
-      // Subset runs (SPARK_GRAFT_ONLY) omit it: the artifact must not
-      // carry rows for queries the loop never ran.
-      (if (only.isEmpty)
-        s""","b02_iters":${graphs.GraphQueries.goldenRounds(
-          graphs.GraphQueries.B02DepthGolden)}"""
-      else "") +
-      // b08 TC sidecar: per-phase split + directed-edge throughput,
-      // normalized like the superstep anchors. The baseline comparable is
-      // TC G1 GMR @1 slave: 1.026M edges / 1.002 s ≈ 1.02M edges/s
-      // (BASELINE.md headline matrix).
-      results.toMap.get("b08_triangles_8m").filter(_ > 0).map { dt =>
-        val e8 = graphs.GraphQueries.uniformEdges8M(spark).count()
+      // b02 sidecar: the local-CSR-tier anchor — round count from the SAME
+      // depth golden the query (and since r10 its DuckDB oracle) pins,
+      // relaxation throughput from the contention-adjudicated best run.
+      // Emitted only when the anchor actually ran, so subset runs
+      // (SPARK_GRAFT_ONLY) cannot publish rows for queries the loop
+      // never measured.
+      bestGeneric("b02_sssp_rand8m").map { case (best, audit) =>
+        val iters = graphs.GraphQueries.goldenRounds(
+          graphs.GraphQueries.B02DepthGolden)
+        val eips = edges8M.toDouble * iters / best.sec
+        val eipsLoop = if (best.loopSec > 0)
+          edges8M.toDouble * best.iters / best.loopSec else -1.0
+        f""","b02_edges":$edges8M,"b02_iters":$iters,"b02_sec":${best.sec}%.3f,"b02_loop_sec":${best.loopSec}%.3f,"b02_eips_total":$eips%.0f,"b02_eips_total_norm":${eips * hostFactor}%.0f,"b02_eips_loop":$eipsLoop%.0f,"b02_eips_loop_norm":${eipsLoop * hostFactor}%.0f$audit"""
+      }.getOrElse("") +
+      // b06 sidecar (r9 verdict item 1: the GraphX anchor previously had
+      // neither a throughput figure nor contention adjudication, making
+      // its 2× criterion unfalsifiable from the artifact): SSSP round
+      // count from the same b03 depth golden the query REQUIREs.
+      bestGeneric("b06_sssp_graphx64m").map { case (best, audit) =>
+        val iters = graphs.GraphQueries.b03Rounds
+        val eips = uniformEdges.toDouble * iters / best.sec
+        f""","b06_edges":$uniformEdges,"b06_iters":$iters,"b06_sec":${best.sec}%.3f,"b06_eips_total":$eips%.0f,"b06_eips_total_norm":${eips * hostFactor}%.0f$audit"""
+      }.getOrElse("") +
+      // b08 TC sidecar: per-phase split + directed-edge throughput from
+      // the adjudicated best run (lastTriStats reflects the most recent
+      // run — the rerun when one happened). Baseline comparable: TC G1
+      // GMR @1 slave: 1.026M edges / 1.002 s ≈ 1.02M edges/s (BASELINE.md
+      // headline matrix).
+      bestGeneric("b08_triangles_8m").map { case (best, audit) =>
         val (canonSec, closeSec) = graphs.GraphQueries.lastTriStats
-        val eps = e8.toDouble / dt
-        f""","b08_edges":$e8,"b08_canon_sec":$canonSec%.3f,"b08_close_sec":$closeSec%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f"""
+        val eps = edges8M.toDouble / best.sec
+        f""","b08_edges":$edges8M,"b08_sec":${best.sec}%.3f,"b08_canon_sec":$canonSec%.3f,"b08_close_sec":$closeSec%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f$audit"""
       }.getOrElse("")
     // Sketch-quality sidecar: measured recall of the LSH variants against
     // their exact twins on THIS run's data — a hash-function or banding
@@ -526,7 +602,8 @@ object Bench {
     // calibration/anchor/flag sidecars and always survives the tail whole,
     // so round-over-round adjudication stops requiring git archaeology.
     val compactKeep = ("\"(b[0-9]+_(?:first_loop_sec|loop_sec|eips_loop_norm" +
-      "|eips_loop|contention|rerun|iters|canon_sec|close_sec|eps_norm|eps))\":([^,}]+)").r
+      "|eips_loop|eips_total_norm|eips_total|first_contention|first_sec" +
+      "|contention|rerun|iters|canon_sec|close_sec|eps_norm|eps|sec))\":([^,}]+)").r
     val anchorCompact = {
       val kept = compactKeep.findAllMatchIn(anchorExtra)
         .map(m => s""""${m.group(1)}":${m.group(2)}""").mkString(",")

@@ -1,0 +1,98 @@
+package graft
+
+/** Strong-scaling probe (r9 verdict item 2): the reference's headline
+  * matrix is a 1→32-slave scaling sweep (BASELINE.md, 实验数据.xlsx
+  * sheet1), while the gate bench runs a single local[32] point — so
+  * "does anchor throughput scale with cores, or is something serialized?"
+  * was unanswerable from the artifacts. This main runs the SAME anchors
+  * at a fixed problem size across a descending core ladder (one fresh
+  * local[k] session per point, shuffle partitions = k like every other
+  * entry point) and writes BENCH_SCALING.json: per-point seconds,
+  * SqlRunner loop seconds/iterations where the anchor has a superstep
+  * loop, and the parallel efficiency of each point against the ladder's
+  * largest core count.
+  *
+  * Runs OUTSIDE the per-round gate on purpose: the low-core 64M points
+  * cost tens of minutes of wall-clock (the gate budget is minutes), and
+  * strong-scaling numbers only need re-recording when the engine's loop
+  * machinery changes, not every round. The committed BENCH_SCALING.json
+  * is the artifact; COVERAGE.md carries the reading.
+  *
+  * Interpreting local[k] scaling: all points share one JVM's memory
+  * bandwidth, so perfect linearity is NOT the expectation for the
+  * bandwidth-bound 64M anchors even when nothing is serialized — the
+  * right read is "does eips rise materially with k" (parallel section
+  * dominates) vs "flat eips across k" (a serialized stage dominates).
+  */
+object Scaling {
+
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "32,8,1")
+      .split(",").map(_.trim.toInt).filter(_ > 0).toSeq
+    val anchors = sys.env.getOrElse("SPARK_GRAFT_SCALING_ANCHORS",
+        "b03_sssp_rand64m,b07_pagerank_conv64m,b08_triangles_8m")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val unknown = anchors.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown anchor(s): ${unknown.mkString(", ")}")
+
+    final case class Point(cores: Int, anchor: String, sec: Double,
+                           loopSec: Double, iters: Int)
+    val points = Seq.newBuilder[Point]
+    cores.foreach { c =>
+      val spark = GraftSession.builder(s"local[$c]", c).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      anchors.foreach { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"SCALING FAIL $name@$c: ${e.getMessage}")
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) {
+          // Loop stats are only meaningful for the SqlRunner superstep
+          // anchors; the volatiles hold the LAST loop run, which under
+          // this strictly sequential driver is exactly `name`'s when it
+          // has one (b08/b02 leave them stale → recorded as 0/0 via the
+          // name guard below).
+          val hasLoop = Set("b03_sssp_rand64m", "b04_sssp_skew64m",
+            "b05_pagerank_skew64m", "b07_pagerank_conv64m")(name)
+          points += Point(c, name, dt,
+            if (hasLoop) engine.SqlRunner.lastLoopSeconds else 0.0,
+            if (hasLoop) engine.SqlRunner.lastIterations else 0)
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        println(f"SCALING $name cores=$c sec=$dt%.1f")
+      }
+      spark.stop()
+      // A fresh context per point: executor-thread count is fixed at
+      // context start, and carried-over block-manager/codegen state would
+      // blur the ladder.
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+    }
+
+    val ps = points.result()
+    val maxC = cores.max
+    val rows = ps.map { p =>
+      val base = ps.find(b => b.anchor == p.anchor && b.cores == maxC)
+      // Parallel efficiency vs the widest point: (T_max * maxC) /
+      // (T_k * k) — 1.0 is linear strong scaling, higher means the wide
+      // point was hurt by contention/overhead, lower means serialization.
+      val eff = base.map(b => (b.sec * maxC) / (p.sec * p.cores))
+      f"""{"anchor":"${p.anchor}","cores":${p.cores},"sec":${p.sec}%.3f,"loop_sec":${p.loopSec}%.3f,"iters":${p.iters}""" +
+        eff.map(e => f""","efficiency_vs_${maxC}c":$e%.3f""").getOrElse("") + "}"
+    }
+    val json =
+      s"""{"metric":"strong_scaling","sf":"$sfDir","cores":[${cores.mkString(",")}],"points":[${rows.mkString(",")}]}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING.json")),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

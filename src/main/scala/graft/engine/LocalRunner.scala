@@ -23,6 +23,16 @@ import scala.collection.mutable
   */
 object LocalRunner {
 
+  /** Superstep-loop wall seconds / iteration count of the LAST [[csrLoop]]
+    * in this JVM (CSR build and input packing excluded) — written from
+    * inside the loop task, valid under local[*] where executor threads
+    * share the JVM. Consumer: Bench's b02 sidecar, which captures the pair
+    * immediately after the anchor runs (its strictly-sequential protocol),
+    * so later small-graph queries overwriting the volatiles can't race it.
+    */
+  @volatile private[graft] var lastLoopSeconds: Double = 0.0
+  @volatile private[graft] var lastIterations: Int = 0
+
   /** Run `alg` in a single task; returns (id, value). */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
           alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
@@ -86,6 +96,7 @@ object LocalRunner {
     }
 
     val value = Array.tabulate(n)(j => alg.initFn(vertIds(j), meta))
+    val loopT0 = System.nanoTime()
 
     // Frontier path: when a no-message update is the identity, only last
     // round's changed vertices can send and only actual receivers can
@@ -138,6 +149,8 @@ object LocalRunner {
         val t = frontier; frontier = spare; spare = t
         fLen = nf
       }
+      lastLoopSeconds = (System.nanoTime() - loopT0) / 1e9
+      lastIterations = iter
       return (0 until n).iterator.map(j => (vertIds(j), value(j)))
     }
 
@@ -176,6 +189,8 @@ object LocalRunner {
       }
       changed = nextChanged
     }
+    lastLoopSeconds = (System.nanoTime() - loopT0) / 1e9
+    lastIterations = iter
     (0 until n).iterator.map(j => (vertIds(j), value(j)))
   }
 }

@@ -58,6 +58,11 @@ object GraphQueries {
   private[graft] def goldenRounds(g: Map[Long, Long]): Int =
     g.keys.max.toInt + 1
 
+  /** b03/b06's pinned round count (max depth + 1) — Bench derives the b06
+    * GraphX-anchor throughput from the same golden the query REQUIREs.
+    */
+  private[graft] def b03Rounds: Int = goldenRounds(B03DepthGolden)
+
   private[graft] val B02NV = 1000000L
 
   /** The b02/b08 8M-edge generator — ONE definition shared by the registry
@@ -505,7 +510,15 @@ object GraphQueries {
     // cross-runner equality pin at this tier).
     "b02_sssp_rand8m" -> ((s, dir) => {
       import s.implicits._
+      // Materialize the generated edges in PARALLEL before the single-task
+      // CSR loop: LocalRunner's coalesce(1) otherwise collapses the
+      // upstream md5 generation into the loop task (measured ~16 s
+      // single-threaded vs ~1 s across local[32]) — the anchor must
+      // measure the relaxation loop, not one-core hashing. The loop task
+      // then reads the checkpointed blocks; Bench/Verify sweep the
+      // persisted RDD after the query like every other anchor.
       val e = uniformEdges8M(s).withColumn("weight", lit(1.0))
+        .localCheckpoint()
       val v = s.range(B02NV).select($"id")
       GmrRunner.auto(s, v, e, Algorithms.Sssp,
           GraphMeta(B02NV, source = 1L), numEdges = 8L * B02NV)
