@@ -29,11 +29,21 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALING_CORES", "32,8,1")
       .split(",").map(_.trim.toInt).filter(_ > 0).toSeq
+    // Anchor spec: "name" or "name@minCores" — the floor skips ladder
+    // points whose wall-clock would be disproportionate (b07's 15
+    // full-relation 64M supersteps at 1 core cost ~half an hour for no
+    // additional signal once the 8-core point exists).
     val anchors = sys.env.getOrElse("SPARK_GRAFT_SCALING_ANCHORS",
-        "b03_sssp_rand64m,b07_pagerank_conv64m,b08_triangles_8m")
+        "b03_sssp_rand64m,b07_pagerank_conv64m@8,b08_triangles_8m")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { a =>
+        a.split("@") match {
+          case Array(n, f) => (n, f.toInt)
+          case _ => (a, 1)
+        }
+      }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val unknown = anchors.filterNot(SparkEntry.queries.contains)
+    val unknown = anchors.map(_._1).filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown anchor(s): ${unknown.mkString(", ")}")
 
     final case class Point(cores: Int, anchor: String, sec: Double,
@@ -42,7 +52,8 @@ object Scaling {
     cores.foreach { c =>
       val spark = GraftSession.builder(s"local[$c]", c).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      anchors.foreach { name =>
+      anchors.collect { case (name, floor) if c >= floor => name }
+        .foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>

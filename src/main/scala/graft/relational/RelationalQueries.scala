@@ -28,8 +28,10 @@ object RelationalQueries {
     * shared fixtures in [[RelationalInputs]].
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalCore.queries ++ RelationalExt.queries ++ RelationalExt2.queries
+    RelationalCore.queries ++ RelationalExt.queries ++
+      RelationalExt2.queries ++ RelationalExt3.queries
 
   val oracles: Map[String, String] =
-    RelationalCore.oracles ++ RelationalExt.oracles ++ RelationalExt2.oracles
+    RelationalCore.oracles ++ RelationalExt.oracles ++
+      RelationalExt2.oracles ++ RelationalExt3.oracles
 }
