@@ -29,6 +29,36 @@ object Curation {
   private def hashBucket(salt: String, key: Column): Column =
     hashMod(salt, key, 100)
 
+  /** L61: quality-weighted ACCEPTANCE SAMPLING — applying a per-document
+    * quality score as a sampling PROBABILITY (the DCLM/FineWeb-style
+    * "sample by quality" curation step: l16 is the hard filter, l21 the
+    * per-language quota, this the soft middle ground). p(doc) = 0.1 +
+    * 0.9·min(stop_ratio / 0.45, 1): stopword-rich "natural" text keeps
+    * its full weight, degenerate text still gets a 10% floor. A document
+    * is accepted iff its content-addressed md5 uniform (0..1e6) falls
+    * under p·1e6 — deterministic and append-stable like every sampler
+    * here (a document's fate never depends on other rows), and a pure
+    * projection: no shuffle, no state, embarrassingly parallel at 100 TB.
+    * The acceptance probability is grid-rounded on BOTH engines before
+    * the compare (Canon convention), so a u within an ulp of the cut
+    * cannot flip membership across engines.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = TextOps.tokens($"text")
+    val stopArr = array(TextStats.stopwords.map(lit): _*)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        (size(filter(ws, w => array_contains(stopArr, w))).cast("double") /
+          greatest(size(ws), lit(1)).cast("double")).as("stop_ratio"),
+        hashMod("wsample:", $"doc_id", 1000000).as("u"))
+      .select($"doc_id", $"lang", $"u",
+        graft.Canon.sig6(lit(0.1) +
+          lit(0.9) * least($"stop_ratio" / 0.45, lit(1.0))).as("accept_p"))
+      .filter($"u".cast("double") < $"accept_p" * 1000000.0)
+      .select($"doc_id", $"lang", $"accept_p")
+  }
+
   /** L20: deterministic train/validation/test assignment (90/5/5).
     * Pure projection: no shuffle, fully pushdown-friendly, and stable under
     * corpus growth — a document's split never changes when other rows are

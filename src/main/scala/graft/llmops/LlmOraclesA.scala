@@ -258,6 +258,20 @@ object LlmOraclesA {
         |  FROM documents) t
         |WHERE bucket < (CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 60
         |                          WHEN 'fr' THEN 80 ELSE 100 END)""".stripMargin,
+    "l61_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter($toksSql,
+         |           w -> w IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE)
+         |           / greatest(len($toksSql), 1) AS stop_ratio,
+         |         CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, u,
+         |         ${graft.Canon.sig6Sql("0.1 + 0.9 * least(stop_ratio / 0.45, 1.0)")} AS accept_p
+         |  FROM t)
+         |SELECT doc_id, lang, accept_p FROM p
+         |WHERE CAST(u AS DOUBLE) < accept_p * 1000000.0""".stripMargin,
     "l22_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens,

@@ -71,6 +71,9 @@ object LlmQueries {
     // them stays a single Catalyst plan (filter pushes under the window).
     "l20_split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
     "l21_stratified_sample" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    // Quality-weighted acceptance sampling — the soft middle ground
+    // between l16's hard filter and l21's per-language quota.
+    "l61_weighted_sample" -> ((s, dir) => Curation.weightedSample(s, dir)),
     "l22_pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "l23_redact_pii" -> ((s, dir) => Curation.redactPii(s, dir)),
     "l24_mix_rates" -> ((s, dir) => Curation.mixRates(s, dir)),

@@ -13,7 +13,7 @@ import graft.Tables
 object TextStats {
   import TextOps.tokens
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private[llmops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** L4a: per-document quality stats (length, tokens, uniques, stopword
     * ratio, mean token length). Oracle-checked row-wise.
