@@ -630,14 +630,58 @@ object GraphOps {
     * nothing (their ball is {u}); vertices never interior to a ≤4-hop
     * shortest path end with BC 0 and are filtered, matching the oracle.
     */
-  def betweenness4(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+  /** Exact-tier ceiling for [[betweenness4]]: below this many vertices the
+    * all-sources form runs (|md| ≤ |V|·|B4| is driver-era math at these
+    * sizes, and the oracle stays bit-identical); above it, K-pivot sampled
+    * Brandes (r9 verdict item 2) — the md relation becomes O(K·|B4|)
+    * instead of O(|V|·|B4|), which on a small-world graph at 100× scale is
+    * the difference between K·|V| and |V|² pair rows.
+    */
+  private[graft] val BrandesExactVertexLimit = 100000L
+
+  /** Pivot count of the sampled tier — the standard K-pivot Brandes
+    * estimator (Brandes–Pich 2007): BC ≈ (|V|/K)·Σ over K uniformly-drawn
+    * sources of that source's dependency. Pivots here are md5-ranked, so
+    * the draw is deterministic, content-addressed, and append-stable like
+    * every sampler in this repo.
+    */
+  private[graft] val BrandesPivotK = 1024
+
+  def betweenness4(s: SparkSession, edgeDf: DataFrame,
+                   exactVertexLimit: Long = BrandesExactVertexLimit,
+                   pivotK: Int = BrandesPivotK): DataFrame = {
     import s.implicits._
     val e = edgeDf.select($"src", $"dst")
     val v = e.select($"src".as("id")).union(e.select($"dst")).distinct()
+      .localCheckpoint() // 2 consumers (count + sources/pivot rank)
+    val nV = v.count()
+    val res = if (nV <= exactVertexLimit) betweenness4From(s, e, v, 1.0)
+    else {
+      val kEff = math.min(pivotK.toLong, nV)
+      // TakeOrdered over the md5 rank: K-sized driver-free top-K, never a
+      // full sort at scale.
+      val piv = v.orderBy(md5(concat(lit("bc:"), $"id".cast("string"))))
+        .limit(pivotK)
+      betweenness4From(s, e, piv, nV.toDouble / kEff)
+    }
+    // The result is already eagerly materialized (betweenness4From ends in
+    // a localCheckpoint); the vertex relation's blocks can go.
+    graft.engine.SqlRunner.checkpointRdd(v)
+      .foreach(_.unpersist(blocking = false))
+    res
+  }
+
+  /** The level-synchronous forward/backward Brandes passes from an
+    * explicit source set; `scale` is the sampling estimator's |V|/K (1.0
+    * on the exact tier, where sources = every vertex).
+    */
+  private def betweenness4From(s: SparkSession, e: DataFrame,
+                               sources: DataFrame, scale: Double): DataFrame = {
+    import s.implicits._
     def step(prev: DataFrame): DataFrame =
       prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
         .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
-    val l0 = v.select($"id".as("u"), $"id".as("v"))
+    val l0 = sources.select($"id".as("u"), $"id".as("v"))
     val levels = Iterator.iterate(l0)(step).take(5).toVector
     val all = levels.zipWithIndex.map { case (df, d) =>
       df.select($"u", $"v", lit(d).as("d")) }.reduce(_ union _)
@@ -700,7 +744,7 @@ object GraphOps {
     val ds = deltas.result()
     val out = ds.reduce(_ unionByName _)
       .groupBy($"v".as("id"))
-      .agg(graft.Canon.sig6(sum($"delta")).as("bc"))
+      .agg(graft.Canon.sig6(sum($"delta") * lit(scale)).as("bc"))
       .filter($"bc" > 0.0)
       .localCheckpoint()
     ((md +: sigs) ++ ds).foreach(df =>

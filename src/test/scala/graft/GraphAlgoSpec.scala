@@ -512,6 +512,74 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(got6(3L) == 5.0, s"$got6")
   }
 
+  test("betweenness4 sampled tier: K-pivot estimator matches an " +
+      "independent driver Brandes on the md5-ranked pivot set") {
+    import spark.implicits._
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (2L, 6L), (6L, 7L), (3L, 7L), (7L, 8L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val verts = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // Independent reference: textbook hop-bounded Brandes on the driver,
+    // with the SAME per-level 9-sig rounding the distributed passes apply
+    // (Canon.sig6 semantics) — validates the estimator AND the passes
+    // against code that shares nothing with the implementation under test.
+    def sig9(x: Double): Double = if (x == 0.0) 0.0 else {
+      val sc = math.pow(10.0, 8.0 - math.floor(math.log10(math.abs(x))))
+      math.round(x * sc) / sc
+    }
+    val adj = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def depDelta(u: Long): Map[Long, Double] = {
+      val dist = scala.collection.mutable.Map(u -> 0)
+      val sigma = scala.collection.mutable.Map(u -> 1.0)
+      var frontier = Seq(u)
+      for (d <- 1 to 4) {
+        val next = scala.collection.mutable.Map.empty[Long, Double]
+        frontier.foreach { x =>
+          adj.getOrElse(x, Nil).foreach { y =>
+            if (!dist.contains(y) || dist(y) == d)
+              next(y) = next.getOrElse(y, 0.0) + sigma(x)
+          }
+        }
+        next.keys.foreach(y => dist(y) = d)
+        next.foreach { case (y, s) => sigma(y) = s }
+        frontier = next.keys.toSeq
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (d <- 3 to 1 by -1) {
+        dist.filter(_._2 == d).keys.foreach { x =>
+          val contrib = adj.getOrElse(x, Nil)
+            .filter(y => dist.get(y).contains(d + 1))
+            .map(y => sigma(x) / sigma(y) * (1.0 + delta(y))).sum
+          if (contrib > 0) delta(x) = sig9(contrib)
+        }
+      }
+      delta.toMap
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val pivots = verts.sortBy(v => md5hex(s"bc:$v")).take(3)
+    val scale = verts.size.toDouble / 3
+    val want = verts.flatMap { v =>
+      val s = pivots.map(u => depDelta(u).getOrElse(v, 0.0)).sum
+      val bc = sig9(s * scale)
+      if (bc > 0.0) Some(v -> bc) else None
+    }.toMap
+    val got = GraphOps.betweenness4(spark, edges,
+        exactVertexLimit = 0, pivotK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == want, s"got $got want $want (pivots $pivots)")
+    // pivotK >= |V| degenerates to the exact tier (scale 1): both tiers
+    // must produce the identical relation.
+    val exact = GraphOps.betweenness4(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val allPiv = GraphOps.betweenness4(spark, edges,
+        exactVertexLimit = 0, pivotK = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(allPiv == exact)
+  }
+
   test("coloring: proper, greedy-tight, deterministic, within half the " +
       "g30 unroll at both gate SFs") {
     import spark.implicits._
