@@ -436,6 +436,14 @@ object Bench {
       // narrow-band recall is ~0 by design (the corpus's natural pairs
       // sit near cos 0.47).
       val l51r = rec(pairSet(q("l51_embed_dup_lsh_mid")), pairSet(l07df))
+      // Multi-probe (l62) vs single-probe (l08) at the same banding: the
+      // recall gain AND the measured candidate-volume cost ride together,
+      // so the "multi-probe buys mid-sim recall within 2× candidates"
+      // claim is an artifact, not an S-curve estimate.
+      val l62r = rec(pairSet(q("l62_embed_dup_lsh_mp")), pairSet(l07df))
+      val c08 = llmops.Similarity.lshCandidateCount(spark, sfDir, multiProbe = false)
+      val c62 = llmops.Similarity.lshCandidateCount(spark, sfDir, multiProbe = true)
+      val candRatio = if (c08 > 0) c62.toDouble / c08 else -1.0
       // The SRP sketch's designed regime is genuinely-near-duplicate pairs
       // (P(bit)=1−θ/π: ~97% at cos .99, ~2% at the corpus's .47 pairs), so
       // the vs-all number can sit near 0 BY DESIGN; the hi-sim field
@@ -476,7 +484,7 @@ object Bench {
           } finally graft.sources.FormatRoundtrip.recursiveDelete(
             new java.io.File(staged))
         }
-      f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f,"l51_recall_vs_l07":$l51r%.4f$hiField"""
+      f""","l04_recall_vs_l03":$l04r%.4f,"l08_recall_vs_l07":$l08r%.4f,"l51_recall_vs_l07":$l51r%.4f,"l62_recall_vs_l07":$l62r%.4f,"l08_cand_pairs":$c08,"l62_cand_pairs":$c62,"l62_cand_ratio":$candRatio%.2f$hiField"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH recall sidecar failed: ${e.getMessage}")
       ""

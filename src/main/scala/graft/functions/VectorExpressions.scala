@@ -68,6 +68,92 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Query-adaptive MULTI-PROBE key (Lv et al., VLDB 2007, via the SRP
+  * rendering): the [[SrpSignature]] with, in each `bandBits`-wide band,
+  * the single MINIMUM-|margin| bit flipped (ties → lowest plane index).
+  * A vector's nearest hyperplane is the bit most likely to disagree with
+  * a true near-neighbor's signature, so probing exactly that one flipped
+  * bucket per band buys most of the Hamming-1 recall mass at 2× the key
+  * volume — where exhaustive 1-flip probing costs (bandBits+1)×. Same
+  * fused-loop posture as SrpSignature: margins come from the identical
+  * dot products that produce the sign bits, so the DuckDB oracle
+  * reproduces both from one projection CTE.
+  */
+case class SrpProbeSignature(child: Expression, planes: Array[Array[Double]],
+                             bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_probe_signature requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    var bandMin = Double.MaxValue
+    var bandArg = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      val d = math.min(n, plane.length)
+      while (i < d) { acc += v.getDouble(i) * plane(i); i += 1 }
+      if (acc >= 0) sig |= 1L << p
+      val m = math.abs(acc)
+      if (m < bandMin) { bandMin = m; bandArg = p }
+      if ((p + 1) % bandBits == 0) {
+        sig ^= 1L << bandArg
+        bandMin = Double.MaxValue
+      }
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val bMin = ctx.freshName("bMin")
+      val bArg = ctx.freshName("bArg")
+      s"""
+         |long $sig = 0L;
+         |double $bMin = Double.MAX_VALUE;
+         |int $bArg = 0;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double $acc = 0.0;
+         |  int $d = java.lang.Math.min($v.numElements(), $mat[$p].length);
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += $v.getDouble($i) * $mat[$p][$i];
+         |  }
+         |  if ($acc >= 0) $sig |= 1L << $p;
+         |  double $m = java.lang.Math.abs($acc);
+         |  if ($m < $bMin) { $bMin = $m; $bArg = $p; }
+         |  if (($p + 1) % $bandBits == 0) {
+         |    $sig ^= 1L << $bArg;
+         |    $bMin = Double.MAX_VALUE;
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Signed-random-projection signature: bit p of the result is the sign of
   * `v · planes(p)`. The plane matrix rides along as a referenced object, so
   * a 48×64 projection is one fused loop instead of a 3072-term expression

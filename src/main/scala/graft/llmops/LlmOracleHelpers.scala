@@ -200,14 +200,77 @@ object LlmOracleHelpers {
     * twin of [[Similarity.embedDupPairsLsh]]'s `bandBits` operating-point
     * knob. Threshold fixed at the production 0.45 on both sides.
     */
-  private[llmops] def srpLshOracle(bandBits: Int): String = {
-    val bands = Similarity.Planes / bandBits
-    val mask = (1L << bandBits) - 1
-    val planeRows = Similarity.planes.zipWithIndex.map { case (pl, p) =>
+  /** The 48 hyperplanes as DuckDB VALUES rows — shared by the l08/l51
+    * single-probe and l62 multi-probe oracles.
+    */
+  private lazy val planeRowsSql: String =
+    Similarity.planes.zipWithIndex.map { case (pl, p) =>
       val vals = pl.map(x =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(x)))
       s"($p, [${vals.mkString(", ")}])"
     }.mkString(",\n")
+
+  /** l62's multi-probe mirror: the same projection CTE yields both the
+    * sign bits AND each band's minimum-|margin| plane (row_number over
+    * (vec, band) by abs(dot), ties to the lowest p — exactly the native
+    * expression's strict-< argmin), so the probe keys reproduce exactly;
+    * candidates join probe-side {sign key, flipped key} against base-side
+    * sign keys, orientation-free.
+    */
+  private[llmops] def srpLshMpOracle(bandBits: Int): String = {
+    val bands = Similarity.Planes / bandBits
+    val mask = (1L << bandBits) - 1
+    s"""WITH pl(p, pv) AS (VALUES
+       |$planeRowsSql),
+       |e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p, list_inner_product(e.v, pl.pv) AS dot
+       |  FROM e, pl),
+       |sg AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dot >= 0
+       |                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+       |              AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |flip AS (
+       |  SELECT vec_id, CAST(p // $bandBits AS INT) AS band_id, p AS fp
+       |  FROM (SELECT vec_id, p,
+       |               row_number() OVER (
+       |                 PARTITION BY vec_id, p // $bandBits
+       |                 ORDER BY abs(dot), p) AS rn
+       |        FROM dots) t WHERE rn = 1),
+       |bands AS (
+       |  SELECT vec_id, CAST(b AS INT) AS band_id,
+       |         (sig >> ($bandBits * CAST(b AS INT))) & $mask AS band_key
+       |  FROM sg, unnest(range($bands)) t(b)),
+       |probes AS (
+       |  SELECT vec_id, band_id, band_key FROM bands
+       |  UNION
+       |  SELECT b.vec_id, b.band_id,
+       |         xor(b.band_key, CAST(1 AS BIGINT) << (f.fp % $bandBits))
+       |  FROM bands b JOIN flip f
+       |    ON f.vec_id = b.vec_id AND f.band_id = b.band_id),
+       |cand AS (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+       |                  greatest(a.vec_id, b.vec_id) AS vec_b
+       |  FROM probes a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.vec_id <> b.vec_id)
+       |SELECT vec_a, vec_b, sim FROM (
+       |  SELECT c.vec_a, c.vec_b,
+       |         ${sig6Sql("list_cosine_similarity(ea.v, eb.v)")} AS sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b) t
+       |WHERE sim >= 0.45""".stripMargin
+  }
+
+  private[llmops] def srpLshOracle(bandBits: Int): String = {
+    val bands = Similarity.Planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val planeRows = planeRowsSql
     s"""WITH pl(p, pv) AS (VALUES
        |$planeRows),
        |e AS (SELECT vec_id,

@@ -37,6 +37,8 @@ object LlmOraclesB {
     // default (threshold 0.45), so the oracle bands with bandBitsFor(0.45)
     // — a banding-rule change moves both sides together.
     "l08_embed_dup_lsh" -> srpLshOracle(bandBits = Similarity.bandBitsFor(0.45)),
+    "l62_embed_dup_lsh_mp" ->
+      srpLshMpOracle(bandBits = Similarity.bandBitsFor(0.45)),
     // Same plane literals and signature CTEs at the FIXED 8×6 point — the
     // regression pin for the operating point the adaptive default selects
     // at threshold 0.45 (bandBitsFor(0.45) == 6, so l08 and l51 currently

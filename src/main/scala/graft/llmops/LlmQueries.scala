@@ -33,6 +33,9 @@ object LlmQueries {
     // old fixed 4×12; DedupSpec still pins the 4×12 profile's ≥0.9 recall
     // at hi-sim and its use at threshold ≥0.9).
     "l08_embed_dup_lsh" -> ((s, dir) => Similarity.embedDupPairsLsh(s, dir)),
+    // Query-adaptive multi-probe LSH — l08's banding plus one
+    // min-margin-flip probe per band (the mid-sim recall step).
+    "l62_embed_dup_lsh_mp" -> ((s, dir) => Similarity.embedDupPairsLshMp(s, dir)),
     // The FIXED 8×6 mid-similarity point, retained as the regression pin
     // for the operating point the adaptive default now selects at 0.45
     // (the bench sidecar records l51_recall_vs_l07 every round; if the

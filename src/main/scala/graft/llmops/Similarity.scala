@@ -417,6 +417,91 @@ object Similarity {
     call_function("graft_srp_sig48", v)
   }
 
+  /** Per-band min-margin flipped signature (the multi-probe key) via the
+    * native [[graft.functions.SrpProbeSignature]]; registered lazily per
+    * session like [[srpSig]].
+    */
+  private def srpProbeSig(s: SparkSession, v: Column, bandBits: Int): Column = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val name = s"graft_srp_probe_sig48_$bandBits"
+    val ident = FunctionIdentifier(name)
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(ident))
+      reg.registerFunction(ident,
+        new ExpressionInfo(
+          classOf[graft.functions.SrpProbeSignature].getName, name),
+        es => graft.functions.SrpProbeSignature(es.head, planes, bandBits))
+    call_function(name, v)
+  }
+
+  /** L62: query-adaptive MULTI-PROBE LSH (Lv et al. 2007) — the
+    * mid-similarity recall step past l08's threshold-adaptive banding
+    * (r9 advice item 6). Each vector probes TWO buckets per band: its own
+    * sign-bit key and the key with the band's minimum-|margin| bit
+    * flipped — the bit a true near-neighbor is most likely to disagree
+    * on, because a small margin means the pair straddles that hyperplane.
+    * Either endpoint's probe finding the other suffices (the join is
+    * orientation-free), so a Hamming-1 band miss is recovered whenever
+    * the disagreeing plane is the min-margin one for EITHER vector.
+    * Candidate volume is ≤2× l08's at the same banding (2 keys per band
+    * vs 1, where exhaustive 1-flip probing would cost bandBits+1 per
+    * band); measured at sf0.1: mid-sim recall 0.47 (l08) → see the bench
+    * sidecar l62 fields. Deterministic like l08: margins derive from the
+    * same dot products as the sign bits, so the DuckDB oracle reproduces
+    * the exact buckets and the result hash-checks.
+    */
+  def embedDupPairsLshMp(s: SparkSession, dir: String,
+                         threshold: Double = 0.45,
+                         bandBits: Int = 0): DataFrame = {
+    import s.implicits._
+    val bb = if (bandBits > 0) bandBits else bandBitsFor(threshold)
+    require(Planes % bb == 0,
+      s"bandBits=$bb must divide the $Planes-bit signature")
+    val e = emb(s, dir)
+    val sig = e.withColumn("sig", srpSig(s, $"v"))
+      .withColumn("psig", srpProbeSig(s, $"v", bb))
+    val mask = (1L << bb) - 1
+    def keys(c: Column, b: Int) =
+      shiftrightunsigned(c, b * bb).bitwiseAND(lit(mask))
+    // Probe side: both keys per band. Base side: the sign key only —
+    // covering exact collisions once and each Hamming-1 recovery through
+    // whichever endpoint's adaptive flip matches.
+    val probe = sig.select($"vec_id", $"v",
+        explode(array((0 until Planes / bb).flatMap(b => Seq(
+          struct(lit(b).as("band_id"), keys($"sig", b).as("band_key")),
+          struct(lit(b).as("band_id"), keys($"psig", b).as("band_key"))
+        )): _*)).as("bk"))
+      .select($"vec_id", $"v", $"bk.band_id", $"bk.band_key")
+    val base = sig.select($"vec_id", $"v",
+        explode(array((0 until Planes / bb).map(b =>
+          struct(lit(b).as("band_id"), keys($"sig", b).as("band_key"))): _*)).as("bk"))
+      .select($"vec_id", $"v", $"bk.band_id", $"bk.band_key")
+    probe.as("a").join(base.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select(least($"a.vec_id", $"b.vec_id").as("vec_a"),
+        greatest($"a.vec_id", $"b.vec_id").as("vec_b"),
+        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
+      .distinct()
+      .filter($"sim" >= threshold)
+  }
+
+  /** Distinct CANDIDATE pair count of the l08 (single-probe) or l62
+    * (multi-probe) scan BEFORE similarity verification — the recall-vs-
+    * volume trade's denominator, recorded by the bench sidecar so the
+    * "multi-probe buys recall within 2× candidate volume" claim is a
+    * measured artifact, not an S-curve estimate.
+    */
+  private[graft] def lshCandidateCount(s: SparkSession, dir: String,
+                                       multiProbe: Boolean,
+                                       threshold: Double = 0.45): Long = {
+    import s.implicits._
+    val pairs = if (multiProbe) embedDupPairsLshMp(s, dir, -1.0, bandBitsFor(threshold))
+      else embedDupPairsLsh(s, dir, -1.0, bandBitsFor(threshold))
+    pairs.select($"vec_a", $"vec_b").distinct().count()
+  }
+
   /** L3c: LSH-bucketed near-dup scan — the 100 TB variant of [[embedDupPairs]].
     * Candidates = pairs agreeing on >=1 band of sign bits; each candidate
     * is exact-verified. Recall < 1 near the threshold by construction, but

@@ -282,6 +282,18 @@ class DedupSpec extends AnyFunSuite {
       s"mid-sim recall $midRecall (mid $mid vs exact $exact)")
     assert(midRecall > narrowRecall,
       s"8×6 banding must beat 4×12 at cos≈0.5: $midRecall vs $narrowRecall")
+    // Multi-probe at the SAME 8×6 banding (l62): one min-margin flip per
+    // band recovers most Hamming-1 band misses — the r9-advice recall
+    // target is ≥0.7 in this regime, at ≤2× the candidate volume (the
+    // probe side carries exactly 2 keys per band vs 1).
+    val mp = pairs(Similarity.embedDupPairsLshMp(spark, dir,
+      threshold = 0.3, bandBits = 6))
+    assert(mp.subsetOf(exact), "multi-probe candidates are exact-verified")
+    val mpRecall = mp.intersect(exact).size.toDouble / exact.size
+    assert(mpRecall >= 0.7,
+      s"multi-probe mid-sim recall $mpRecall (mp $mp vs exact $exact)")
+    assert(mpRecall >= midRecall,
+      s"multi-probe can only add candidates: $mpRecall vs $midRecall")
   }
 
   test("semantic dedup: kmeans blocking ⊆ all-pairs; near-clones recalled") {
