@@ -466,6 +466,12 @@ object GraphQueries {
     // grid-rounded (semantics + scale posture in GraphOps.betweenness4).
     "g31_betweenness4" -> ((s, dir) =>
       GraphOps.betweenness4(s, GraphOps.sparseEdges(s, dir))),
+    // HyperANF: N(h) = pairs within h hops via per-vertex HLL ball
+    // sketches (one edge-keyed shuffle per round, never a pair
+    // expansion); gated with the q12 device — exact N(h) + tolerance
+    // verdict in the output (semantics + scale posture in GraphOps.anf3).
+    "g33_anf" -> ((s, dir) =>
+      GraphOps.anf3(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -933,6 +939,30 @@ object GraphQueries {
          |SELECT v AS id, count(*) AS n_sources,
          |       ${graft.Canon.sig6Sql(s"CAST(sum($w12) AS DOUBLE) / 12.0")} AS harmonic
          |FROM md WHERE d > 0 GROUP BY v""".stripMargin
+    },
+    // The exact neighborhood function per hop (the g33 verdict's twin):
+    // cumulative distinct (u, v) reach pairs through the same leveled
+    // expansion as g20, one scalar per h; within_tol restates the
+    // sketch-vs-exact bound the Spark side computed (q12's device).
+    "g33_anf" -> {
+      def lvl(k: Int) =
+        s"""l$k AS (SELECT DISTINCT p.u, e0.dst AS v
+           |  FROM l${k - 1} p JOIN e0 ON e0.src = p.v)""".stripMargin
+      def ball(h: Int) =
+        (0 to h).map(k => s"SELECT u, v FROM l$k").mkString(" UNION ")
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |l0 AS (SELECT id AS u, id AS v FROM v),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}
+         |SELECT CAST(1 AS BIGINT) AS h,
+         |       CAST((SELECT count(*) FROM (${ball(1)}) t1) AS BIGINT) AS n_pairs,
+         |       true AS within_tol
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT),
+         |       CAST((SELECT count(*) FROM (${ball(2)}) t2) AS BIGINT), true
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT),
+         |       CAST((SELECT count(*) FROM (${ball(3)}) t3) AS BIGINT), true""".stripMargin
     },
     // Brandes within the 4-hop horizon, statically staged: the same
     // leveled BFS as g20 gives true distances; σ accumulates level by
