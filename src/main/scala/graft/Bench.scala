@@ -348,15 +348,20 @@ object Bench {
       }
     }
     /** Better of first run / contention rerun, plus the rerun audit-trail
-      * fields when one happened — mirrors the loop anchors' adjudication.
+      * fields WHENEVER a rerun ran — two agreeing runs are themselves the
+      * adjudication ("structurally high ratio, not contention": GraphX
+      * stages mix a few heavy edge-partition tasks with many tiny ones,
+      * so b06's max/median sits in the hundreds even on an idle box; its
+      * first full-bench artifact measured 354 with the rerun landing on
+      * the same wall, which the recorded pair makes readable).
       */
     def bestGeneric(name: String): Option[(GRun, String)] =
       genericStats.get(name).map { first =>
-        val rr = genericRerun.get(name).filter(_.sec < first.sec)
-        val best = rr.getOrElse(first)
+        val rr = genericRerun.get(name)
+        val best = rr.filter(_.sec < first.sec).getOrElse(first)
         val key = name.take(3)
         val audit = f""","${key}_contention":${best.contention}%.1f""" +
-          rr.map(_ => f""","${key}_rerun":true,"${key}_first_sec":${first.sec}%.3f,"${key}_first_contention":${first.contention}%.1f""").getOrElse("")
+          rr.map(r => f""","${key}_rerun":true,"${key}_first_sec":${first.sec}%.3f,"${key}_first_contention":${first.contention}%.1f,"${key}_rerun_sec":${r.sec}%.3f""").getOrElse("")
         (best, audit)
       }
     lazy val uniformEdges = graphs.GraphQueries.uniformEdges64M(spark).count()
@@ -611,7 +616,7 @@ object Bench {
     // so round-over-round adjudication stops requiring git archaeology.
     val compactKeep = ("\"(b[0-9]+_(?:first_loop_sec|loop_sec|eips_loop_norm" +
       "|eips_loop|eips_total_norm|eips_total|first_contention|first_sec" +
-      "|contention|rerun|iters|canon_sec|close_sec|eps_norm|eps|sec))\":([^,}]+)").r
+      "|contention|rerun_sec|rerun|iters|canon_sec|close_sec|eps_norm|eps|sec))\":([^,}]+)").r
     val anchorCompact = {
       val kept = compactKeep.findAllMatchIn(anchorExtra)
         .map(m => s""""${m.group(1)}":${m.group(2)}""").mkString(",")

@@ -253,11 +253,10 @@ object LlmOracleHelpers {
        |  FROM bands b JOIN flip f
        |    ON f.vec_id = b.vec_id AND f.band_id = b.band_id),
        |cand AS (
-       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
-       |                  greatest(a.vec_id, b.vec_id) AS vec_b
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM probes a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |    AND a.vec_id <> b.vec_id)
+       |    AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, sim FROM (
        |  SELECT c.vec_a, c.vec_b,
        |         ${sig6Sql("list_cosine_similarity(ea.v, eb.v)")} AS sim

@@ -24,12 +24,15 @@ def block():
     rows.append("|---|---|---|---|---|")
     rows.append(f"| b01 4elt SSSP (reference replay) | {Q['b01_sssp_4elt']:.3f} "
                 f"| — | — | native baseline 0.2806 s |")
-    # b02: CSR tier. BASELINE.md's convention is |E|*iters/wall; the round
-    # count comes from the artifact (Bench derives it from the spec-pinned
-    # depth golden), with 11 only as a legacy-artifact fallback.
+    # b02: CSR tier. Since r10 the artifact carries the adjudicated figures
+    # directly (eips_total over the best run; eips_loop over the
+    # instrumented relaxation loop alone), with the wall-derived value as
+    # a legacy-artifact fallback.
     it02 = B.get("b02_iters", 11)
+    e02t = B.get("b02_eips_total", 8e6 * it02 / Q["b02_sssp_rand8m"])
+    e02l = B.get("b02_eips_loop", -1)
     rows.append(f"| b02 8M uniform SSSP (CSR tier) | {Q['b02_sssp_rand8m']:.2f} "
-                f"| {m(8e6 * it02 / Q['b02_sssp_rand8m'])} | — "
+                f"| {m(e02t)} | {m(e02l) if e02l > 0 else '—'} "
                 f"| auto-dispatch local loop, iters={it02} |")
     for tag, label in [("b03", "b03 64M uniform SSSP (distributed)"),
                        ("b04", "b04 64M skew SSSP (salted)"),
@@ -44,20 +47,32 @@ def block():
                 f" ×{B[f'{tag}_salt_factor']}, iters={B[f'{tag}_iters']}")
         rows.append(f"| {label} | {Q[qn]:.1f} | {m(B[f'{tag}_eips_total'])} "
                     f"| {m(B[f'{tag}_eips_loop'])} | {note} |")
-    # b06 runs through GraphXRunner (no SqlRunner loop sidecar): wall only,
-    # value-pinned in-query against b03's depth golden.
+    # b06 runs through GraphXRunner; since r10 the artifact carries its
+    # adjudicated eips (rounds from the same depth golden the query
+    # REQUIREs) and contention figure.
     if "b06_sssp_graphx64m" in Q:
+        e06 = f"{m(B['b06_eips_total'])}" if "b06_eips_total" in B else "—"
+        note = "cross-runner equality pin (b03 depth golden)"
+        if "b06_contention" in B:
+            note += f"; contention {B['b06_contention']:.1f}"
+            if B.get("b06_rerun"):
+                note += f" (rerun; first {B['b06_first_sec']:.0f}s)"
         rows.append(f"| b06 64M uniform SSSP (GraphX runner) "
-                    f"| {Q['b06_sssp_graphx64m']:.1f} | — | — "
-                    f"| cross-runner equality pin (b03 depth golden) |")
+                    f"| {Q['b06_sssp_graphx64m']:.1f} | {e06} | — "
+                    f"| {note} |")
     # b08: TriangleCount anchor (edges/s, not edge-relaxations/s — the
     # baseline comparable is TC G1 GMR @1 slave ≈ 1.02M edges/s).
     if "b08_eps" in B and "b08_triangles_8m" in Q:
+        note8 = (f"canon {B['b08_canon_sec']:.1f}s + close "
+                 f"{B['b08_close_sec']:.1f}s; total pinned (633) + DuckDB "
+                 "oracle; TC baseline ≈ 1.02M e/s")
+        if "b08_contention" in B:
+            note8 += f"; contention {B['b08_contention']:.1f}"
+            if B.get("b08_rerun"):
+                note8 += f" (rerun; first {B['b08_first_sec']:.0f}s)"
         rows.append(f"| b08 8M TriangleCount (wedge-close) "
                     f"| {Q['b08_triangles_8m']:.1f} | {m(B['b08_eps'])} e/s "
-                    f"| — | canon {B['b08_canon_sec']:.1f}s + close "
-                    f"{B['b08_close_sec']:.1f}s; total pinned (635); "
-                    f"TC baseline ≈ 1.02M e/s |")
+                    f"| — | {note8} |")
     host = B.get("host_cpu", "unknown")
     calib = ""
     if "host_factor" in B:
