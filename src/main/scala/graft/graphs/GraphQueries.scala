@@ -472,6 +472,11 @@ object GraphQueries {
     // verdict in the output (semantics + scale posture in GraphOps.anf3).
     "g33_anf" -> ((s, dir) =>
       GraphOps.anf3(s, GraphOps.sparseEdges(s, dir))),
+    // Full k-core decomposition (coreness per vertex) by the H-index
+    // iteration — g15 answers one k's membership, this the whole peeling
+    // order (semantics + scale posture in GraphOps.coreness).
+    "g34_coreness" -> ((s, dir) =>
+      GraphOps.coreness(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -963,6 +968,32 @@ object GraphQueries {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT),
          |       CAST((SELECT count(*) FROM (${ball(3)}) t3) AS BIGINT), true""".stripMargin
+    },
+    // The H-index coreness iteration, statically unrolled 32 rounds: the
+    // map is monotone-decreasing and IDEMPOTENT at its fixpoint (the
+    // coreness), so any unroll ≥ the data's fixpoint depth (measured
+    // 2/23/7 at the three SFs) equals the Spark side's data-dependent
+    // loop exactly — extra rounds are no-ops, the g30-unroll device
+    // without the density coupling.
+    "g34_coreness" -> {
+      // Every stage MATERIALIZED (the l57/g28 inline-blowup lesson): an
+      // un-materialized 32-deep CTE chain plans each round's window+join
+      // nested inside the next and measured minutes where the
+      // materialized chain runs in seconds.
+      def round(k: Int) =
+        s"""c$k AS MATERIALIZED (
+           |  SELECT v, CAST(max(least(rn, nc)) AS BIGINT) AS c FROM (
+           |    SELECT s.v, p.c AS nc,
+           |           row_number() OVER (PARTITION BY s.v ORDER BY p.c DESC) AS rn
+           |    FROM sym s JOIN c${k - 1} p ON p.v = s.nb) t
+           |  GROUP BY v)""".stripMargin
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |sym AS MATERIALIZED (SELECT DISTINCT v, nb FROM (
+         |  SELECT src AS v, dst AS nb FROM e0
+         |  UNION ALL SELECT dst, src FROM e0) t),
+         |c0 AS MATERIALIZED (SELECT v, count(*)::BIGINT AS c FROM sym GROUP BY v),
+         |${(1 to 32).map(round).mkString(",\n")}
+         |SELECT v AS id, c AS coreness FROM c32""".stripMargin
     },
     // Brandes within the 4-hop horizon, statically staged: the same
     // leveled BFS as g20 gives true distances; σ accumulates level by

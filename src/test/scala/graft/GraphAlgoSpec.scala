@@ -580,6 +580,31 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(allPiv == exact)
   }
 
+  test("coreness: H-index iteration lands exact peeling goldens") {
+    import spark.implicits._
+    // K4 (coreness 3) + a pendant off it (1) + a 2-path of triangles
+    // sharing vertex 10 (all 2) + an isolated edge (1): exercises every
+    // regime — clique, tree fringe, 2-core chain — with hand-checkable
+    // peeling answers.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L),                                                   // pendant
+      (10L, 11L), (10L, 12L), (11L, 12L),                         // tri 1
+      (10L, 13L), (10L, 14L), (13L, 14L),                         // tri 2
+      (20L, 21L)                                                  // edge
+    ).toDF("src", "dst")
+    val got = GraphOps.coreness(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 2L, 14L -> 2L,
+      20L -> 1L, 21L -> 1L)
+    assert(got == want, s"$got")
+    // Determinism (the window tie order must be immaterial).
+    val again = GraphOps.coreness(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == got)
+  }
+
   test("coloring: proper, greedy-tight, deterministic, within half the " +
       "g30 unroll at both gate SFs") {
     import spark.implicits._
