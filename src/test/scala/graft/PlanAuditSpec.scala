@@ -539,6 +539,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("q76: one fact-fact orderkey join; every dimension path broadcasts") {
+    // Q7's shape claim: lineitem⋈orders is the ONLY non-broadcast join
+    // (keyed on the orderkey), and the region-filtered supplier/customer
+    // nation-name reductions enter as broadcast builds — the fact is
+    // never sort-merge-joined against a dimension.
+    val plan = ranPlan("q76_volume_shipping")
+    assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
+    assert("orders.parquet".r.findAllIn(plan).size == 1, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // Any hash exchange in the final plan is orderkey- or group-keyed,
+    // never a dimension shuffle.
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.forall(e =>
+      e.contains("orderkey") || e.contains("supp_nation")),
+      s"unexpected exchange keys:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q81: the HAVING threshold aggregates BEFORE joining back; " +
+      "customer broadcasts") {
+    // Q18's shape claim: lineitem is scanned once, reduced to
+    // order-cardinality by the groupBy-HAVING, and only qualifying
+    // orderkeys join orders — the raw fact never joins anything.
+    val plan = ranPlan("q81_large_orders")
+    assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val hashEx = "Exchange hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("orderkey")),
+      s"expected only orderkey exchanges:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q83: shipped quantities cache once for cut + probe; dims broadcast") {
+    // Q20's shape claim (q70's device): the per-(part,supplier) shipped
+    // relation has two consumers — the 1.5×mean per-part cut and the
+    // probe — and must materialize ONCE; the brand filter and the
+    // supplier name join both broadcast.
+    val plan = ranPlan("q83_excess_suppliers")
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert("lineitem.parquet".r.findAllIn(plan).size == 1, plan)
+    assert("LeftSemi".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q71: the revenue view materializes ONCE; max + dim broadcast") {
     // Q15's view has two consumers (argmax scalar, equality probe) —
     // uncached, the lineitem scan + suppkey shuffle plan twice. The
