@@ -108,6 +108,14 @@ object Bench {
   private val CalibRefCpuSec = 2.874
   private val CalibRefMemSec = 0.645
 
+  /** The SqlRunner superstep anchors — the queries whose loop stats the
+    * sidecars read from the runner's volatiles. ONE definition shared
+    * with [[Scaling]], so a new superstep anchor cannot be adjudicated
+    * here but silently recorded loop-less in BENCH_SCALING.json.
+    */
+  private[graft] val SuperstepAnchors = Set("b03_sssp_rand64m",
+    "b04_sssp_skew64m", "b05_pagerank_skew64m", "b07_pagerank_conv64m")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -170,8 +178,7 @@ object Bench {
     // filter drops a handful of the nominal 64M) in BOTH accountings —
     // BASELINE.md's G2 convention |E|×iters/total-wall (69.0M × 15 /
     // 146.5 s ≈ 7.1M/s, log.txt:53-55) and loop-only wall.
-    val anchorNames = Set("b03_sssp_rand64m", "b04_sssp_skew64m",
-      "b05_pagerank_skew64m", "b07_pagerank_conv64m")
+    val anchorNames = SuperstepAnchors
     final case class AnchorRun(loopSec: Double, iters: Int, hubs: Int,
                                saltF: Int, totalSec: Double, maxTask: Double,
                                medTask: Double) {
@@ -186,18 +193,24 @@ object Bench {
     // threshold, same post-sweep rerun; stats are (wall sec, task spread).
     val genericNames = Set("b02_sssp_rand8m", "b06_sssp_graphx64m",
       "b08_triangles_8m")
-    // loopSec/iters carry the LocalRunner CSR-loop figures for b02 (the
-    // other generics have no superstep loop → 0), captured at run time so
-    // later small-graph queries overwriting the volatiles can't race.
+    // loopSec/iters carry the LocalRunner CSR-loop figures for b02 and
+    // canonSec/closeSec the TriangleCount phase split for b08 (zeros for
+    // the others) — captured AT RUN TIME from the runner volatiles, so a
+    // later query (or a rerun) overwriting them can't desynchronize a
+    // run's wall clock from its own phase figures.
     final case class GRun(sec: Double, maxTask: Double, medTask: Double,
-                          loopSec: Double, iters: Int) {
+                          loopSec: Double, iters: Int,
+                          canonSec: Double, closeSec: Double) {
       def contention: Double = if (medTask > 0) maxTask / medTask else 0.0
     }
     def gRun(name: String, dt: Double, mxT: Double, medT: Double): GRun =
       if (name.startsWith("b02"))
         GRun(dt, mxT, medT, graft.engine.LocalRunner.lastLoopSeconds,
-          graft.engine.LocalRunner.lastIterations)
-      else GRun(dt, mxT, medT, 0.0, 0)
+          graft.engine.LocalRunner.lastIterations, 0.0, 0.0)
+      else if (name.startsWith("b08")) {
+        val (c, cl) = graphs.GraphQueries.lastTriStats
+        GRun(dt, mxT, medT, 0.0, 0, c, cl)
+      } else GRun(dt, mxT, medT, 0.0, 0, 0.0, 0.0)
     val genericStats = scala.collection.mutable.Map.empty[String, GRun]
     // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
     // bytes per phase; here each query's own read/write/spill) — reported in
@@ -293,59 +306,49 @@ object Bench {
     // tasks), while the r8 contended gate box measured a 25.6 s max task
     // against the same sub-second median (ratio ~50) — 12 separates the
     // regimes with margin on both sides.
+    // ONE rerun protocol for every anchor family (the loop anchors and
+    // the generic ones must adjudicate under the same rules or the
+    // artifact's cross-anchor comparability is fiction): settle the
+    // listener, run, settle, read the task spread, sweep caches. Returns
+    // (wall sec, max task, median task) or None if the query threw.
+    def rerunMeasure(name: String, contention: Double)
+        : Option[(Double, Double, Double)] = {
+      System.err.println(f"BENCH rerun $name: contention $contention%.1f > 12")
+      settled()
+      listener.resetMaxTask()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH rerun FAIL $name: ${e.getMessage}")
+        false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      settled()
+      val (mxT, medT) = listener.taskSpread()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      if (ok) Some((dt, mxT, medT)) else None
+    }
     val rerunStats = scala.collection.mutable.Map.empty[String, AnchorRun]
     anchorStats.toSeq.sortBy(_._1).foreach { case (name, first) =>
-      if (first.contention > 12.0) {
-        System.err.println(
-          f"BENCH rerun $name: contention ${first.contention}%.1f > 12")
-        settled()
-        listener.resetMaxTask()
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH rerun FAIL $name: ${e.getMessage}")
-          false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        settled()
-        val (mxT, medT) = listener.taskSpread()
-        if (ok)
+      if (first.contention > 12.0)
+        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT) =>
           rerunStats(name) = AnchorRun(graft.engine.SqlRunner.lastLoopSeconds,
             graft.engine.SqlRunner.lastIterations,
             graft.engine.SqlRunner.lastSaltedHubs,
             graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
+        }
     }
-    // Generic-anchor contention rerun: identical protocol to the loop
-    // anchors above (post-sweep, once, both runs recorded); the 5 s floor
-    // keeps sub-second-anchor noise out (a 0.2 s query's max/median ratio
-    // is dominated by scheduler jitter, not host contention).
+    // Generic anchors: same protocol, plus a 5 s floor (a 0.2 s query's
+    // max/median ratio is scheduler jitter, not host contention).
     val genericRerun = scala.collection.mutable.Map.empty[String, GRun]
     genericStats.toSeq.sortBy(_._1).foreach { case (name, first) =>
-      if (first.contention > 12.0 && first.sec >= 5.0) {
-        System.err.println(
-          f"BENCH rerun $name: contention ${first.contention}%.1f > 12")
-        settled()
-        listener.resetMaxTask()
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH rerun FAIL $name: ${e.getMessage}")
-          false
+      if (first.contention > 12.0 && first.sec >= 5.0)
+        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT) =>
+          genericRerun(name) = gRun(name, dt, mxT, medT)
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        settled()
-        val (mxT, medT) = listener.taskSpread()
-        if (ok) genericRerun(name) = gRun(name, dt, mxT, medT)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-      }
     }
     /** Better of first run / contention rerun, plus the rerun audit-trail
       * fields WHENEVER a rerun ran — two agreeing runs are themselves the
@@ -411,14 +414,13 @@ object Bench {
         f""","b06_edges":$uniformEdges,"b06_iters":$iters,"b06_sec":${best.sec}%.3f,"b06_eips_total":$eips%.0f,"b06_eips_total_norm":${eips * hostFactor}%.0f$audit"""
       }.getOrElse("") +
       // b08 TC sidecar: per-phase split + directed-edge throughput from
-      // the adjudicated best run (lastTriStats reflects the most recent
-      // run — the rerun when one happened). Baseline comparable: TC G1
-      // GMR @1 slave: 1.026M edges / 1.002 s ≈ 1.02M edges/s (BASELINE.md
-      // headline matrix).
+      // the adjudicated best run — the phase split was captured INTO that
+      // run's record at run time, so wall and split can never come from
+      // different runs. Baseline comparable: TC G1 GMR @1 slave: 1.026M
+      // edges / 1.002 s ≈ 1.02M edges/s (BASELINE.md headline matrix).
       bestGeneric("b08_triangles_8m").map { case (best, audit) =>
-        val (canonSec, closeSec) = graphs.GraphQueries.lastTriStats
         val eps = edges8M.toDouble / best.sec
-        f""","b08_edges":$edges8M,"b08_sec":${best.sec}%.3f,"b08_canon_sec":$canonSec%.3f,"b08_close_sec":$closeSec%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f$audit"""
+        f""","b08_edges":$edges8M,"b08_sec":${best.sec}%.3f,"b08_canon_sec":${best.canonSec}%.3f,"b08_close_sec":${best.closeSec}%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f$audit"""
       }.getOrElse("")
     // Sketch-quality sidecar: measured recall of the LSH variants against
     // their exact twins on THIS run's data — a hash-function or banding

@@ -66,9 +66,9 @@ object Scaling {
           // anchors; the volatiles hold the LAST loop run, which under
           // this strictly sequential driver is exactly `name`'s when it
           // has one (b08/b02 leave them stale → recorded as 0/0 via the
-          // name guard below).
-          val hasLoop = Set("b03_sssp_rand64m", "b04_sssp_skew64m",
-            "b05_pagerank_skew64m", "b07_pagerank_conv64m")(name)
+          // name guard below). The set is Bench's own, so a future
+          // superstep anchor cannot be recorded loop-less here silently.
+          val hasLoop = Bench.SuperstepAnchors(name)
           points += Point(c, name, dt,
             if (hasLoop) engine.SqlRunner.lastLoopSeconds else 0.0,
             if (hasLoop) engine.SqlRunner.lastIterations else 0)

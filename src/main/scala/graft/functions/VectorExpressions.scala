@@ -96,8 +96,8 @@ case class SrpProbeSignature(child: Expression, planes: Array[Array[Double]],
     val n = v.numElements()
     var sig = 0L
     var p = 0
-    var bandMin = Double.MaxValue
-    var bandArg = 0
+    var bandMin = Double.NaN
+    var bandArg = -1
     while (p < planes.length) {
       val plane = planes(p)
       var acc = 0.0
@@ -106,10 +106,18 @@ case class SrpProbeSignature(child: Expression, planes: Array[Array[Double]],
       while (i < d) { acc += v.getDouble(i) * plane(i); i += 1 }
       if (acc >= 0) sig |= 1L << p
       val m = math.abs(acc)
-      if (m < bandMin) { bandMin = m; bandArg = p }
+      // argmin with the DuckDB mirror's NaN-LAST total order (ORDER BY
+      // abs(dot), p): a finite margin always beats NaN, ties keep the
+      // lowest plane, and an all-NaN band flips its first plane — bandArg
+      // can never escape the current band (a NaN band previously left it
+      // pointing into an earlier, already-flipped band).
+      if (bandArg < 0 || m < bandMin || (bandMin != bandMin && m == m)) {
+        bandMin = m; bandArg = p
+      }
       if ((p + 1) % bandBits == 0) {
         sig ^= 1L << bandArg
-        bandMin = Double.MaxValue
+        bandMin = Double.NaN
+        bandArg = -1
       }
       p += 1
     }
@@ -129,8 +137,8 @@ case class SrpProbeSignature(child: Expression, planes: Array[Array[Double]],
       val bArg = ctx.freshName("bArg")
       s"""
          |long $sig = 0L;
-         |double $bMin = Double.MAX_VALUE;
-         |int $bArg = 0;
+         |double $bMin = Double.NaN;
+         |int $bArg = -1;
          |for (int $p = 0; $p < $mat.length; $p++) {
          |  double $acc = 0.0;
          |  int $d = java.lang.Math.min($v.numElements(), $mat[$p].length);
@@ -139,10 +147,14 @@ case class SrpProbeSignature(child: Expression, planes: Array[Array[Double]],
          |  }
          |  if ($acc >= 0) $sig |= 1L << $p;
          |  double $m = java.lang.Math.abs($acc);
-         |  if ($m < $bMin) { $bMin = $m; $bArg = $p; }
+         |  if ($bArg < 0 || $m < $bMin ||
+         |      (Double.isNaN($bMin) && !Double.isNaN($m))) {
+         |    $bMin = $m; $bArg = $p;
+         |  }
          |  if (($p + 1) % $bandBits == 0) {
          |    $sig ^= 1L << $bArg;
-         |    $bMin = Double.MAX_VALUE;
+         |    $bMin = Double.NaN;
+         |    $bArg = -1;
          |  }
          |}
          |${ev.value} = $sig;

@@ -691,16 +691,23 @@ object GraphOps {
     graft.engine.SqlRunner.checkpointRdd(sk)
       .foreach(_.unpersist(blocking = false))
     // Exact twin at gate scale: cumulative distinct (u, v) pairs within
-    // h hops via the same leveled expansion as harmonic4.
+    // h hops via the same leveled expansion as harmonic4 — but with each
+    // level CHECKPOINTED, unlike harmonic4's single-action plan (where
+    // ReuseExchange replays the shared prefixes): the three cumulative
+    // counts are three separate JOBS, and exchange reuse does not span
+    // jobs, so un-checkpointed levels would re-run l1's join three times
+    // and l2's twice.
     def step(prev: DataFrame): DataFrame =
       prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
         .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
-    val levels = Iterator.iterate(v.select($"id".as("u"), $"id".as("v")))(step)
+    val levels = Iterator.iterate(
+        v.select($"id".as("u"), $"id".as("v")).localCheckpoint())(
+        p => step(p).localCheckpoint())
       .take(4).toVector
     val exact = (1 to 3).map(h =>
       levels.take(h + 1).reduce(_ union _).distinct().count())
-    graft.engine.SqlRunner.checkpointRdd(e)
-      .foreach(_.unpersist(blocking = false))
+    (e +: levels).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false)))
     val ests = est.result()
     (1 to 3).map { h =>
       val ex = exact(h - 1)

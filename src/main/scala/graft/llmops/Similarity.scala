@@ -441,21 +441,36 @@ object Similarity {
     * sign-bit key and the key with the band's minimum-|margin| bit
     * flipped — the bit a true near-neighbor is most likely to disagree
     * on, because a small margin means the pair straddles that hyperplane.
-    * Either endpoint's probe finding the other suffices (the join is
-    * orientation-free), so a Hamming-1 band miss is recovered whenever
-    * the disagreeing plane is the min-margin one for EITHER vector.
-    * Candidate volume is ≤2× l08's at the same banding (2 keys per band
-    * vs 1, where exhaustive 1-flip probing would cost bandBits+1 per
-    * band); measured at sf0.1: mid-sim recall 0.47 (l08) → see the bench
-    * sidecar l62 fields. Deterministic like l08: margins derive from the
+    * Probing is ONE-SIDED (the lower-id endpoint is the prober), so a
+    * Hamming-1 band miss is recovered when the disagreeing plane is the
+    * PROBER's min-margin bit — which in practice is both endpoints': a
+    * near-dup pair's margin vectors are near-identical, so their argmin
+    * planes coincide (measured: both-sided probing bought zero extra
+    * recall at 1.33× the candidates — see [[mpCandidates]]).
+    * Candidate volume is ≤2× l08's at the same banding BY CONSTRUCTION
+    * (2 collision events per band vs 1, where exhaustive 1-flip probing
+    * would cost bandBits+1); measured at sf0.1: recall 0.47 (l08) → 0.80
+    * at 1.85× candidates — the bench sidecar records all three numbers.
+    * Deterministic like l08: margins derive from the
     * same dot products as the sign bits, so the DuckDB oracle reproduces
     * the exact buckets and the result hash-checks.
     */
-  def embedDupPairsLshMp(s: SparkSession, dir: String,
-                         threshold: Double = 0.45,
-                         bandBits: Int = 0): DataFrame = {
+  /** The multi-probe candidate join — collision rows (vec_a, vec_b, va,
+    * vb), one per (band, key) agreement, shared by [[embedDupPairsLshMp]]
+    * (which verifies them) and [[lshCandidateCount]] (which only counts).
+    *
+    * ONE-SIDED probing (the lower id is the prober): per band a pair can
+    * collide through exactly two events — sign keys equal, or the
+    * prober's adaptive flip matching — so candidate volume is bounded at
+    * 2× the single-probe scan's BY CONSTRUCTION. Measured at sf0.1:
+    * 1.85× candidates for 0.80 recall vs single-probe's 0.47 (both-sided
+    * probing measured 2.47× for the SAME 0.80 recall — the third
+    * collision event buys nothing here because near-duplicates' margins
+    * are near-identical vectors, so the two endpoints' min-margin flips
+    * almost always pick the same plane).
+    */
+  private def mpCandidates(s: SparkSession, dir: String, bb: Int): DataFrame = {
     import s.implicits._
-    val bb = if (bandBits > 0) bandBits else bandBitsFor(threshold)
     require(Planes % bb == 0,
       s"bandBits=$bb must divide the $Planes-bit signature")
     val e = emb(s, dir)
@@ -464,9 +479,7 @@ object Similarity {
     val mask = (1L << bb) - 1
     def keys(c: Column, b: Int) =
       shiftrightunsigned(c, b * bb).bitwiseAND(lit(mask))
-    // Probe side: both keys per band. Base side: the sign key only —
-    // covering exact collisions once and each Hamming-1 recovery through
-    // whichever endpoint's adaptive flip matches.
+    // Probe side: both keys per band. Base side: the sign key only.
     val probe = sig.select($"vec_id", $"v",
         explode(array((0 until Planes / bb).flatMap(b => Seq(
           struct(lit(b).as("band_id"), keys($"sig", b).as("band_key")),
@@ -477,20 +490,21 @@ object Similarity {
         explode(array((0 until Planes / bb).map(b =>
           struct(lit(b).as("band_id"), keys($"sig", b).as("band_key"))): _*)).as("bk"))
       .select($"vec_id", $"v", $"bk.band_id", $"bk.band_key")
-    // ONE-SIDED probing (the lower id is the prober): per band a pair can
-    // collide through exactly two events — sign keys equal, or the
-    // prober's adaptive flip matching — so candidate volume is bounded at
-    // 2× the single-probe scan's BY CONSTRUCTION. Measured at sf0.1:
-    // 1.85× candidates for 0.80 recall vs single-probe's 0.47 (both-sided
-    // probing measured 2.47× for the SAME 0.80 recall — the third
-    // collision event buys nothing here because near-duplicates' margins
-    // are near-identical vectors, so the two endpoints' min-margin flips
-    // almost always pick the same plane).
     probe.as("a").join(base.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
+        $"a.v".as("va"), $"b.v".as("vb"))
+  }
+
+  def embedDupPairsLshMp(s: SparkSession, dir: String,
+                         threshold: Double = 0.45,
+                         bandBits: Int = 0): DataFrame = {
+    import s.implicits._
+    val bb = if (bandBits > 0) bandBits else bandBitsFor(threshold)
+    mpCandidates(s, dir, bb)
+      .select($"vec_a", $"vec_b",
+        sig6(GraftFunctions.cosineSim(s, $"va", $"vb")).as("sim"))
       .distinct()
       .filter($"sim" >= threshold)
   }
@@ -499,15 +513,18 @@ object Similarity {
     * (multi-probe) scan BEFORE similarity verification — the recall-vs-
     * volume trade's denominator, recorded by the bench sidecar so the
     * "multi-probe buys recall within 2× candidate volume" claim is a
-    * measured artifact, not an S-curve estimate.
+    * measured artifact, not an S-curve estimate. Counts the banded join
+    * output directly: no cosine work, and a NaN-sim pair (zero-norm
+    * vector) still counts as the candidate it was.
     */
   private[graft] def lshCandidateCount(s: SparkSession, dir: String,
                                        multiProbe: Boolean,
                                        threshold: Double = 0.45): Long = {
     import s.implicits._
-    val pairs = if (multiProbe) embedDupPairsLshMp(s, dir, -1.0, bandBitsFor(threshold))
-      else embedDupPairsLsh(s, dir, -1.0, bandBitsFor(threshold))
-    pairs.select($"vec_a", $"vec_b").distinct().count()
+    val bb = bandBitsFor(threshold)
+    val cand = if (multiProbe) mpCandidates(s, dir, bb)
+      else lshCandidates(s, dir, bb)
+    cand.select($"vec_a", $"vec_b").distinct().count()
   }
 
   /** L3c: LSH-bucketed near-dup scan — the 100 TB variant of [[embedDupPairs]].
@@ -536,22 +553,33 @@ object Similarity {
                        bandBits: Int = 0): DataFrame = {
     import s.implicits._
     val bb = if (bandBits > 0) bandBits else bandBitsFor(threshold)
+    lshCandidates(s, dir, bb)
+      .select($"vec_a", $"vec_b",
+        sig6(GraftFunctions.cosineSim(s, $"va", $"vb")).as("sim"))
+      .distinct()
+      .filter($"sim" >= threshold)
+  }
+
+  /** The single-probe candidate join — collision rows (vec_a, vec_b, va,
+    * vb), one per agreeing (band, key); [[embedDupPairsLsh]] verifies
+    * them, [[lshCandidateCount]] only counts.
+    */
+  private def lshCandidates(s: SparkSession, dir: String, bb: Int): DataFrame = {
+    import s.implicits._
     require(Planes % bb == 0,
       s"bandBits=$bb must divide the $Planes-bit signature")
     val e = emb(s, dir)
     val sig = e.withColumn("sig", srpSig(s, $"v"))
     val mask = (1L << bb) - 1
-    val banded = sig.select($"vec_id", $"v", $"norm",
+    val banded = sig.select($"vec_id", $"v",
         explode(array((0 until Planes / bb).map(b =>
           struct(lit(b).as("band_id"),
             shiftrightunsigned($"sig", b * bb).bitwiseAND(lit(mask)).as("band_key"))): _*)).as("bk"))
-      .select($"vec_id", $"v", $"norm", $"bk.band_id", $"bk.band_key")
+      .select($"vec_id", $"v", $"bk.band_id", $"bk.band_key")
     banded.as("a").join(banded.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        sig6(GraftFunctions.cosineSim(s, $"a.v", $"b.v")).as("sim"))
-      .distinct()
-      .filter($"sim" >= threshold)
+        $"a.v".as("va"), $"b.v".as("vb"))
   }
 }
