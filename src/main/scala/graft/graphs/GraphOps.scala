@@ -918,6 +918,184 @@ object GraphOps {
     }
   }
 
+  /** Katz centrality, truncated at walk length 3: c(v) = Σ_{k≤3} α^k·w_k(v)
+    * with w_k the number of directed WALKS of length k ending at v —
+    * computed exactly in integers by three chained edge-keyed aggregations
+    * (w_{k+1}(v) = Σ_{u→v} w_k(u)), then combined with α = 0.1 so the
+    * weights are exact decimals and the only float op is the final
+    * sig6-rounded sum. The attenuated-influence centrality beside
+    * PageRank (g03), PPR (g17), HITS (g28) and harmonic (g20). Each stage
+    * is one shuffle on dst; at 100 TB the walk counts stay one BIGINT per
+    * vertex — no frontier state, no iteration driver.
+    */
+  def katz3(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.cache()
+    def step(w: DataFrame, col: String, next: String): DataFrame =
+      e.join(w.withColumnRenamed("id", "wid"), $"src" === $"wid")
+        .groupBy($"dst".as("id")).agg(sum(org.apache.spark.sql.functions.col(col)).as(next))
+    // Each stage localCheckpoints because it feeds TWO consumers (the next
+    // walk stage and the final join) and rename-induced attribute-id drift
+    // defeats ReusedExchange — verified on the executed plan: without the
+    // checkpoints w2's aggregation runs twice and w1's three times.
+    val w1 = e.groupBy($"dst".as("id")).agg(count(lit(1)).as("w1"))
+      .localCheckpoint()
+    val w2 = step(w1, "w1", "w2").localCheckpoint()
+    val w3 = step(w2, "w2", "w3").localCheckpoint()
+    e.unpersist()
+    w1.join(w2, Seq("id"), "left").join(w3, Seq("id"), "left")
+      .select($"id", $"w1",
+        coalesce($"w2", lit(0L)).as("w2"), coalesce($"w3", lit(0L)).as("w3"),
+        graft.Canon.sig6(lit(0.1) * $"w1" + lit(0.01) * coalesce($"w2", lit(0L))
+          + lit(0.001) * coalesce($"w3", lit(0L))).as("katz"))
+  }
+
+  /** Longest-path layering of the DAG view (edges with src < dst — acyclic
+    * by construction): layer(v) = length of the longest dependency chain
+    * ending at v, the critical-path / earliest-start tick of a scheduling
+    * DAG with unit task costs. Bellman–Ford-style max-relaxation to the
+    * fixpoint: each round only the vertices whose layer INCREASED last
+    * round re-send layer+1 to their successors (the frontier/delta
+    * pruning ≙ the reference's active-vertex send filter, O4), receivers
+    * fold max(own, incoming) in the same self-tagged aggregation as
+    * [[wcc]] — so materialize + changed-count stay ONE job per round.
+    * Rounds = longest path length (18 on the gate view at sf0.1); at
+    * 100 TB the per-round shuffle is frontier-sized, not graph-sized.
+    */
+  def criticalPath(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val d = edgeDf.filter($"src" < $"dst").select($"src", $"dst")
+      .distinct().cache()
+    val m = d.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      val de = d.repartition($"src").cache()
+      var layers = de.select($"src".as("id"))
+        .union(de.select($"dst".as("id"))).distinct()
+        .select($"id", lit(0L).as("layer")).localCheckpoint()
+      var senders = layers
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 10000) {
+        rounds += 1
+        val prop = senders.join(de, $"id" === $"src")
+          .select($"dst".as("id"), ($"layer" + 1L).as("layer"),
+            lit(false).as("self"))
+        val next = layers.select($"id", $"layer", lit(true).as("self"))
+          .union(prop)
+          .groupBy($"id").agg(max($"layer").as("layer"),
+            max(when($"self", $"layer")).as("old_layer"))
+          .localCheckpoint(eager = false)
+        changed = next.filter($"layer" > $"old_layer").count()
+        senders = next.filter($"layer" > $"old_layer")
+          .select($"id", $"layer")
+        layers = next.select($"id", $"layer")
+      }
+      de.unpersist()
+      d.unpersist()
+      layers
+    }
+  }
+
+  /** Louvain phase-1 community detection (synchronous local-move variant)
+    * for a FIXED number of rounds. Each round every vertex moves to the
+    * candidate community (a neighbor's community or its own) maximizing the
+    * modularity gain; with the constant parts of ΔQ(v→C) dropped the
+    * per-vertex ordering is ΔQ ∝ k_in(v,C) − deg(v)·tot(C∖v)/(2m), which
+    * scaled by 2m is the INTEGER score `2m·k_in − deg·(tot − [C=own]·deg)`
+    * — no float arithmetic anywhere, so the oracle replays it bit-exactly.
+    * Ties break to the smallest community id, mirroring [[lpa]].
+    *
+    * Classic Louvain (Blondel et al. 2008) moves vertices sequentially and
+    * coarsens; a fully synchronous rendering oscillates (two vertices that
+    * each gain by joining the OTHER's community swap places forever — the
+    * known swap-thrash artifact), so each round only the alternating
+    * id-parity half moves (`id % 2 == round % 2`), the standard
+    * distributed-Louvain symmetry breaker — deterministic, so the oracle
+    * replays it. Three aggregations per round (community degree totals,
+    * per-(mover, neighbor-community) edge counts, argmax), all keyed on
+    * vertex or community id: at 100 TB each is one hash shuffle of the
+    * message relation, and the edge cache is co-partitioned on src like
+    * every other loop here.
+    */
+  def louvain(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val m2 = sym.count() // = 2m: both orientations of every undirected edge
+    withShuffleParts(s, loopParallelism(s, m2)) {
+      val ue = sym.repartition($"src").cache()
+      val deg = ue.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      var labels = deg.select($"id", $"id".as("label")).localCheckpoint()
+      (1 to rounds).foreach { r =>
+        val parity = r % 2
+        val tot = labels.join(deg, "id")
+          .groupBy($"label".as("c")).agg(sum($"deg").as("tot"))
+        val movers = labels.filter($"id" % 2 === parity)
+        val kin = ue.filter($"src" % 2 === parity)
+          .join(labels.select($"id".as("nid"), $"label".as("c")),
+            $"dst" === $"nid")
+          .groupBy($"src".as("id"), $"c")
+          .agg(count(lit(1)).as("kin"))
+        // Own community is always a candidate (k_in possibly 0): merged in
+        // via union so a vertex with no intra-community neighbor can still
+        // stay put when every move has negative gain.
+        val cand = kin
+          .union(movers.select($"id", $"label".as("c"), lit(0L).as("kin")))
+          .groupBy($"id", $"c").agg(sum($"kin").as("kin"))
+        val moved = cand
+          .join(deg, "id")
+          .join(movers.select($"id", $"label".as("own")), "id")
+          .join(tot, "c")
+          .select($"id", $"c",
+            (lit(m2) * $"kin" - $"deg" *
+              ($"tot" - when($"c" === $"own", $"deg").otherwise(lit(0L))))
+              .as("score"))
+          .groupBy($"id")
+          .agg(max(struct($"score".as("s"), (lit(0L) - $"c").as("nc"))).as("m"))
+          .select($"id", (lit(0L) - $"m.nc").as("label"))
+        labels = moved
+          .union(labels.filter($"id" % 2 =!= parity))
+          .localCheckpoint()
+      }
+      ue.unpersist()
+      sym.unpersist()
+      labels
+    }
+  }
+
+  /** Modularity of the [[louvain]] partition, INTEGER-exact: with tot(C)
+    * the community degree totals, intra the count of symmetric edge rows
+    * inside a community, and 2m the symmetric edge count,
+    * `Q = (2m·intra − Σ tot²) / (2m)²` — the numerator and both factors
+    * are integers, so the single output row hash-checks without a float
+    * contract (the rounded double rides along for readability). One pass
+    * over the labeled edge relation + two one-row aggregates.
+    */
+  def modularity(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val m2 = sym.count()
+    val labels = louvain(s, edgeDf, rounds).cache()
+    val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+    val sumTot2 = labels.join(deg, "id")
+      .groupBy($"label").agg(sum($"deg").as("tot"))
+      .agg(sum($"tot" * $"tot").as("sum_tot2"))
+    val intra = sym
+      .join(labels.select($"id".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+      .filter($"ls" === $"ld")
+      .agg(count(lit(1)).as("intra"))
+    // Two one-row relations: the broadcast-scalar crossJoin idiom.
+    val out = intra.crossJoin(sumTot2)
+      .select(lit(m2).as("two_m"),
+        (lit(m2) * $"intra" - $"sum_tot2").as("q_num"),
+        graft.Canon.sig6((lit(m2) * $"intra" - $"sum_tot2")
+          .cast("double") / (lit(m2) * lit(m2)).cast("double")).as("q"))
+    labels.unpersist()
+    sym.unpersist()
+    out
+  }
+
   /** k-core decomposition by iterative peeling: drop every vertex with
     * degree < k, recompute degrees, repeat to the fixpoint. The classic
     * iterated-aggregate shape no single SQL statement can express (the

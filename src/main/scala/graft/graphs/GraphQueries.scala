@@ -160,6 +160,49 @@ object GraphQueries {
       "FROM orders WHERE o_orderkey % 171 = 0 " +
       "AND (o_custkey % 1000) <> (o_orderkey % 1000)"
 
+  /** The 2-round Louvain local-move CTE chain (ends at `lv2(id, label)`,
+    * with `ue`/`dg`/`mm` in scope) — shared by the g35 and g36 oracles so
+    * the partition both gates can't drift apart. Mirrors
+    * [[GraphOps.louvain]]'s integer gain score term for term.
+    */
+  private def louvainRound(k: Int): String = {
+    val parity = k % 2 // round k moves only vertices with id % 2 = parity
+    s"""t$k AS (SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+       |  FROM lv${k - 1} l JOIN dg d ON d.id = l.id GROUP BY 1),
+       |k$k AS (SELECT ue.src AS id, l.label AS c, CAST(count(*) AS BIGINT) AS kin
+       |  FROM ue JOIN lv${k - 1} l ON l.id = ue.dst
+       |  WHERE ue.src % 2 = $parity GROUP BY 1, 2),
+       |c$k AS (SELECT id, c, CAST(sum(kin) AS BIGINT) AS kin FROM (
+       |    SELECT id, c, kin FROM k$k
+       |    UNION ALL SELECT id, label, 0 FROM lv${k - 1}
+       |    WHERE id % 2 = $parity) u GROUP BY 1, 2),
+       |s$k AS MATERIALIZED (
+       |  SELECT cc.id, cc.c,
+       |         mm.m2 * cc.kin - d.deg *
+       |           (tt.tot - CASE WHEN cc.c = l.label THEN d.deg ELSE 0 END)
+       |           AS score
+       |  FROM c$k cc JOIN dg d ON d.id = cc.id
+       |       JOIN lv${k - 1} l ON l.id = cc.id
+       |       JOIN t$k tt ON tt.c = cc.c, mm),
+       |lv$k AS MATERIALIZED (
+       |  SELECT id, c AS label FROM (
+       |    SELECT id, c, row_number() OVER (
+       |      PARTITION BY id ORDER BY score DESC, c ASC) AS rn
+       |    FROM s$k) x WHERE rn = 1
+       |  UNION ALL
+       |  SELECT id, label FROM lv${k - 1} WHERE id % 2 <> $parity)""".stripMargin
+  }
+
+  private lazy val louvainCte: String =
+    s"""e0 AS ($sparseEdgesSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |dg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM ue GROUP BY src),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ue),
+       |lv0 AS (SELECT id, id AS label FROM dg),
+       |${louvainRound(1)},
+       |${louvainRound(2)}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_sssp_bfs" -> ((s, dir) =>
       GraphOps.bfs(s, GraphOps.edges(s, dir))),
@@ -477,6 +520,26 @@ object GraphQueries {
     // order (semantics + scale posture in GraphOps.coreness).
     "g34_coreness" -> ((s, dir) =>
       GraphOps.coreness(s, GraphOps.sparseEdges(s, dir))),
+    // Louvain phase-1 (synchronous local-move, 2 rounds): the
+    // modularity-gain sibling of g13's frequency-vote LPA — integer-exact
+    // scoring so the oracle replays it bit-for-bit (semantics + scale
+    // posture in GraphOps.louvain).
+    "g35_louvain2" -> ((s, dir) =>
+      GraphOps.louvain(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+    // Modularity Q of the g35 partition, integer-exact numerator over
+    // (2m)² — the partition-quality scalar beside the partition itself.
+    "g36_modularity" -> ((s, dir) =>
+      GraphOps.modularity(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+    // Longest-path layering of the DAG view (src < dst): critical-path /
+    // earliest-start scheduling ticks by frontier max-relaxation
+    // (semantics + scale posture in GraphOps.criticalPath).
+    "g37_critical_path" -> ((s, dir) =>
+      GraphOps.criticalPath(s, GraphOps.sparseEdges(s, dir))),
+    // Katz centrality truncated at length 3: integer walk counts via
+    // chained edge aggregations, exact-decimal α weights (semantics in
+    // GraphOps.katz3).
+    "g38_katz3" -> ((s, dir) =>
+      GraphOps.katz3(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -995,6 +1058,64 @@ object GraphQueries {
          |${(1 to 32).map(round).mkString(",\n")}
          |SELECT v AS id, c AS coreness FROM c32""".stripMargin
     },
+    // Longest path per vertex over the acyclic src<dst view: the walk
+    // CTE enumerates (vertex, depth) pairs from the sources (UNION dedups,
+    // so rows are bounded by |V|·depth, not path count — the g25 device);
+    // max(l) per vertex = the fixpoint the Spark loop relaxes to. The
+    // depth guard is safety only (measured longest chain: 18 at sf0.1).
+    "g37_critical_path" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |d AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |walk AS (
+         |  SELECT src AS v, 0 AS l FROM d
+         |  WHERE src NOT IN (SELECT dst FROM d)
+         |  UNION
+         |  SELECT d.dst, w.l + 1 FROM walk w JOIN d ON d.src = w.v
+         |  WHERE w.l < 200)
+         |SELECT v AS id, CAST(max(l) AS BIGINT) AS layer
+         |FROM walk GROUP BY v""".stripMargin,
+    // Three chained walk-count aggregations; BIGINT casts per the dtype
+    // discipline; the α-weighted sum on the shared sig6 grid.
+    "g38_katz3" ->
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |w1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS w1
+         |       FROM e0 GROUP BY dst),
+         |w2 AS (SELECT e0.dst AS id, CAST(sum(w1.w1) AS BIGINT) AS w2
+         |       FROM e0 JOIN w1 ON w1.id = e0.src GROUP BY e0.dst),
+         |w3 AS (SELECT e0.dst AS id, CAST(sum(w2.w2) AS BIGINT) AS w3
+         |       FROM e0 JOIN w2 ON w2.id = e0.src GROUP BY e0.dst)
+         |SELECT w1.id, w1.w1,
+         |       COALESCE(w2.w2, 0) AS w2, COALESCE(w3.w3, 0) AS w3,
+         |       ${graft.Canon.sig6Sql(
+             "0.1 * w1.w1 + 0.01 * COALESCE(w2.w2, 0) " +
+               "+ 0.001 * COALESCE(w3.w3, 0)")} AS katz
+         |FROM w1 LEFT JOIN w2 ON w2.id = w1.id
+         |        LEFT JOIN w3 ON w3.id = w1.id""".stripMargin,
+    // Louvain phase-1, 2 unrolled synchronous rounds: per vertex take the
+    // candidate community (neighbor's or own) maximizing the INTEGER gain
+    // score 2m·k_in − deg·(tot − [own]·deg), ties to the smallest id —
+    // the exact argmax the Spark side's max(struct(score, −c)) computes.
+    "g35_louvain2" ->
+      s"""WITH $louvainCte
+         |SELECT id, label FROM lv2""".stripMargin,
+    // Modularity of the g35 partition: Q·(2m)² = 2m·intra − Σ tot² with
+    // intra counting symmetric edge rows inside a community — integers
+    // end to end, the double rides along on the shared sig6 grid.
+    "g36_modularity" ->
+      s"""WITH $louvainCte,
+         |tot AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS tot
+         |        FROM lv2 l JOIN dg d ON d.id = l.id GROUP BY 1),
+         |st2 AS (SELECT CAST(sum(tot * tot) AS BIGINT) AS sum_tot2 FROM tot),
+         |intra AS (SELECT CAST(count(*) AS BIGINT) AS intra
+         |          FROM ue JOIN lv2 a ON a.id = ue.src
+         |                  JOIN lv2 b ON b.id = ue.dst
+         |          WHERE a.label = b.label)
+         |SELECT mm.m2 AS two_m,
+         |       CAST(mm.m2 * intra.intra - st2.sum_tot2 AS BIGINT) AS q_num,
+         |       ${graft.Canon.sig6Sql(
+               "CAST(mm.m2 * intra.intra - st2.sum_tot2 AS DOUBLE) " +
+                 "/ CAST(mm.m2 * mm.m2 AS DOUBLE)")} AS q
+         |FROM mm, st2, intra""".stripMargin,
     // Brandes within the 4-hop horizon, statically staged: the same
     // leveled BFS as g20 gives true distances; σ accumulates level by
     // level in BIGINT (each s_k row is depth-k by construction, so it

@@ -44,6 +44,45 @@ object LlmOraclesB {
     // at threshold 0.45 (bandBitsFor(0.45) == 6, so l08 and l51 currently
     // coincide; a banding-rule drift separates them loudly).
     "l51_embed_dup_lsh_mid" -> srpLshOracle(bandBits = 6),
+    // Greedy k-center sampling, 6 picks statically unrolled: the seed is
+    // the smallest vec_id; each stage takes the point with the maximum
+    // sig6-rounded min-cosine-distance to the selected set (ties to the
+    // smallest id) and folds the new center into the running minimum via
+    // LEAST — the exact incremental update the Spark loop runs. Every
+    // stage MATERIALIZED (the g34 inline-blowup lesson).
+    "l63_kcenter_sample" -> {
+      val k = 6
+      def stage(r: Int): String = {
+        val pick =
+          s"""s$r AS MATERIALIZED (
+             |  SELECT vec_id, v, d FROM p$r
+             |  ORDER BY d DESC, vec_id ASC LIMIT 1)""".stripMargin
+        if (r == k - 1) pick // the last pick needs no further pool update
+        else
+          s"""$pick,
+             |p${r + 1} AS MATERIALIZED (
+             |  SELECT p.vec_id, p.v,
+             |         LEAST(p.d, ${graft.Canon.sig6Sql(
+                    "1.0 - list_cosine_similarity(p.v, s.v)")}) AS d
+             |  FROM p$r p, s$r s WHERE p.vec_id <> s.vec_id)""".stripMargin
+      }
+      val picks = (1 until k).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, vec_id, d AS dist FROM s$r")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |p1 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v,
+         |         ${graft.Canon.sig6Sql(
+                "1.0 - list_cosine_similarity(e.v, s0.v)")} AS d
+         |  FROM e, s0 WHERE e.vec_id <> s0.vec_id),
+         |${(1 until k).map(stage).mkString(",\n")}
+         |SELECT CAST(0 AS INTEGER) AS round, vec_id, 0.0 AS dist FROM s0
+         |UNION ALL
+         |${picks.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // IVF approximate top-k reproduced exactly: the coarse quantizer is
     // l14's statically unrolled Lloyd (shared CTEs — `c5` is the trained
     // centroid relation after 5 rounds, `a6` the final assignment), probe

@@ -59,6 +59,10 @@ object LlmQueries {
     // corpus aggregation per round, no covariance matrix, no shuffle) and
     // the corpus projected onto it — the whitening/anisotropy primitive.
     "l58_pca_project" -> ((s, dir) => Similarity.pcaPowerProject(s, dir)),
+    // Greedy k-center (farthest-point) coreset selection — the
+    // diversity-sampling dual of dedup; Gonzalez rounds with sig6-grid
+    // distances so every pick replays in the oracle.
+    "l63_kcenter_sample" -> ((s, dir) => Similarity.kcenterSample(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

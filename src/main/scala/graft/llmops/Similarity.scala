@@ -220,6 +220,55 @@ object Similarity {
       .select($"query_id", $"vec_id", $"sim")
   }
 
+  /** L3h: greedy k-center (farthest-point) diversity sampling — the
+    * coreset selector a curation pipeline runs to pick a small,
+    * maximally-spread subset of a corpus (coverage-oriented sampling, the
+    * dual of dedup's redundancy removal). Gonzalez's 2-approximation:
+    * seed with the smallest vec_id, then k−1 rounds of "take the point
+    * farthest (cosine distance) from the selected set", ties to the
+    * smallest vec_id. Distances land on the shared sig6 grid BEFORE the
+    * argmax so the DuckDB oracle replays every pick.
+    *
+    * Scale posture: the selected set is k rows — each round is one
+    * broadcast of the single new center, one map-side `least(d, d_new)`
+    * pass over the pool (running min-distance, so round r does O(n) work,
+    * not O(n·r)), and one TakeOrdered(1) — the corpus never shuffles. The
+    * per-round localCheckpoint holds one (id, vector, d) relation, the
+    * same footprint as one k-means iteration (l14).
+    */
+  def kcenterSample(s: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"v", $"norm").cache()
+    val seed = e.orderBy($"vec_id".asc).limit(1).localCheckpoint()
+    var out = seed.select(lit(0).as("round"), $"vec_id", lit(0.0).as("dist"))
+    def asCenter(c: DataFrame) = broadcast(
+      c.select($"vec_id".as("sid"), $"v".as("sv"), $"norm".as("sn")))
+    var pool = e.crossJoin(asCenter(seed))
+      .filter($"vec_id" =!= $"sid")
+      .select($"vec_id", $"v", $"norm",
+        sig6(lit(1.0) -
+          GraftFunctions.arrayDot(s, $"v", $"sv") / ($"norm" * $"sn"))
+          .as("d"))
+      .localCheckpoint()
+    (1 until k).foreach { r =>
+      val next = pool.orderBy($"d".desc, $"vec_id".asc).limit(1)
+        .localCheckpoint() // one row; reused by the output and the update
+      out = out.union(next.select(lit(r).as("round"), $"vec_id",
+        $"d".as("dist")))
+      val prev = pool
+      pool = pool.crossJoin(asCenter(next))
+        .filter($"vec_id" =!= $"sid")
+        .select($"vec_id", $"v", $"norm",
+          least($"d", sig6(lit(1.0) -
+            GraftFunctions.arrayDot(s, $"v", $"sv") / ($"norm" * $"sn")))
+            .as("d"))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    e.unpersist()
+    out
+  }
+
   /** L3d: IVF (inverted-file) approximate top-k — the index-backed scale
     * path of [[cosineTopK]]. A k-means coarse quantizer partitions the
     * corpus into `kCentroids` inverted lists; each query probes only the

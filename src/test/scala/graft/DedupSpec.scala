@@ -339,4 +339,48 @@ class DedupSpec extends AnyFunSuite {
     val recall = blocked.size.toDouble / all.size
     assert(recall >= 0.9, s"planted recall $recall (blocked $blocked vs $all)")
   }
+
+  test("k-center sampling: greedy farthest-point invariants vs a driver replay") {
+    // Gonzalez greedy on the real sf0.001 embeddings, validated against an
+    // independent driver-side replay of the same rule: seed = smallest
+    // vec_id, then argmax of the sig6-rounded min cosine distance to the
+    // selected set, ties to the smallest id.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.kcenterSample(spark, dir, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until 6), s"rounds: ${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 6, "picks must be distinct")
+    // Driver replay from raw vectors.
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    def sig9(x: Double): Double =
+      if (x == 0.0) 0.0
+      else {
+        val sc = math.pow(10.0, 8.0 - math.floor(math.log10(math.abs(x))))
+        math.round(x * sc) / sc
+      }
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      sig9(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    var selected = Vector(e.head._1 -> e.head._2)
+    var expect = Vector((0, e.head._1, 0.0))
+    var dmin = e.map { case (id, v) => id -> cosd(v, e.head._2) }.toMap
+    (1 until 6).foreach { r =>
+      val pool = e.filterNot(p => selected.exists(_._1 == p._1))
+      val pick = pool.maxBy(p => (dmin(p._1), -p._1.toDouble))
+      expect :+= ((r, pick._1, dmin(pick._1)))
+      selected :+= pick
+      dmin = dmin.map { case (id, d) =>
+        id -> math.min(d, cosd(e.find(_._1 == id).get._2, pick._2)) }
+    }
+    assert(got.toVector == expect,
+      s"spark ${got.toSeq} vs driver replay $expect")
+  }
 }

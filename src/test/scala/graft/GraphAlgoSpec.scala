@@ -27,6 +27,59 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(perVertex / 3 == 2) // each triangle counted at its 3 corners
   }
 
+  test("katz3: integer walk counts and exact-decimal weights on a triangle path") {
+    import spark.implicits._
+    // 1→2, 2→3, 1→3: w1(2)=1, w1(3)=2; length-2 walks end only at 3
+    // (1→2→3); no length-3 walks. katz(2)=0.1, katz(3)=0.2+0.01.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphOps.katz3(spark, e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4))).toMap
+    assert(got(2L) == ((1L, 0L, 0L), 0.1))
+    assert(got(3L) == ((2L, 1L, 0L), 0.21))
+    assert(!got.contains(1L)) // no in-walks
+  }
+
+  test("critical path: longest-path layers on a diamond + chain DAG") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→4, 3→4, 4→5 (diamond into a chain): layer = longest
+    // chain ending at the vertex. (7,6) is dropped by the src<dst DAG
+    // filter; 6→7 remains a detached 2-chain.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (6L, 7L),
+      (7L, 6L)).toDF("src", "dst")
+    val got = GraphOps.criticalPath(spark, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("louvain: hand-traced parity rounds on the two-triangle bridge") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} bridged by 3–4. Hand trace (deg =
+    // 2,2,3,3,2,2; 2m = 14; score = 2m·k_in − deg·(tot − [own]·deg)):
+    //   round 1 (odd ids move): 1→2 (14−4=10 beats c3's 8), 3→1 (tie 8
+    //     between c1/c2 → smallest), 5→6 (10 beats c4's 8).
+    //   round 2 (even ids move): 2 stays (own 10 beats c1's 8),
+    //     4→6 (k_in=2: 28−12=16), 6 stays (own 10 beats c4's 8).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.louvain(spark, e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 6L, 5L -> 6L,
+      6L -> 6L))
+  }
+
+  test("modularity of the louvain partition: integer-exact on the bridge") {
+    import spark.implicits._
+    // Partition {1,2} | {3} | {4,5,6}: intra sym rows = 2 + 0 + 6 = 8;
+    // tot = 4, 3, 7 → Σtot² = 74; q_num = 14·8 − 74 = 38; Q = 38/196.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L)).toDF("src", "dst")
+    val r = GraphOps.modularity(spark, e, rounds = 2).collect()(0)
+    assert(r.getLong(0) == 14L && r.getLong(1) == 38L)
+    assert(math.abs(r.getDouble(2) - 38.0 / 196.0) < 1e-9)
+  }
+
   test("harmonic4 on a directed 6-path: exact twelfth-sums, 4-hop cutoff") {
     import spark.implicits._
     // 0→1→2→3→4→5: vertex k is reached by the min(k, 4) nearest
