@@ -962,6 +962,13 @@ object GraphOps {
     * Rounds = longest path length (18 on the gate view at sf0.1); at
     * 100 TB the per-round shuffle is frontier-sized, not graph-sized.
     */
+  /** Safety cap on relaxation rounds, shared with the oracle's recursive
+    * walk guard (`w.l < cap`) so a fixture whose longest chain grew past
+    * one limit cannot silently diverge from the other (ids are mod-1000,
+    * so 2000 exceeds any legal chain; measured fixpoint: 18 at sf0.1).
+    */
+  val CriticalPathMaxRounds: Int = 2000
+
   def criticalPath(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
     val d = edgeDf.filter($"src" < $"dst").select($"src", $"dst")
@@ -975,7 +982,7 @@ object GraphOps {
       var senders = layers
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 10000) {
+      while (changed > 0 && rounds < CriticalPathMaxRounds) {
         rounds += 1
         val prop = senders.join(de, $"id" === $"src")
           .select($"dst".as("id"), ($"layer" + 1L).as("layer"),
@@ -1017,10 +1024,28 @@ object GraphOps {
     * message relation, and the edge cache is co-partitioned on src like
     * every other loop here.
     */
-  def louvain(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
-    import s.implicits._
+  /** Default round count — referenced by the g35/g36 registry entries AND
+    * the oracle's static unroll ([[GraphQueries.louvainCte]]) so the two
+    * sides cannot drift.
+    */
+  val LouvainRounds: Int = 2
+
+  def louvain(s: SparkSession, edgeDf: DataFrame,
+              rounds: Int = LouvainRounds): DataFrame = {
     val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
     val m2 = sym.count() // = 2m: both orientations of every undirected edge
+    val labels = louvainOn(s, sym, m2, rounds)
+    sym.unpersist()
+    labels
+  }
+
+  /** The louvain round loop over an already-symmetrized, cached relation —
+    * shared with [[modularity]] so g36 does not pay a second symmetrize
+    * shuffle + count for the identical edge set.
+    */
+  private def louvainOn(s: SparkSession, sym: DataFrame, m2: Long,
+                        rounds: Int): DataFrame = {
+    import s.implicits._
     withShuffleParts(s, loopParallelism(s, m2)) {
       val ue = sym.repartition($"src").cache()
       val deg = ue.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
@@ -1058,7 +1083,6 @@ object GraphOps {
           .localCheckpoint()
       }
       ue.unpersist()
-      sym.unpersist()
       labels
     }
   }
@@ -1069,13 +1093,17 @@ object GraphOps {
     * `Q = (2m·intra − Σ tot²) / (2m)²` — the numerator and both factors
     * are integers, so the single output row hash-checks without a float
     * contract (the rounded double rides along for readability). One pass
-    * over the labeled edge relation + two one-row aggregates.
+    * over the labeled edge relation + two one-row aggregates, reusing the
+    * louvain loop's own symmetrized cache (one symmetrize, one count);
+    * the one-row result localCheckpoints so the caches can be released
+    * before returning a lazily-consumed frame.
     */
-  def modularity(s: SparkSession, edgeDf: DataFrame, rounds: Int = 2): DataFrame = {
+  def modularity(s: SparkSession, edgeDf: DataFrame,
+                 rounds: Int = LouvainRounds): DataFrame = {
     import s.implicits._
     val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
     val m2 = sym.count()
-    val labels = louvain(s, edgeDf, rounds).cache()
+    val labels = louvainOn(s, sym, m2, rounds) // checkpointed by the loop
     val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
     val sumTot2 = labels.join(deg, "id")
       .groupBy($"label").agg(sum($"deg").as("tot"))
@@ -1085,13 +1113,16 @@ object GraphOps {
       .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
       .filter($"ls" === $"ld")
       .agg(count(lit(1)).as("intra"))
-    // Two one-row relations: the broadcast-scalar crossJoin idiom.
+    // Two one-row relations: the broadcast-scalar crossJoin idiom. The
+    // checkpoint MATERIALIZES the row while sym is still cached — without
+    // it the unpersist below would make the caller's collect re-run the
+    // symmetrize union+distinct twice (once per branch).
     val out = intra.crossJoin(sumTot2)
       .select(lit(m2).as("two_m"),
         (lit(m2) * $"intra" - $"sum_tot2").as("q_num"),
         graft.Canon.sig6((lit(m2) * $"intra" - $"sum_tot2")
           .cast("double") / (lit(m2) * lit(m2)).cast("double")).as("q"))
-    labels.unpersist()
+      .localCheckpoint()
     sym.unpersist()
     out
   }

@@ -160,7 +160,7 @@ object GraphQueries {
       "FROM orders WHERE o_orderkey % 171 = 0 " +
       "AND (o_custkey % 1000) <> (o_orderkey % 1000)"
 
-  /** The 2-round Louvain local-move CTE chain (ends at `lv2(id, label)`,
+  /** The Louvain local-move CTE chain (ends at `louvainFinal`(id, label),
     * with `ue`/`dg`/`mm` in scope) — shared by the g35 and g36 oracles so
     * the partition both gates can't drift apart. Mirrors
     * [[GraphOps.louvain]]'s integer gain score term for term.
@@ -193,6 +193,10 @@ object GraphQueries {
        |  SELECT id, label FROM lv${k - 1} WHERE id % 2 <> $parity)""".stripMargin
   }
 
+  /** Ends at `lv${GraphOps.LouvainRounds}` — the unroll depth is the SAME
+    * constant the registry passes to the Spark loop, so a rounds change
+    * moves both sides together.
+    */
   private lazy val louvainCte: String =
     s"""e0 AS ($sparseEdgesSql),
        |ue AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -200,8 +204,9 @@ object GraphQueries {
        |  FROM ue GROUP BY src),
        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ue),
        |lv0 AS (SELECT id, id AS label FROM dg),
-       |${louvainRound(1)},
-       |${louvainRound(2)}""".stripMargin
+       |${(1 to GraphOps.LouvainRounds).map(louvainRound).mkString(",\n")}""".stripMargin
+
+  private val louvainFinal: String = s"lv${GraphOps.LouvainRounds}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_sssp_bfs" -> ((s, dir) =>
@@ -525,11 +530,11 @@ object GraphQueries {
     // scoring so the oracle replays it bit-for-bit (semantics + scale
     // posture in GraphOps.louvain).
     "g35_louvain2" -> ((s, dir) =>
-      GraphOps.louvain(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+      GraphOps.louvain(s, GraphOps.sparseEdges(s, dir))),
     // Modularity Q of the g35 partition, integer-exact numerator over
     // (2m)² — the partition-quality scalar beside the partition itself.
     "g36_modularity" -> ((s, dir) =>
-      GraphOps.modularity(s, GraphOps.sparseEdges(s, dir), rounds = 2)),
+      GraphOps.modularity(s, GraphOps.sparseEdges(s, dir))),
     // Longest-path layering of the DAG view (src < dst): critical-path /
     // earliest-start scheduling ticks by frontier max-relaxation
     // (semantics + scale posture in GraphOps.criticalPath).
@@ -1062,7 +1067,9 @@ object GraphQueries {
     // CTE enumerates (vertex, depth) pairs from the sources (UNION dedups,
     // so rows are bounded by |V|·depth, not path count — the g25 device);
     // max(l) per vertex = the fixpoint the Spark loop relaxes to. The
-    // depth guard is safety only (measured longest chain: 18 at sf0.1).
+    // depth guard is safety only (measured longest chain: 18 at sf0.1)
+    // and SHARED with the Spark loop's round cap so neither side can be
+    // truncated past the other.
     "g37_critical_path" ->
       s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
          |d AS (SELECT src, dst FROM e0 WHERE src < dst),
@@ -1071,7 +1078,7 @@ object GraphQueries {
          |  WHERE src NOT IN (SELECT dst FROM d)
          |  UNION
          |  SELECT d.dst, w.l + 1 FROM walk w JOIN d ON d.src = w.v
-         |  WHERE w.l < 200)
+         |  WHERE w.l < ${GraphOps.CriticalPathMaxRounds})
          |SELECT v AS id, CAST(max(l) AS BIGINT) AS layer
          |FROM walk GROUP BY v""".stripMargin,
     // Three chained walk-count aggregations; BIGINT casts per the dtype
@@ -1097,18 +1104,18 @@ object GraphQueries {
     // the exact argmax the Spark side's max(struct(score, −c)) computes.
     "g35_louvain2" ->
       s"""WITH $louvainCte
-         |SELECT id, label FROM lv2""".stripMargin,
+         |SELECT id, label FROM $louvainFinal""".stripMargin,
     // Modularity of the g35 partition: Q·(2m)² = 2m·intra − Σ tot² with
     // intra counting symmetric edge rows inside a community — integers
     // end to end, the double rides along on the shared sig6 grid.
     "g36_modularity" ->
       s"""WITH $louvainCte,
          |tot AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS tot
-         |        FROM lv2 l JOIN dg d ON d.id = l.id GROUP BY 1),
+         |        FROM $louvainFinal l JOIN dg d ON d.id = l.id GROUP BY 1),
          |st2 AS (SELECT CAST(sum(tot * tot) AS BIGINT) AS sum_tot2 FROM tot),
          |intra AS (SELECT CAST(count(*) AS BIGINT) AS intra
-         |          FROM ue JOIN lv2 a ON a.id = ue.src
-         |                  JOIN lv2 b ON b.id = ue.dst
+         |          FROM ue JOIN $louvainFinal a ON a.id = ue.src
+         |                  JOIN $louvainFinal b ON b.id = ue.dst
          |          WHERE a.label = b.label)
          |SELECT mm.m2 AS two_m,
          |       CAST(mm.m2 * intra.intra - st2.sum_tot2 AS BIGINT) AS q_num,

@@ -51,7 +51,7 @@ object LlmOraclesB {
     // LEAST — the exact incremental update the Spark loop runs. Every
     // stage MATERIALIZED (the g34 inline-blowup lesson).
     "l63_kcenter_sample" -> {
-      val k = 6
+      val k = Similarity.KcenterK // unroll depth = the Spark side's k
       def stage(r: Int): String = {
         val pick =
           s"""s$r AS MATERIALIZED (

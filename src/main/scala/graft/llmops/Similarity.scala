@@ -232,11 +232,18 @@ object Similarity {
     * Scale posture: the selected set is k rows — each round is one
     * broadcast of the single new center, one map-side `least(d, d_new)`
     * pass over the pool (running min-distance, so round r does O(n) work,
-    * not O(n·r)), and one TakeOrdered(1) — the corpus never shuffles. The
-    * per-round localCheckpoint holds one (id, vector, d) relation, the
-    * same footprint as one k-means iteration (l14).
+    * not O(n·r)), and one TakeOrdered(1) — the corpus never shuffles. Each
+    * round's pool localCheckpoints and the PREVIOUS round's checkpoint RDD
+    * is freed eagerly (Dataset.unpersist is a no-op on checkpoints — the
+    * data lives on the RDD, not in the CacheManager), so live state is one
+    * (id, vector, d) relation, the same footprint as a k-means iteration.
     */
-  def kcenterSample(s: SparkSession, dir: String, k: Int = 6): DataFrame = {
+  /** Default pick count — shared with the l63 oracle's static unroll so a
+    * k change moves both sides together.
+    */
+  val KcenterK: Int = 6
+
+  def kcenterSample(s: SparkSession, dir: String, k: Int = KcenterK): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select($"vec_id", $"v", $"norm").cache()
     val seed = e.orderBy($"vec_id".asc).limit(1).localCheckpoint()
@@ -263,8 +270,15 @@ object Similarity {
             GraftFunctions.arrayDot(s, $"v", $"sv") / ($"norm" * $"sn")))
             .as("d"))
         .localCheckpoint()
-      prev.unpersist()
+      // The new checkpoint is materialized, so prev's is unreferenced —
+      // free the backing RDD (SqlRunner's loop-state release pattern).
+      graft.engine.SqlRunner.checkpointRdd(prev)
+        .foreach(_.unpersist(blocking = false))
     }
+    // The output rows live in the per-pick one-row checkpoints; the final
+    // pool is dead state.
+    graft.engine.SqlRunner.checkpointRdd(pool)
+      .foreach(_.unpersist(blocking = false))
     e.unpersist()
     out
   }

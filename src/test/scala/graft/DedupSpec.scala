@@ -357,17 +357,11 @@ class DedupSpec extends AnyFunSuite {
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Double](1).toArray).sortBy(_._1)
-    def sig9(x: Double): Double =
-      if (x == 0.0) 0.0
-      else {
-        val sc = math.pow(10.0, 8.0 - math.floor(math.log10(math.abs(x))))
-        math.round(x * sc) / sc
-      }
     def cosd(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
         nb += b(i) * b(i); i += 1 }
-      sig9(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+      Sig9(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
     }
     var selected = Vector(e.head._1 -> e.head._2)
     var expect = Vector((0, e.head._1, 0.0))

@@ -574,12 +574,10 @@ class GraphAlgoSpec extends AnyFunSuite {
     val verts = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     // Independent reference: textbook hop-bounded Brandes on the driver,
     // with the SAME per-level 9-sig rounding the distributed passes apply
-    // (Canon.sig6 semantics) — validates the estimator AND the passes
-    // against code that shares nothing with the implementation under test.
-    def sig9(x: Double): Double = if (x == 0.0) 0.0 else {
-      val sc = math.pow(10.0, 8.0 - math.floor(math.log10(math.abs(x))))
-      math.round(x * sc) / sc
-    }
+    // (Canon.sig6 semantics, via the shared test-side Sig9 grid) —
+    // validates the estimator AND the passes against code that shares
+    // nothing with the implementation under test.
+    def sig9(x: Double): Double = Sig9(x)
     val adj = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     def depDelta(u: Long): Map[Long, Double] = {
       val dist = scala.collection.mutable.Map(u -> 0)

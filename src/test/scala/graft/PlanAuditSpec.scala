@@ -163,7 +163,6 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ranPlan("g16_common_neighbors").contains("TakeOrderedAndProject"))
   }
 
-
   test("q37 decorrelates to ONE window shuffle (no per-row re-scan)") {
     // The oracle states a correlated scalar subquery; the Spark plan must be
     // its decorrelated window form: exactly one exchange (on o_custkey),

@@ -37,6 +37,20 @@ object TestSpark {
   }
 }
 
+/** The shared 9-significant-digit grid (Canon.sig6 semantics) used by
+  * driver-side test replays — one definition so the specs that validate
+  * production paths against independent reimplementations (betweenness,
+  * k-center) cannot drift from each other if the grid constant changes.
+  * Deliberately NOT a call into Canon: the replays' independence from the
+  * code under test is the point.
+  */
+object Sig9 {
+  def apply(x: Double): Double = if (x == 0.0) 0.0 else {
+    val sc = math.pow(10.0, 8.0 - math.floor(math.log10(math.abs(x))))
+    math.round(x * sc) / sc
+  }
+}
+
 /** The ONE positional (non-rolling) winnowing reference both DedupSpec and
   * FunctionProperties check the production paths against — the l35 HOF /
   * DuckDB-oracle formulation, kept in a single place so a change to the
