@@ -973,6 +973,43 @@ object GraphOps {
     import s.implicits._
     val d = edgeDf.filter($"src" < $"dst").select($"src", $"dst")
       .distinct().cache()
+    // Stats-driven tier (the wcc pattern): a DAG under 100k edges runs
+    // driver-side Kahn topological relaxation — ~20 distributed rounds of
+    // scheduling overhead for a few thousand edges measured 6.5 s where
+    // the driver loop is milliseconds; identical layers by construction
+    // (tier-equality pinned in GraphAlgoSpec). Larger DAGs take the
+    // distributed loop below.
+    val tierProbe = d.limit(100001).collect()
+    if (tierProbe.length <= 100000) {
+      d.unpersist()
+      val edges = tierProbe.map(r => (r.getLong(0), r.getLong(1)))
+      val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val indeg = scala.collection.mutable.LongMap.empty[Int].withDefaultValue(0)
+      val layer = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      edges.foreach { case (_, dst) => indeg(dst) += 1 }
+      val queue = scala.collection.mutable.Queue(
+        verts.filter(v => indeg(v) == 0).sorted: _*)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        succ.getOrElse(u, Array.empty[Long]).foreach { w =>
+          if (layer(u) + 1 > layer(w)) layer(w) = layer(u) + 1
+          indeg(w) -= 1
+          if (indeg(w) == 0) queue.enqueue(w)
+        }
+      }
+      return verts.map(v => (v, layer(v))).toSeq.toDF("id", "layer")
+    }
+    criticalPathDistributed(s, d)
+  }
+
+  /** The distributed relaxation tier of [[criticalPath]] — package-visible
+    * so the tier-equality spec can force it on a small fixture.
+    * `d` must already be the deduplicated src<dst DAG view, cached.
+    */
+  private[graft] def criticalPathDistributed(s: SparkSession,
+                                             d: DataFrame): DataFrame = {
+    import s.implicits._
     val m = d.count()
     withShuffleParts(s, loopParallelism(s, m)) {
       val de = d.repartition($"src").cache()

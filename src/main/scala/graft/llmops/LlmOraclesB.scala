@@ -44,6 +44,53 @@ object LlmOraclesB {
     // at threshold 0.45 (bandBitsFor(0.45) == 6, so l08 and l51 currently
     // coincide; a banding-rule drift separates them loudly).
     "l51_embed_dup_lsh_mid" -> srpLshOracle(bandBits = 6),
+    // MMR re-ranking, statically unrolled: the same top-poolK pool cut,
+    // then per stage the argmax of λ·rel − μ·max-sim-to-selected with the
+    // identical sig6 grid and (mmr DESC, vec_id ASC) tie order. λ/μ/pool/k
+    // interpolate from the Similarity constants — one knob, two engines.
+    "l64_mmr_rerank" -> {
+      val lam = Similarity.MmrLambda
+      val mu = Similarity.MmrMu
+      val poolK = Similarity.MmrPoolK
+      val k = Similarity.MmrK
+      def stage(r: Int): String = {
+        val pick =
+          s"""c$r AS (SELECT p.vec_id, p.rel,
+             |    max(${sig6Sql("list_cosine_similarity(p.v, s.v)")}) AS ms
+             |  FROM pool p, sel$r s
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel$r)
+             |  GROUP BY p.vec_id, p.rel),
+             |s$r AS MATERIALIZED (SELECT c.vec_id, p.v,
+             |    ${sig6Sql(s"$lam * c.rel - $mu * c.ms")} AS mmr
+             |  FROM c$r c JOIN pool p ON p.vec_id = c.vec_id
+             |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+        if (r == k - 1) pick
+        else
+          s"""$pick,
+             |sel${r + 1} AS (SELECT vec_id, v FROM sel$r
+             |  UNION ALL SELECT vec_id, v FROM s$r)""".stripMargin
+      }
+      val picks = (1 until k).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, vec_id, mmr FROM s$r")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |pool AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v,
+         |         ${sig6Sql("list_cosine_similarity(e.v, q.v)")} AS rel
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, vec_id ASC LIMIT $poolK),
+         |s0 AS MATERIALIZED (
+         |  SELECT vec_id, v, ${sig6Sql(s"$lam * rel")} AS mmr
+         |  FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+         |sel1 AS (SELECT vec_id, v FROM s0),
+         |${(1 until k).map(stage).mkString(",\n")}
+         |SELECT CAST(0 AS INTEGER) AS round, vec_id, mmr FROM s0
+         |UNION ALL
+         |${picks.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // Greedy k-center sampling, 6 picks statically unrolled: the seed is
     // the smallest vec_id; each stage takes the point with the maximum
     // sig6-rounded min-cosine-distance to the selected set (ties to the

@@ -63,6 +63,9 @@ object LlmQueries {
     // diversity-sampling dual of dedup; Gonzalez rounds with sig6-grid
     // distances so every pick replays in the oracle.
     "l63_kcenter_sample" -> ((s, dir) => Similarity.kcenterSample(s, dir)),
+    // Maximal marginal relevance re-ranking — the RAG diversity cut over
+    // the cosine candidate pool (λ·rel − μ·max-sim-to-selected, greedy).
+    "l64_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

@@ -283,6 +283,68 @@ object Similarity {
     out
   }
 
+  /** l64's operating point, shared with its oracle so neither the pool
+    * cut, the pick count, nor the λ trade-off can drift between engines.
+    * MmrMu is the diversity weight written as its OWN literal (not
+    * `1 − λ`, whose double value 0.30000000000000004 would differ from
+    * the SQL literal 0.3 before the grid rounding).
+    */
+  val MmrLambda: Double = 0.7
+  val MmrMu: Double = 0.3
+  val MmrPoolK: Int = 20
+  val MmrK: Int = 5
+
+  /** L3i: maximal marginal relevance re-ranking — the diversity-aware
+    * cut a RAG retriever applies to its candidate pool (Carbonell &
+    * Goldstein 1998): pick argmax λ·rel(c) − μ·max_{s∈S} sim(c, s),
+    * greedily, so near-duplicate hits don't crowd the context window.
+    * The relevance leg is cosine to the query embedding (vec_id 0, as
+    * l33); the pool is a TakeOrdered top-`poolK` cut; every score lands
+    * on the sig6 grid before each argmax (ties to the smallest vec_id)
+    * so the oracle replays every pick.
+    *
+    * Scale posture: the corpus-sized work is exactly the l06 broadcast
+    * top-k (one map-side pass + TakeOrdered); the greedy loop then runs
+    * entirely on the ≤poolK-row checkpointed pool with ≤k-row broadcast
+    * joins — constant-size, independent of corpus scale.
+    */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = MmrK,
+                poolK: Int = MmrPoolK): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" === 0L)
+      .select($"v".as("qv"), $"norm".as("qnorm"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"v", $"norm",
+        sig6(GraftFunctions.arrayDot(s, $"qv", $"v") / ($"qnorm" * $"norm"))
+          .as("rel"))
+      .orderBy($"rel".desc, $"vec_id".asc).limit(poolK)
+      .localCheckpoint()
+    var selected = pool.orderBy($"rel".desc, $"vec_id".asc).limit(1)
+      .select($"vec_id", $"v", $"norm", $"rel",
+        sig6(lit(MmrLambda) * $"rel").as("mmr"), lit(0).as("round"))
+      .localCheckpoint()
+    (1 until k).foreach { r =>
+      val selVecs = broadcast(selected
+        .select($"vec_id".as("sid"), $"v".as("sv"), $"norm".as("sn")))
+      val cand = pool.join(selected.select($"vec_id".as("sid2")),
+        $"vec_id" === $"sid2", "left_anti")
+      val ms = cand.crossJoin(selVecs)
+        .select($"vec_id",
+          sig6(GraftFunctions.arrayDot(s, $"v", $"sv") / ($"norm" * $"sn"))
+            .as("sim"))
+        .groupBy($"vec_id").agg(max($"sim").as("ms"))
+      val next = cand.join(ms, "vec_id")
+        .select($"vec_id", $"v", $"norm", $"rel",
+          sig6(lit(MmrLambda) * $"rel" - lit(MmrMu) * $"ms").as("mmr"))
+        .orderBy($"mmr".desc, $"vec_id".asc).limit(1)
+        .withColumn("round", lit(r))
+      selected = selected.union(next).localCheckpoint()
+    }
+    selected.select($"round", $"vec_id", $"mmr")
+  }
+
   /** L3d: IVF (inverted-file) approximate top-k — the index-backed scale
     * path of [[cosineTopK]]. A k-means coarse quantizer partitions the
     * corpus into `kCentroids` inverted lists; each query probes only the

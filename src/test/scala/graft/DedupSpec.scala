@@ -377,4 +377,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toVector == expect,
       s"spark ${got.toSeq} vs driver replay $expect")
   }
+
+  test("MMR re-ranking: greedy λ·rel − μ·max-sim replay from raw vectors") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 until Similarity.MmrK))
+    assert(got.map(_._2).distinct.length == Similarity.MmrK)
+    // Independent driver replay: pool cut, then greedy picks.
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      Sig9(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val qv = e(0L)
+    val pool = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy(p => (-p._3, p._1)).take(Similarity.MmrPoolK)
+    var sel = Vector(pool.minBy(p => (-p._3, p._1)))
+    var expect = Vector((0, sel.head._1, Sig9(Similarity.MmrLambda * sel.head._3)))
+    (1 until Similarity.MmrK).foreach { r =>
+      val next = pool.filterNot(p => sel.exists(_._1 == p._1))
+        .map { p =>
+          val ms = sel.map(s => cos(p._2, s._2)).max
+          (p._1, p._2, p._3,
+            Sig9(Similarity.MmrLambda * p._3 - Similarity.MmrMu * ms))
+        }.minBy(p => (-p._4, p._1))
+      expect :+= ((r, next._1, next._4))
+      sel :+= ((next._1, next._2, next._3))
+    }
+    assert(got.toVector == expect,
+      s"spark ${got.toSeq} vs driver replay $expect")
+  }
 }
