@@ -918,6 +918,60 @@ object GraphOps {
     }
   }
 
+  /** Bipartiteness check / 2-coloring with odd-cycle evidence, per
+    * connected component: color(v) = (hop distance from the component's
+    * min-id root) mod 2, then count the symmetric edge rows whose
+    * endpoints share a color — a component is bipartite iff that count is
+    * 0 (an equal-parity edge closes an odd cycle). `conflict_rows` counts
+    * BOTH orientations, so it is even by construction. Reuses [[wcc]]
+    * (with its driver/distributed tiering) for roots; the parity BFS is
+    * the standard frontier loop — one join + anti-join per level, levels =
+    * root eccentricity; the conflict count is one labeled pass over the
+    * edge relation. The schema/partition-quality sibling of [[louvain]]:
+    * bipartite violations are the canonical data-quality check on
+    * user–item / doc–shard bipartite exports.
+    */
+  def bipartite(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val comp = wcc(s, edgeDf).cache()
+    val m = sym.count()
+    withShuffleParts(s, loopParallelism(s, m)) {
+      val ue = sym.repartition($"src").cache()
+      var dist = comp.filter($"id" === $"comp")
+        .select($"id", lit(0L).as("d")).localCheckpoint()
+      var frontier = dist
+      var changed = 1L
+      while (changed > 0) {
+        val fresh = frontier.join(ue, $"id" === $"src")
+          .select($"dst".as("id"), ($"d" + 1L).as("d")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .localCheckpoint(eager = false)
+        changed = fresh.count()
+        dist = dist.union(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      val par = dist.select($"id", ($"d" % 2).as("par"))
+      val labeled = comp.join(par, "id").localCheckpoint()
+      val confl = ue
+        .join(labeled.select($"id".as("src"), $"comp", $"par".as("pa")), "src")
+        .join(labeled.select($"id".as("dst"), $"par".as("pb")), "dst")
+        .filter($"pa" === $"pb")
+        .groupBy($"comp").agg(count(lit(1)).as("conflict_rows"))
+      val out = labeled.groupBy($"comp")
+        .agg(count(lit(1)).as("n_vertices"))
+        .join(confl, Seq("comp"), "left")
+        .select($"comp", $"n_vertices",
+          coalesce($"conflict_rows", lit(0L)).as("conflict_rows"),
+          (coalesce($"conflict_rows", lit(0L)) === 0L).as("bipartite"))
+        .localCheckpoint() // materialize before releasing the caches
+      ue.unpersist()
+      sym.unpersist()
+      comp.unpersist()
+      out
+    }
+  }
+
   /** Katz centrality, truncated at walk length 3: c(v) = Σ_{k≤3} α^k·w_k(v)
     * with w_k the number of directed WALKS of length k ending at v —
     * computed exactly in integers by three chained edge-keyed aggregations

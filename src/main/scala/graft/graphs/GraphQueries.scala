@@ -545,6 +545,10 @@ object GraphQueries {
     // GraphOps.katz3).
     "g38_katz3" -> ((s, dir) =>
       GraphOps.katz3(s, GraphOps.sparseEdges(s, dir))),
+    // Bipartiteness / 2-coloring per component with odd-cycle conflict
+    // counts (semantics + scale posture in GraphOps.bipartite).
+    "g39_bipartite" -> ((s, dir) =>
+      GraphOps.bipartite(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -1081,6 +1085,42 @@ object GraphQueries {
          |  WHERE w.l < ${GraphOps.CriticalPathMaxRounds})
          |SELECT v AS id, CAST(max(l) AS BIGINT) AS layer
          |FROM walk GROUP BY v""".stripMargin,
+    // WCC roots (the g04 min-label closure), min hop distance from each
+    // root via the bounded walk CTE (the g01 device — UNION dedups (v,d)
+    // pairs; 150 comfortably exceeds any eccentricity here), parity =
+    // d mod 2, conflicts = equal-parity symmetric rows per component.
+    // ue dedups via UNION ALL + DISTINCT, NOT bare UNION: inside a WITH
+    // RECURSIVE block DuckDB does not deduplicate a non-recursive CTE's
+    // UNION (measured: 17,574 rows vs 17,504 distinct at sf0.1), which
+    // min-label closures absorb but a conflict COUNT cannot.
+    "g39_bipartite" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |ue AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) u),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM ue
+         |  UNION
+         |  SELECT ue.dst, cc.comp FROM cc JOIN ue ON ue.src = cc.id
+         |  WHERE cc.comp < ue.dst
+         |),
+         |comp AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         |wk AS (
+         |  SELECT comp AS v, 0 AS d FROM (SELECT DISTINCT comp FROM comp) r
+         |  UNION
+         |  SELECT ue.dst, wk.d + 1 FROM wk JOIN ue ON ue.src = wk.v
+         |  WHERE wk.d < 150
+         |),
+         |par AS (SELECT c.id, c.comp, min(wk.d) % 2 AS par
+         |        FROM comp c JOIN wk ON wk.v = c.id GROUP BY c.id, c.comp),
+         |confl AS (SELECT a.comp, CAST(count(*) AS BIGINT) AS conflict_rows
+         |          FROM ue JOIN par a ON a.id = ue.src
+         |                  JOIN par b ON b.id = ue.dst
+         |          WHERE a.par = b.par GROUP BY a.comp)
+         |SELECT p.comp, CAST(count(*) AS BIGINT) AS n_vertices,
+         |       COALESCE(any_value(c.conflict_rows), 0) AS conflict_rows,
+         |       COALESCE(any_value(c.conflict_rows), 0) = 0 AS bipartite
+         |FROM par p LEFT JOIN confl c ON c.comp = p.comp
+         |GROUP BY p.comp""".stripMargin,
     // Three chained walk-count aggregations; BIGINT casts per the dtype
     // discipline; the α-weighted sum on the shared sig6 grid.
     "g38_katz3" ->

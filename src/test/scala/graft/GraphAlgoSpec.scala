@@ -27,6 +27,20 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(perVertex / 3 == 2) // each triangle counted at its 3 corners
   }
 
+  test("bipartite: even cycle passes, odd cycle reports its conflict edge") {
+    import spark.implicits._
+    // Square 1-2-3-4-1 (even cycle → 2-colorable) and triangle 5-6-7
+    // (odd cycle): from root 5, vertices 6 and 7 both land at distance 1,
+    // so edge 6-7 joins equal parities — 2 conflict rows (both
+    // orientations of the one undirected conflict edge).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L), (6L, 7L),
+      (5L, 7L)).toDF("src", "dst")
+    val got = GraphOps.bipartite(spark, e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == Map(1L -> ((4L, 0L, true)), 5L -> ((3L, 2L, false))))
+  }
+
   test("katz3: integer walk counts and exact-decimal weights on a triangle path") {
     import spark.implicits._
     // 1→2, 2→3, 1→3: w1(2)=1, w1(3)=2; length-2 walks end only at 3
