@@ -76,6 +76,14 @@ object GraftFunctions {
           s"topk_agg k must be in [1, 1024], got $k")
         TopKAgg(es(0), es(1), k)
       })),
+    (FunctionIdentifier("freq_items_agg"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items_agg"),
+      arity("freq_items_agg", 2)(es => {
+        val m = foldableInt("freq_items_agg maxMapSize", es(1))
+        require(m >= 8 && (m & (m - 1)) == 0,
+          s"freq_items_agg maxMapSize must be a power of 2 >= 8, got $m")
+        FreqItemsAgg(es(0), m)
+      })),
     // Spark ships bloom-filter expressions for its own runtime-filter
     // injection but does not register them as SQL functions; exposing them
     // makes the classic "build sketch, prune map-side" pattern (l31
@@ -136,6 +144,17 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("topk_agg", ord, id,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Frequent-items sketch aggregate over a bigint key column: returns
+    * struct(max_err, items: array<struct<item, est, lb, ub>>) — see
+    * [[FreqItemsAgg]] for the verdict-not-estimate gate discipline.
+    */
+  def freqItemsAgg(spark: SparkSession, key: Column,
+                   maxMapSize: Int = 1024): Column = {
+    ensureRegistered(spark)
+    call_function("freq_items_agg", key,
+      org.apache.spark.sql.functions.lit(maxMapSize))
   }
 
   /** Packed winnowing fingerprints (hash << 32 | pos) of a text column. */

@@ -250,3 +250,91 @@ case class SimHashSig(
     copy(child = newChildren.head)
   override def prettyName: String = "simhash_sig"
 }
+
+/** Frequent-items (heavy-hitters) sketch over a bigint key column —
+  * DataSketches' Misra–Gries/space-saving variant (`LongsSketch`): a fixed
+  * `maxMapSize`-slot map whose purge step subtracts the median counter, so
+  * the sketch holds every item of frequency > N·3.5/maxMapSize with
+  * one-sided error ≤ getMaximumError() regardless of stream order or
+  * partitioning. The q12 device applies downstream: estimates are
+  * order-dependent under purges (Spark's aggregation order is not
+  * deterministic), so gate queries emit exact counts + the sketch's
+  * GUARANTEED verdicts (captured / bound membership), never raw estimates.
+  *
+  * Buffer = one sketch object; partial-aggregates map-side and shuffles as
+  * the compact serialized form (≤ ~16·maxMapSize bytes) — at 100 TB the
+  * driver-bound state is one sketch, not a key histogram.
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int = 1024,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.LongsSketch] {
+
+  import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+  import org.apache.datasketches.memory.Memory
+
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 ≥ 8, got $maxMapSize")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+
+  private val itemType = StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false),
+    StructField("ub", LongType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_err", LongType, nullable = false),
+    StructField("items", ArrayType(itemType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_items_agg requires a bigint column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): LongsSketch =
+    new LongsSketch(maxMapSize)
+
+  override def update(buf: LongsSketch, input: InternalRow): LongsSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: LongsSketch, other: LongsSketch): LongsSketch =
+    buf.merge(other)
+
+  override def eval(buf: LongsSketch): Any = {
+    // NO_FALSE_NEGATIVES: every item whose true count exceeds the maximum
+    // error is present. Deterministic emission order (est desc, item asc)
+    // for a stable dumped array; the ESTIMATES themselves remain
+    // order-dependent — downstream queries must project verdicts.
+    val rows = buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .map(r => InternalRow(r.getItem, r.getEstimate, r.getLowerBound,
+        r.getUpperBound): InternalRow)
+    InternalRow(buf.getMaximumError,
+      new GenericArrayData(rows.asInstanceOf[Array[Any]]))
+  }
+
+  override def serialize(buf: LongsSketch): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): LongsSketch =
+    LongsSketch.getInstance(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "freq_items_agg"
+}

@@ -1506,4 +1506,117 @@ object GraphOps {
     v.unpersist()
     out
   }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree
+    * threshold k: the edge density among vertices of degree > k (Colizza
+    * 2006) — the "do hubs preferentially link to hubs" summary that
+    * complements [[assortativity]]'s correlation view.
+    *
+    * Scale posture: ONE pass over the degree-decorated half-edge relation
+    * and ONE over the vertex-degree relation compute every threshold's
+    * (E_k, N_k) as conditional aggregates — no per-k rescan, no pair
+    * expansion. The degree relation is vertex-sized and joined twice onto
+    * the half edges (both shuffles are on vertex keys); at 100 TB the two
+    * one-row aggregate outputs are the only driver-bound state.
+    */
+  def richClub(s: SparkSession, edgeDf: DataFrame,
+               ks: Seq[Int] = Seq(4, 16, 64)): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true)
+    // Vertex-sized; materialized once, reused by the half-edge decoration
+    // and the per-threshold node counts.
+    val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val half = sym.filter($"src" < $"dst")
+      .join(deg.select($"id".as("src"), $"deg".as("sdeg")), "src")
+      .join(deg.select($"id".as("dst"), $"deg".as("ddeg")), "dst")
+    val eAgg = half.agg(
+      sum(when($"sdeg" > ks.head && $"ddeg" > ks.head, 1L).otherwise(0L))
+        .as(s"e${ks.head}"),
+      ks.tail.map(k =>
+        sum(when($"sdeg" > k && $"ddeg" > k, 1L).otherwise(0L))
+          .as(s"e$k")): _*)
+    val nAgg = deg.agg(
+      sum(when($"deg" > ks.head, 1L).otherwise(0L)).as(s"n${ks.head}"),
+      ks.tail.map(k =>
+        sum(when($"deg" > k, 1L).otherwise(0L)).as(s"n$k")): _*)
+    // Two one-row relations: broadcast-scalar crossJoin idiom; checkpoint
+    // so the three per-k projections below share one materialization.
+    val onerow = eAgg.crossJoin(nAgg).localCheckpoint()
+    ks.map { k =>
+      val n = col(s"n$k"); val e = col(s"e$k")
+      onerow.select(
+        lit(k.toLong).as("k"),
+        n.as("n_nodes"),
+        e.as("n_edges"),
+        when(n >= 2L,
+          graft.Canon.sig6(lit(2.0) * e / (n * (n - 1L)).cast("double")))
+          .otherwise(lit(null).cast("double")).as("phi"))
+    }.reduce(_ union _)
+  }
+
+  /** Diameter lower bound by the classic double-sweep heuristic (Magnien
+    * 2009): BFS from a canonical seed (the minimum vertex id), then BFS
+    * again from the farthest vertex found — the second eccentricity is a
+    * lower bound on the diameter that is exact on trees and near-exact on
+    * most real graphs, at the cost of TWO BFS passes instead of the
+    * all-pairs computation an exact diameter needs.
+    *
+    * Scale posture: both sweeps are [[bfs]]'s frontier loop (edges cached
+    * pre-partitioned, only the frontier shuffles per round); the only
+    * driver-side values are three O(1) scalars (seed, argmax vertex,
+    * eccentricity) — the TakeOrdered(1) argmax never collects the
+    * distance relation. Covers the seed's component; ids/depths BIGINT.
+    */
+  def doubleSweep(s: SparkSession, edgeDf: DataFrame,
+                  maxDepth: Int = 100): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).localCheckpoint()
+    val s1 = sym.agg(min($"src")).head().getLong(0)
+    val d1 = bfs(s, sym, source = s1, maxDepth = maxDepth)
+    // Deterministic argmax: farthest vertex, ties to the smallest id.
+    val far = d1.orderBy($"dist".desc, $"id".asc).limit(1).head()
+    val (s2, ecc1) = (far.getLong(0), far.getLong(1))
+    val d2 = bfs(s, sym, source = s2, maxDepth = maxDepth)
+      .localCheckpoint()
+    val ecc2 = d2.agg(max($"dist")).head().getLong(0)
+    val reached = d2.count()
+    s.range(1).select(
+      lit(s1).as("src1"), lit(ecc1).as("ecc1"),
+      lit(s2).as("src2"), lit(ecc2).as("ecc2"),
+      lit(math.max(ecc1, ecc2)).as("diameter_lb"),
+      lit(reached).as("n_reached"))
+  }
+
+  /** SCC condensation summary of the directed graph: component count,
+    * non-trivial (size ≥ 2) component count, vertices on cycles, edge
+    * count of the condensed DAG, and the DAG verdict itself — the
+    * "is this dependency graph acyclic, and how tangled if not" query,
+    * built on [[Scc.sccEngine]]'s FW-BW labels (a vertex lies on a cycle
+    * iff its SCC has size ≥ 2; self-loops are excluded by the edge view).
+    *
+    * Scale posture: SCC dominates and is already tiered; everything after
+    * is two vertex-keyed joins + three aggregates whose outputs are one
+    * row. The condensed edge relation stays distributed (distinct on
+    * component pairs), never collected.
+    */
+  def condensation(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = edgeDf.select($"src", $"dst").distinct().localCheckpoint()
+    val comp = Scc.sccEngine(s, e).localCheckpoint()
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("sz"))
+    val condensed = e
+      .join(comp.select($"id".as("src"), $"comp".as("cs")), "src")
+      .join(comp.select($"id".as("dst"), $"comp".as("cd")), "dst")
+      .filter($"cs" =!= $"cd")
+      .select($"cs", $"cd").distinct()
+    val a = sizes.agg(
+      count(lit(1)).as("n_scc"),
+      sum(when($"sz" >= 2L, 1L).otherwise(0L)).as("n_nontrivial"),
+      sum(when($"sz" >= 2L, $"sz").otherwise(0L)).as("n_cyclic_vertices"))
+    val b = condensed.agg(count(lit(1)).as("n_condensed_edges"))
+    a.crossJoin(b).select(
+      $"n_scc", $"n_nontrivial", $"n_cyclic_vertices",
+      $"n_condensed_edges", ($"n_nontrivial" === 0L).as("is_dag"))
+  }
 }

@@ -549,6 +549,19 @@ object GraphQueries {
     // counts (semantics + scale posture in GraphOps.bipartite).
     "g39_bipartite" -> ((s, dir) =>
       GraphOps.bipartite(s, GraphOps.sparseEdges(s, dir))),
+    // Rich-club coefficient at three degree thresholds (semantics + scale
+    // posture in GraphOps.richClub) — dense view, where the degree
+    // distribution actually spans the thresholds.
+    "g40_rich_club" -> ((s, dir) =>
+      GraphOps.richClub(s, GraphOps.edges(s, dir))),
+    // Double-sweep diameter lower bound: two chained BFS passes from a
+    // canonical seed (GraphOps.doubleSweep).
+    "g41_diameter2" -> ((s, dir) =>
+      GraphOps.doubleSweep(s, GraphOps.sparseEdges(s, dir))),
+    // SCC condensation / DAG verdict over the directed sparse view
+    // (GraphOps.condensation, on Scc.sccEngine's labels).
+    "g42_condense" -> ((s, dir) =>
+      GraphOps.condensation(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -1121,6 +1134,91 @@ object GraphQueries {
          |       COALESCE(any_value(c.conflict_rows), 0) = 0 AS bipartite
          |FROM par p LEFT JOIN confl c ON c.comp = p.comp
          |GROUP BY p.comp""".stripMargin,
+    // One conditional-aggregate pass over degree-decorated half edges +
+    // one over degrees, mirroring GraphOps.richClub's single-scan shape.
+    "g40_rich_club" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) u
+         |  WHERE src <> dst),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+         |half AS (SELECT a.deg AS sdeg, b.deg AS ddeg
+         |         FROM ue JOIN deg a ON a.id = ue.src
+         |                 JOIN deg b ON b.id = ue.dst
+         |         WHERE ue.src < ue.dst),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (4), (16), (64)) v(k)),
+         |ag AS (SELECT ks.k,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM deg
+         |            WHERE deg > ks.k) AS n_nodes,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM half
+         |            WHERE sdeg > ks.k AND ddeg > ks.k) AS n_edges
+         |       FROM ks)
+         |SELECT k, n_nodes, n_edges,
+         |       CASE WHEN n_nodes >= 2 THEN ${graft.Canon.sig6Sql(
+             "2.0 * n_edges / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))")}
+         |            ELSE NULL END AS phi
+         |FROM ag""".stripMargin,
+    // Two chained BFS recursions: seed = min id, second seed = the
+    // deterministic argmax (farthest, ties to the smallest id) of the
+    // first sweep — the walk-enumeration UNION recursion bounded at the
+    // same depth cap as the Spark loop.
+    "g41_diameter2" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |ue AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) u
+         |  WHERE src <> dst),
+         |s1 AS (SELECT min(src) AS v FROM ue),
+         |b1 AS (
+         |  SELECT v AS id, 0 AS d FROM s1
+         |  UNION
+         |  SELECT ue.dst, b1.d + 1 FROM b1 JOIN ue ON ue.src = b1.id
+         |  WHERE b1.d < 100
+         |),
+         |d1 AS (SELECT id, min(d) AS d FROM b1 GROUP BY id),
+         |far AS (SELECT id AS v, d AS ecc1 FROM d1
+         |        ORDER BY d DESC, id ASC LIMIT 1),
+         |b2 AS (
+         |  SELECT v AS id, 0 AS d FROM far
+         |  UNION
+         |  SELECT ue.dst, b2.d + 1 FROM b2 JOIN ue ON ue.src = b2.id
+         |  WHERE b2.d < 100
+         |),
+         |d2 AS (SELECT id, min(d) AS d FROM b2 GROUP BY id)
+         |SELECT (SELECT v FROM s1) AS src1,
+         |       CAST((SELECT ecc1 FROM far) AS BIGINT) AS ecc1,
+         |       (SELECT v FROM far) AS src2,
+         |       CAST(max(d2.d) AS BIGINT) AS ecc2,
+         |       CAST(greatest((SELECT ecc1 FROM far), max(d2.d)) AS BIGINT)
+         |         AS diameter_lb,
+         |       CAST(count(*) AS BIGINT) AS n_reached
+         |FROM d2""".stripMargin,
+    // The g09 reach-pair SCC labels, condensed: sizes, cycle membership,
+    // distinct cross-component edges, DAG verdict.
+    "g42_condense" ->
+      s"""WITH RECURSIVE e0 AS ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |reach AS (
+         |  SELECT id, id AS anc FROM v
+         |  UNION
+         |  SELECT e0.dst, reach.anc FROM reach JOIN e0 ON e0.src = reach.id
+         |),
+         |scc AS (SELECT r1.id, min(r1.anc) AS comp
+         |        FROM reach r1 JOIN reach r2
+         |          ON r2.id = r1.anc AND r2.anc = r1.id
+         |        GROUP BY r1.id),
+         |sizes AS (SELECT comp, count(*) AS sz FROM scc GROUP BY comp),
+         |ce AS (SELECT DISTINCT a.comp AS cs, b.comp AS cd
+         |       FROM e0 JOIN scc a ON a.id = e0.src
+         |               JOIN scc b ON b.id = e0.dst
+         |       WHERE a.comp <> b.comp)
+         |SELECT CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_scc,
+         |       CAST((SELECT count(*) FROM sizes WHERE sz >= 2) AS BIGINT)
+         |         AS n_nontrivial,
+         |       CAST((SELECT COALESCE(sum(sz), 0) FROM sizes WHERE sz >= 2)
+         |         AS BIGINT) AS n_cyclic_vertices,
+         |       CAST((SELECT count(*) FROM ce) AS BIGINT)
+         |         AS n_condensed_edges,
+         |       (SELECT count(*) FROM sizes WHERE sz >= 2) = 0 AS is_dag""".stripMargin,
     // Three chained walk-count aggregations; BIGINT casts per the dtype
     // discipline; the α-weighted sum on the shared sig6 grid.
     "g38_katz3" ->

@@ -11,6 +11,41 @@ import LlmOracleHelpers._
 object LlmOraclesB {
 
   val oracles: Map[String, String] = Map(
+    // Zipf fit: deterministic top-100 ranks (count desc, token asc), each
+    // ln() term grid-rounded before the sums (l58's device), slope and
+    // intercept from the identical closed forms over the sums.
+    "l65_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |top AS (SELECT cnt,
+         |          row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+         |        FROM f ORDER BY cnt DESC, tok ASC LIMIT 100),
+         |xy AS (SELECT ${sig6Sql("ln(CAST(rank AS DOUBLE))")} AS x,
+         |              ${sig6Sql("ln(CAST(cnt AS DOUBLE))")} AS y
+         |       FROM top),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+         |      FROM xy)
+         |SELECT n AS n_points,
+         |       ${sig6Sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope,
+         |       ${sig6Sql("(sy*sxx - sx*sxy) / (n*sxx - sx*sx)")}
+         |         AS intercept
+         |FROM s""".stripMargin,
+    // Cluster-quota sampling: the l14 Lloyd chain's final assignment, a
+    // per-cluster md5-ordered row_number, quota cut at 10.
+    "l66_cluster_sample" -> {
+      val (ctes, fin) = graft.algos.KMeans.lloydAssignCtes(k = 8, iters = 5,
+        dim = 64)
+      s"""WITH $ctes,
+         |rk AS (
+         |  SELECT cluster, vec_id,
+         |         row_number() OVER (PARTITION BY cluster
+         |           ORDER BY md5('cqs:' || CAST(vec_id AS VARCHAR)) ASC,
+         |                    vec_id ASC) AS rk
+         |  FROM $fin)
+         |SELECT cluster, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 10""".stripMargin
+    },
     // Kmeans-blocked cosine near-dup: the blocking IS l14's statically
     // unrolled Lloyd (shared CTEs), so DuckDB reproduces the identical
     // cells, then the same within-cell pair scan + sig6 cosine verify.
@@ -300,6 +335,23 @@ object LlmOraclesB {
          |SELECT doc_id, CAST(sum(k * length(tok)) AS BIGINT) AS n_chars,
          |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM dt JOIN symc USING (tok) GROUP BY doc_id""".stripMargin,
+    // Fertility: the l45 merge replay grouped by language — all-integer
+    // sums, two final rounded ratios.
+    "l67_bpe_fertility" ->
+      s"""WITH ${bpeOracleCtes(3)},
+         |symc AS (SELECT tok, len(ss) AS n_sym FROM v3),
+         |lt AS (
+         |  SELECT lang, tok, count(*) AS k
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(k) AS BIGINT) AS n_words,
+         |       CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens,
+         |       ${sig6Sql("CAST(sum(k * n_sym) AS DOUBLE) / sum(k)")}
+         |         AS fertility,
+         |       ${sig6Sql(
+             "CAST(sum(k * length(tok)) AS DOUBLE) / sum(k * n_sym)")}
+         |         AS chars_per_token
+         |FROM lt JOIN symc USING (tok) GROUP BY lang""".stripMargin,
     // Vocab coverage: identical (lang, tok, k) base relation, identical
     // total-order vocab cut; all-integer counts, one final rounded ratio.
     "l46_vocab_coverage" ->

@@ -66,6 +66,17 @@ object LlmQueries {
     // Maximal marginal relevance re-ranking — the RAG diversity cut over
     // the cosine candidate pool (λ·rel − μ·max-sim-to-selected, greedy).
     "l64_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(s, dir)),
+    // Zipf rank–frequency OLS fit over the top-100 tokens — the
+    // natural-language-shape diagnostic (TextStats.zipfFit).
+    "l65_zipf_fit" -> ((s, dir) => TextStats.zipfFit(s, dir)),
+    // Cluster-quota (balanced) coreset sampling: per-kmeans-cluster
+    // deterministic md5 draw (Similarity.clusterQuotaSample).
+    "l66_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterQuotaSample(s, dir)),
+    // Tokenizer fertility by language under the corpus-trained BPE
+    // vocabulary — the cross-lingual equity diagnostic
+    // (TextStats.bpeFertility).
+    "l67_bpe_fertility" -> ((s, dir) => TextStats.bpeFertility(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

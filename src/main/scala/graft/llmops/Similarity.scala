@@ -707,4 +707,31 @@ object Similarity {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.v".as("va"), $"b.v".as("vb"))
   }
+
+  /** Cluster-quota (balanced) coreset sampling: k-means blocks, then a
+    * fixed per-cluster quota picked by a deterministic md5 draw — the
+    * SemDeDup/DoReMi-style "equalize cluster mass" selection that keeps a
+    * sample from being dominated by the corpus's densest mode (contrast
+    * [[Similarity.kcenterSample]], which optimizes coverage radius).
+    *
+    * Scale posture: the pick is a per-cluster window (row_number over the
+    * cluster partition, never corpus-global), the draw key is md5 of the
+    * id (append-stable: new vectors don't reshuffle earlier picks'
+    * relative order), and clustering reuses [[graft.algos.KMeans.fit]]'s
+    * broadcast-centroid assignment — the corpus shuffles once on cluster.
+    */
+  def clusterQuotaSample(s: SparkSession, dir: String, k: Int = 8,
+                         iters: Int = 5, quota: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assigned = graft.algos.KMeans.fit(s, dir, k, iters)
+    val w = Window.partitionBy($"cluster")
+      .orderBy($"draw".asc, $"vec_id".asc)
+    assigned
+      .withColumn("draw",
+        md5(concat(lit("cqs:"), $"vec_id".cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= quota)
+      .select($"cluster", $"vec_id", $"rk")
+  }
 }

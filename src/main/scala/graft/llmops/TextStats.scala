@@ -434,6 +434,40 @@ object TextStats {
         sum($"k" * $"n_sym").as("n_bpe_tokens"))
   }
 
+  /** L67: tokenizer FERTILITY by language — BPE tokens per word and chars
+    * per BPE token under the corpus-trained [[bpeTrain]] vocabulary, split
+    * by the `lang` column. Fertility is THE cross-lingual tokenizer-equity
+    * diagnostic (a language whose words fragment into many tokens pays
+    * more compute per content unit and starves in a token-budgeted mix);
+    * chars-per-token is the compression twin l45 reports per document.
+    *
+    * Scale shape: identical to [[bpeEncode]] — the merge rounds run on the
+    * vocab relation, then one (lang, tok) map-side-combined aggregate
+    * joins the vocab-sized symbol-count relation; no corpus-scale string
+    * work, output is one row per language.
+    */
+  def bpeFertility(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val (_, fin) = bpeMergeRounds(s, dir, rounds)
+    val symc = fin.select($"tok",
+        size(split(trim($"w"), " ")).as("n_sym"))
+      .localCheckpoint()
+    fin.unpersist()
+    val lt = Tables.load(s, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("k"))
+    lt.join(symc, "tok")
+      .groupBy($"lang")
+      .agg(sum($"k").as("n_words"),
+        sum($"k" * $"n_sym").as("n_bpe_tokens"),
+        sum($"k" * length($"tok")).as("n_chars"))
+      .select($"lang", $"n_words", $"n_bpe_tokens",
+        graft.Canon.sig6($"n_bpe_tokens".cast("double") /
+          $"n_words".cast("double")).as("fertility"),
+        graft.Canon.sig6($"n_chars".cast("double") /
+          $"n_bpe_tokens".cast("double")).as("chars_per_token"))
+  }
+
   /** The shared BPE merge-round loop: collapse the corpus to its word
     * vocabulary (tok, spelled `w`, cnt) — the only corpus-scale pass —
     * then per round count pairs, pick the top merge, and apply it to the
@@ -705,5 +739,43 @@ object TextStats {
     // bounded block-manager residency across the 184-query pooled dump.
     toks.unpersist()
     out
+  }
+
+  /** Zipf rank–frequency fit: OLS slope/intercept of ln(freq) on ln(rank)
+    * over the corpus's top `topK` tokens — the classic "is this corpus
+    * natural-language-shaped" diagnostic (Zipf's law: slope ≈ −1; crawl
+    * boilerplate and template spam bend the tail). Deterministic ranks
+    * (count desc, token asc); both engines grid-round each ln() term
+    * (l58's device) so the 100-term sums collapse onto shared doubles,
+    * and the closed-form slope/intercept are computed FROM THE SUMS on
+    * the identical formula.
+    *
+    * Scale posture: the token count is a map-side-combined groupBy; the
+    * rank relation is TakeOrdered(topK) — constant rows — and the window
+    * + regression run on those topK rows only. Nothing driver-side, no
+    * corpus-global window.
+    */
+  def zipfFit(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.load(s, dir, "documents")
+      .select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy($"cnt".desc, $"tok".asc).limit(topK)
+    // Single-partition window over exactly topK rows — constant-sized by
+    // construction, independent of corpus scale.
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy($"cnt".desc, $"tok".asc)))
+    val xy = ranked.select(
+      graft.Canon.sig6(log($"rank".cast("double"))).as("x"),
+      graft.Canon.sig6(log($"cnt".cast("double"))).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(
+        $"n".as("n_points"),
+        graft.Canon.sig6(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        graft.Canon.sig6(($"sy" * $"sxx" - $"sx" * $"sxy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("intercept"))
   }
 }

@@ -228,9 +228,48 @@ object RelationalExt3 {
           .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name").distinct()
     }),
+
+    // Heavy hitters via the frequent-items sketch (FreqItemsAgg), gated by
+    // the q12 device: a synthesized skewed key (half the stream mass on 4
+    // hot keys, the rest over ~100k tail keys — purges are real), exact
+    // counts computed beside the sketch, and the output is the exact top-4
+    // plus the sketch's GUARANTEED verdicts (NO_FALSE_NEGATIVES capture;
+    // lb ≤ exact ≤ ub), never the order-dependent estimates. Both
+    // aggregates are map-side partial; the sketch relation is one row.
+    "q84_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "lineitem").select(
+        when($"l_orderkey" % 2 === 0, $"l_orderkey" % 8)
+          .otherwise(lit(1000L) + $"l_orderkey" % 100000L).as("hk"))
+        .cache() // two consumers: the sketch pass and the exact twin
+      val sk = keyed
+        .agg(graft.functions.GraftFunctions
+          .freqItemsAgg(s, $"hk", 1024).as("sk"))
+        .select($"sk.max_err".as("max_err"), explode($"sk.items").as("it"))
+        .select($"it.item".as("hk"), $"it.est".as("est"),
+          $"it.lb".as("lb"), $"it.ub".as("ub"), $"max_err")
+      val top = keyed.groupBy($"hk").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"hk".asc).limit(4)
+      val out = top.join(sk, Seq("hk"), "left")
+        .select($"hk", $"exact_cnt",
+          $"est".isNotNull.as("captured"),
+          ($"est".isNotNull && $"lb" <= $"exact_cnt" &&
+            $"exact_cnt" <= $"ub").as("within_bound"))
+        .localCheckpoint() // materialize while keyed is cached
+      keyed.unpersist()
+      out
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN l_orderkey % 8
+        |                       ELSE 1000 + l_orderkey % 100000 END AS hk
+        |           FROM lineitem),
+        |c AS (SELECT hk, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM k GROUP BY hk)
+        |SELECT hk, exact_cnt, true AS captured, true AS within_bound
+        |FROM c ORDER BY exact_cnt DESC, hk ASC LIMIT 4""".stripMargin,
     "q75_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -482,6 +482,39 @@ object EventQueries {
         .select($"user_id", $"last_ms", $"n_events")
     }),
 
+    // transformWithState MAPSTATE (completing the arbitrary-state quartet:
+    // s08 ValueState, s12 ListState, s13 timers): per-user per-event-type
+    // running (count, total) counters. The parity split forces batch 2 to
+    // MERGE into map entries persisted by batch 1 (point lookups, not a
+    // map rewrite); the final emission per user is selected by the s12
+    // monotone-n_seen device; oracle = the plain batch per-(user, type)
+    // aggregate.
+    "s14_stream_typecounts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"ts".cast("timestamp").as("ev_ts"),
+          $"user_id", $"event_type", $"value")
+      val staged = stage(ev.filter($"event_id" % 2 === 0), "s14", dir)
+      ev.filter($"event_id" % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(staged)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      val src = s2.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .as[EventStreams.Ev]
+      val drained = drain(s2,
+        EventStreams.typeCounts(src).toDF(), "s14", "append", dir)
+      unstage(staged)
+      val w = Window.partitionBy($"user_id")
+      drained.withColumn("mx", max($"n_seen").over(w))
+        .filter($"n_seen" === $"mx")
+        .select($"user_id", $"event_type", $"cnt",
+          graft.Canon.sig6($"total").as("total"))
+    }),
+
     // CHAINED STATEFUL OPERATORS in one streaming query: watermarked dedup
     // of a doubled replay feeding a tumbling event-time aggregation — the
     // multi-stateful-operator pipeline (dedup state AND window state in
@@ -794,6 +827,13 @@ object EventQueries {
         |               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn <= 3""".stripMargin,
+    // The final MapState per user must equal the plain per-(user, type)
+    // batch aggregate — a lost entry, an overwrite instead of a merge, or
+    // counts bleeding across types all hash-mismatch.
+    "s14_stream_typecounts" ->
+      s"""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         |       ${graft.Canon.sig6Sql("sum(value)")} AS total
+         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "q35_range_join" -> rangeJoinOracle,
     "s05_stream_interval_join" -> rangeJoinOracle,
     "s06_stream_outer_join" ->

@@ -233,6 +233,67 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TypeCount(user_id: Long, n_seen: Long, event_type: String,
+                             cnt: Long, total: Double)
+
+  /** Per-user per-event-type running (count, value total) through
+    * `transformWithState` with a typed `MapState` — the map-valued state
+    * primitive completing the arbitrary-state quartet (s08: ValueState,
+    * s12: ListState, s13: timers): the state is a keyed sub-map PER
+    * stream key, each batch MERGES its per-type partials into the stored
+    * entries (point lookups + point updates — never a full rewrite of the
+    * user's map, which is what distinguishes MapState from a ValueState
+    * holding a Map). The monotone `n_seen` ValueState rides along so a
+    * finite replay selects each user's FINAL emission (s12's device).
+    * This is the feature-store "running per-category counters" shape.
+    */
+  final class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, TypeCount] {
+    @transient private var mp:
+      org.apache.spark.sql.streaming.MapState[String, (Long, Double)] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      mp = getHandle.getMapState[String, (Long, Double)]("bytype",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val incoming = rows.toArray
+      val cnt = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      // Deterministic type order within the batch (map-iteration noise
+      // must not reach the stored doubles); per-type partials land via
+      // point lookup + point update.
+      incoming.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
+        case (t, evs) =>
+          val (c0, s0) =
+            if (mp.containsKey(t)) mp.getValue(t) else (0L, 0.0)
+          mp.updateValue(t, (c0 + evs.length, s0 + evs.map(_.value).sum))
+      }
+      seen.update(cnt)
+      mp.iterator().map { case (t, (c, tot)) =>
+        TypeCount(key, cnt, t, c, tot)
+      }
+    }
+  }
+
+  def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class Timeout(user_id: Long, last_ms: Long, n_events: Long)
 
   /** Per-user INACTIVITY TIMEOUT through transformWithState EVENT-TIME

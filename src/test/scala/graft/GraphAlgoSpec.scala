@@ -757,4 +757,44 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(loop.rounds == drv.rounds,
       s"tier rounds diverge: loop=${loop.rounds} driver=${drv.rounds}")
   }
+
+  test("rich club: K4 plus a pendant — hand golden at three thresholds") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (degrees 3,3,3 and vertex 1 gets +1 from pendant 5).
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("src", "dst")
+    val got = GraphOps.richClub(spark, e, ks = Seq(1, 2, 3)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3)))))
+      .toMap
+    // k=1: {1,2,3,4} qualify (degrees 4,3,3,3), all 6 K4 edges inside →
+    // phi = 2*6/(4*3) = 1.0; k=2 identical; k=3: only vertex 1 (deg 4) →
+    // n=1, no pairs, phi undefined (NULL).
+    assert(got(1L) == ((4L, 6L, Some(1.0))))
+    assert(got(2L) == ((4L, 6L, Some(1.0))))
+    assert(got(3L) == ((1L, 0L, None)))
+  }
+
+  test("double sweep: path graph recovers the exact diameter") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = GraphOps.doubleSweep(spark, e).collect()(0)
+    // Seed = min id 1 (an endpoint), ecc 4, farthest = 5, second sweep
+    // ecc 4 = the true diameter; all 5 vertices reached.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((1L, 4L, 5L, 4L, 4L, 5L)))
+  }
+
+  test("condensation: two 3-cycles bridged = 2 SCCs; a diamond is a DAG") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val r1 = GraphOps.condensation(spark, cyc).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getBoolean(4)) == ((2L, 2L, 6L, 1L, false)))
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r2 = GraphOps.condensation(spark, dag).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getBoolean(4)) == ((4L, 0L, 0L, 4L, true)))
+  }
 }

@@ -294,6 +294,32 @@ class StreamingSpec extends AnyFunSuite {
       s"expected >=2 micro-batches (two staged files), got $batches")
   }
 
+  test("transformWithState typeCounts: MapState merges per-type counters " +
+      "across two micro-batches") {
+    import spark.implicits._
+    // The s14 replay splits by event_id parity, so batch 2 must MERGE its
+    // per-type partials into map entries persisted by batch 1 — an
+    // overwrite (or counts bleeding across types) breaks equality with
+    // the plain batch per-(user, type) aggregate.
+    val got = SparkEntry.queries("s14_stream_typecounts")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val exp = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"), graft.Canon.sig6(sum($"value")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == exp)
+    val (batches, _) = graft.streaming.EventQueries.lastDrainStats.get("s14")
+    assert(batches >= 2,
+      s"expected >=2 micro-batches (two staged files), got $batches")
+  }
+
   test("transformWithState timers: every user fires exactly once across " +
       "the watermark-advancing batches") {
     import spark.implicits._
