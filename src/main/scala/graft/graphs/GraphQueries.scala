@@ -562,6 +562,10 @@ object GraphQueries {
     // (GraphOps.condensation, on Scc.sccEngine's labels).
     "g42_condense" -> ((s, dir) =>
       GraphOps.condensation(s, GraphOps.sparseEdges(s, dir))),
+    // Hop-bounded effective diameter from the ANF ball sketches
+    // (GraphOps.effDiameter — g33's loop with the 90%-coverage cut).
+    "g43_eff_diameter" -> ((s, dir) =>
+      GraphOps.effDiameter(s, GraphOps.sparseEdges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -1053,6 +1057,33 @@ object GraphQueries {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT),
          |       CAST((SELECT count(*) FROM (${ball(3)}) t3) AS BIGINT), true""".stripMargin
+    },
+    // g33's leveled expansion extended one hop; the 90% cut in integer
+    // arithmetic (10·N(h) ≥ 9·N(4)), frac on the shared sig6 grid.
+    "g43_eff_diameter" -> {
+      def lvl(k: Int) =
+        s"""l$k AS MATERIALIZED (SELECT DISTINCT p.u, e0.dst AS v
+           |  FROM l${k - 1} p JOIN e0 ON e0.src = p.v)""".stripMargin
+      def ball(h: Int) =
+        s"""b$h AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT DISTINCT u, v FROM (${
+             (0 to h).map(k => s"SELECT u, v FROM l$k")
+               .mkString(" UNION ALL ")}) q) t)""".stripMargin
+      def row(h: Int) =
+        s"""SELECT CAST($h AS BIGINT) AS h, (SELECT n FROM b$h) AS n_pairs,
+           |  ${graft.Canon.sig6Sql(
+             s"CAST((SELECT n FROM b$h) AS DOUBLE) / (SELECT n FROM b4)")}
+           |    AS frac,
+           |  10 * (SELECT n FROM b$h) >= 9 * (SELECT n FROM b4)
+           |    AS reached90,
+           |  true AS within_tol""".stripMargin
+      s"""WITH e0 AS ($sparseEdgesSql),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |l0 AS (SELECT id AS u, id AS v FROM v),
+         |${lvl(1)}, ${lvl(2)}, ${lvl(3)}, ${lvl(4)},
+         |${ball(1)}, ${ball(2)}, ${ball(3)}, ${ball(4)}
+         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
+         |UNION ALL ${row(4)}""".stripMargin
     },
     // The H-index coreness iteration, statically unrolled 32 rounds: the
     // map is monotone-decreasing and IDEMPOTENT at its fixpoint (the

@@ -31,6 +31,33 @@ object LlmOraclesB {
          |       ${sig6Sql("(sy*sxx - sx*sxy) / (n*sxx - sx*sx)")}
          |         AS intercept
          |FROM s""".stripMargin,
+    // Outliers: the l14 Lloyd chain's final assignment JOINED with its
+    // final centroids; full squared distance (|v|² + |c|² − 2v·c), mean /
+    // population-stddev per cluster, z — every float on the sig6 grid.
+    "l68_embed_outliers" -> {
+      val (chain, fin, cen) = graft.algos.KMeans.lloydCtesOver(
+        "pts", "", k = 8, iters = 5, dim = 64)
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |$chain,
+         |d AS (
+         |  SELECT a.cluster, a.vec_id,
+         |         ${sig6Sql("list_inner_product(a.v, a.v) " +
+             "+ list_inner_product(c.c, c.c) " +
+             "- 2*list_inner_product(a.v, c.c)")} AS d2
+         |  FROM $fin a JOIN $cen c ON c.cluster = a.cluster),
+         |st AS (
+         |  SELECT cluster, ${sig6Sql("avg(d2)")} AS m,
+         |         ${sig6Sql(
+             "sqrt(greatest(0, avg(d2*d2) - avg(d2)*avg(d2)))")} AS sd
+         |  FROM d GROUP BY cluster)
+         |SELECT d.cluster, d.vec_id, d.d2,
+         |       ${sig6Sql("(d.d2 - st.m) / st.sd")} AS z
+         |FROM d JOIN st USING (cluster)
+         |WHERE st.sd > 0
+         |  AND ${sig6Sql("(d.d2 - st.m) / st.sd")} > 2.0""".stripMargin
+    },
     // Cluster-quota sampling: the l14 Lloyd chain's final assignment, a
     // per-cluster md5-ordered row_number, quota cut at 10.
     "l66_cluster_sample" -> {

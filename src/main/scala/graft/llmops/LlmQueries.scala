@@ -77,6 +77,9 @@ object LlmQueries {
     // vocabulary — the cross-lingual equity diagnostic
     // (TextStats.bpeFertility).
     "l67_bpe_fertility" -> ((s, dir) => TextStats.bpeFertility(s, dir)),
+    // Embedding-space outliers: per-cluster z-scored centroid distance,
+    // flagged tail (Similarity.embedOutliers).
+    "l68_embed_outliers" -> ((s, dir) => Similarity.embedOutliers(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

@@ -720,6 +720,43 @@ object Similarity {
     * relative order), and clustering reuses [[graft.algos.KMeans.fit]]'s
     * broadcast-centroid assignment — the corpus shuffles once on cluster.
     */
+  /** Embedding-space OUTLIER scoring: squared distance to the assigned
+    * k-means centroid, z-scored within the cluster — the prototypicality
+    * prune (SemDeDup's dual: l34 drops points too CLOSE together, this
+    * flags points too FAR from any mode: mislabeled, garbled, or
+    * off-distribution vectors a curation pass should route to review).
+    * Emits the flagged tail (z > `zCut`).
+    *
+    * Scale posture: centroids and the k-row stats relation broadcast; the
+    * corpus is scanned twice (distance pass, stats pass) with map-side
+    * partial aggregates and never shuffles on anything wider than the
+    * k-key cluster column. Every order-dependent float (distance, mean,
+    * stddev, z) lands on the shared sig6 grid before any decision.
+    */
+  def embedOutliers(s: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 5, zCut: Double = 2.0): DataFrame = {
+    import s.implicits._
+    val (centroids, assigned) =
+      graft.algos.KMeans.fitWithCentroids(s, dir, k, iters)
+    val pts = emb(s, dir).join(assigned, "vec_id")
+      .join(broadcast(centroids), "cluster")
+      .withColumn("d2", graft.Canon.sig6(
+        GraftFunctions.arrayDot(s, $"v", $"v") +
+          GraftFunctions.arrayDot(s, $"c", $"c") -
+          lit(2.0) * GraftFunctions.arrayDot(s, $"v", $"c")))
+      .select($"cluster", $"vec_id", $"d2")
+      .localCheckpoint() // two consumers: the stats pass and the z pass
+    val stats = pts.groupBy($"cluster").agg(
+      graft.Canon.sig6(avg($"d2")).as("m"),
+      graft.Canon.sig6(sqrt(greatest(lit(0.0),
+        avg($"d2" * $"d2") - avg($"d2") * avg($"d2")))).as("sd"))
+    pts.join(broadcast(stats), "cluster")
+      .filter($"sd" > 0.0)
+      .withColumn("z", graft.Canon.sig6(($"d2" - $"m") / $"sd"))
+      .filter($"z" > zCut)
+      .select($"cluster", $"vec_id", $"d2", $"z")
+  }
+
   def clusterQuotaSample(s: SparkSession, dir: String, k: Int = 8,
                          iters: Int = 5, quota: Int = 10): DataFrame = {
     import s.implicits._

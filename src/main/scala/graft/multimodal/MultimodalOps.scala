@@ -400,6 +400,43 @@ object MultimodalOps {
     }.toDF("doc_id", "afp")
   }
 
+  /** Per-video PERCEPTUAL FINGERPRINT: decode every frame through the real
+    * codec, sum pixels per 4×4 tile (the m09 feature), and concatenate the
+    * integer tile sums over (frame, tile) order into one signature string —
+    * a coarse 16-longs-per-frame sketch of the video's spatial layout, the
+    * video twin of m07's image phash / m08's audio fingerprint. Videos
+    * whose pixel streams differ but whose tile sums agree collide (that is
+    * the perceptual point); integer-exact, no rounding surface.
+    *
+    * Scale posture: codec-in-partition map (no shuffle until the group-by
+    * on the fingerprint), signature size bounded by frames×tiles — the
+    * only exchanged payload is the signature string, never frame bytes.
+    */
+  def videoFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").map { m =>
+      val frames = decodeVideo(m.payload)
+      val side = m.width
+      val tilesPerRow = side / 4
+      val nTiles = tilesPerRow * tilesPerRow
+      val sb = new StringBuilder
+      frames.foreach { px =>
+        val sums = new Array[Long](nTiles)
+        var i = 0
+        while (i < px.length) {
+          val t = (i / side / 4) * tilesPerRow + (i % side) / 4
+          sums(t) += px(i)
+          i += 1
+        }
+        sums.foreach { s0 =>
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(s0)
+        }
+      }
+      (m.doc_id, sb.toString)
+    }.toDF("doc_id", "vfp")
+  }
+
   /** Block-based SCENE-CHANGE detection over the video rows — the cheap
     * shot-boundary detector every video-curation pipeline fronts with
     * (block difference is how encoder lookaheads flag cuts): decode each
@@ -515,6 +552,16 @@ object MultimodalOps {
       audioFingerprint(mediaTable(s, dir, onlyKind = Some("audio")))
         .groupBy($"afp")
         .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_id"))
+    }),
+    // Video perceptual dedup: per-video tile-sum fingerprint groups (m08's
+    // group shape over m09's feature). Genuine duplicate groups exist at
+    // sf0.1 (the 256-periodic pixel rule × the 9-periodic frame count
+    // collide doc_ids 2304 apart).
+    "m11_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      videoFingerprint(mediaTable(s, dir, onlyKind = Some("video")))
+        .groupBy($"vfp")
+        .agg(count(lit(1)).as("n_videos"), min($"doc_id").as("min_id"))
     }),
     // Scene-change detection: decode → per-frame 4×4 tile sums →
     // consecutive-pair block-difference score + cut flag. The oracle
@@ -778,6 +825,28 @@ object MultimodalOps {
     // window(i) = (i·16)//n, bit via the exact integer cross-multiply
     // wsum·n > tot·wcnt (window mean above clip mean), bits in window
     // order.
+    // The m09 tile-sum CTE aggregated to one signature string per video
+    // (CAST to VARCHAR so string_agg matches Long.toString), then m08's
+    // fingerprint-group shape.
+    "m11_video_dedup" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id, 2 + (doc_id // 3) % 3 AS n_f
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT doc_id, unnest(range(n_f)) AS f FROM vid),
+         |ts AS (
+         |  SELECT doc_id, f, t,
+         |         sum((doc_id + 31 * f
+         |              + 16 * (4 * (t // 4) + j // 4)
+         |              + 4 * (t % 4) + j % 4) % 256) AS s
+         |  FROM fr, unnest(range(0, 16)) a(t), unnest(range(0, 16)) b(j)
+         |  GROUP BY doc_id, f, t),
+         |b AS (
+         |  SELECT doc_id,
+         |         string_agg(CAST(s AS VARCHAR), ',' ORDER BY f, t) AS vfp
+         |  FROM ts GROUP BY doc_id)
+         |SELECT vfp, CAST(count(*) AS BIGINT) AS n_videos,
+         |       min(doc_id) AS min_id
+         |FROM b GROUP BY vfp""".stripMargin,
     "m08_audio_fingerprint" ->
       s"""WITH aud AS (
          |  SELECT doc_id, 256 + n_chars % 256 AS n

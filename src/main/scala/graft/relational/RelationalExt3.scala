@@ -238,10 +238,13 @@ object RelationalExt3 {
     // aggregates are map-side partial; the sketch relation is one row.
     "q84_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val keyed = t(s, dir, "lineitem").select(
+      // NOT cached: at 100 TB the two consumers should each run a
+      // column-pruned fact scan rather than pin a corpus-sized key
+      // projection in memory — and the lazy plan stays auditable
+      // (PlanAuditSpec pins the map-side sketch partial).
+      def keyed = t(s, dir, "lineitem").select(
         when($"l_orderkey" % 2 === 0, $"l_orderkey" % 8)
           .otherwise(lit(1000L) + $"l_orderkey" % 100000L).as("hk"))
-        .cache() // two consumers: the sketch pass and the exact twin
       val sk = keyed
         .agg(graft.functions.GraftFunctions
           .freqItemsAgg(s, $"hk", 1024).as("sk"))
@@ -250,14 +253,11 @@ object RelationalExt3 {
           $"it.lb".as("lb"), $"it.ub".as("ub"), $"max_err")
       val top = keyed.groupBy($"hk").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"hk".asc).limit(4)
-      val out = top.join(sk, Seq("hk"), "left")
+      top.join(sk, Seq("hk"), "left")
         .select($"hk", $"exact_cnt",
           $"est".isNotNull.as("captured"),
           ($"est".isNotNull && $"lb" <= $"exact_cnt" &&
             $"exact_cnt" <= $"ub").as("within_bound"))
-        .localCheckpoint() // materialize while keyed is cached
-      keyed.unpersist()
-      out
     }),
   )
 

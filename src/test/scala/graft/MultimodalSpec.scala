@@ -204,4 +204,30 @@ class MultimodalSpec extends AnyFunSuite {
     // The threshold is a real boundary on this corpus, not a constant flag.
     assert(rows.values.exists(_._2) && rows.values.exists(!_._2))
   }
+
+  test("video fingerprint: tile-sum signature through the real codec; " +
+      "2304-periodic doc_ids collide (the perceptual-dup class)") {
+    import spark.implicits._
+    val fps = MultimodalOps.videoFingerprint(
+        MultimodalOps.mediaTable(spark, dir, onlyKind = Some("video")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Closed-form recompute of one signature: tile sums over
+    // (id + 31f + i) % 256 pixels, (frame, tile) order, comma-joined.
+    val id = fps.keys.min
+    def tileSum(f: Int, t: Int): Long =
+      (0 until 16).map { j =>
+        (id + 31L * f + 16 * (4 * (t / 4) + j / 4) + 4 * (t % 4) + j % 4) % 256
+      }.sum
+    val nf = (2 + (id / 3) % 3).toInt
+    val exp = (0 until nf)
+      .flatMap(f => (0 until 16).map(t => tileSum(f, t))).mkString(",")
+    assert(fps(id) == exp)
+    // The pixel rule is 256-periodic in doc_id and the frame count
+    // 9-periodic, so videos 2304 apart are byte-identical — the dup class
+    // m11 groups. (sf0.001 has <2304 docs, so build the pair directly.)
+    def frames(d: Long) = 2 + (d / 3) % 3
+    def pixel(d: Long, f: Int, i: Int) = (d + 31L * f + i) % 256
+    assert(frames(2) == frames(2306))
+    assert((0 until 16 * 16).forall(i => pixel(2, 0, i) == pixel(2306, 0, i)))
+  }
 }

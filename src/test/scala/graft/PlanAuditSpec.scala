@@ -104,6 +104,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("l66 cluster-quota sampling: the draw window is cluster-partitioned, " +
+      "never global") {
+    val plan = ranPlan("l66_cluster_sample")
+    // The quota cut must run per cluster — a global row_number would
+    // serialize the corpus through one task at any scale.
+    assert("windowspecdefinition\\(cluster".r.findFirstIn(plan).nonEmpty, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("q84 heavy hitters: the frequent-items sketch partial-aggregates " +
+      "map-side") {
+    val plan = ranPlan("q84_heavy_hitters")
+    // The sketch must combine per partition and shuffle one blob per
+    // partition — a final-only aggregate would ship every raw key row to
+    // one reducer.
+    assert(plan.contains("partial_freq_items_agg"), plan)
+  }
+
   test("q33 ntile windows are partitioned, never global") {
     val plan = ranPlan("q33_ntile")
     assert(!plan.contains("SinglePartition"), plan)
