@@ -750,11 +750,18 @@ object Similarity {
       graft.Canon.sig6(avg($"d2")).as("m"),
       graft.Canon.sig6(sqrt(greatest(lit(0.0),
         avg($"d2" * $"d2") - avg($"d2") * avg($"d2")))).as("sd"))
-    pts.join(broadcast(stats), "cluster")
+    // Materialize the (small) flagged tail, then free the corpus-sized
+    // distance checkpoint — bounded block-manager residency across the
+    // gate's pooled dump (the modularity pattern).
+    val out = pts.join(broadcast(stats), "cluster")
       .filter($"sd" > 0.0)
       .withColumn("z", graft.Canon.sig6(($"d2" - $"m") / $"sd"))
       .filter($"z" > zCut)
       .select($"cluster", $"vec_id", $"d2", $"z")
+      .localCheckpoint()
+    graft.engine.SqlRunner.checkpointRdd(pts)
+      .foreach(_.unpersist(blocking = false))
+    out
   }
 
   def clusterQuotaSample(s: SparkSession, dir: String, k: Int = 8,
