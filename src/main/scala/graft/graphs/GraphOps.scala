@@ -669,68 +669,21 @@ object GraphOps {
     */
   def anf3(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
-    val e = edgeDf.select($"src", $"dst").localCheckpoint()
-    val v = e.select($"src".as("id")).union(e.select($"dst")).distinct()
-    // Sketch loop (the production path).
-    var sk = v.groupBy($"id").agg(expr("hll_sketch_agg(id, 14)").as("sk"))
-      .localCheckpoint()
-    val est = Array.newBuilder[Long]
-    for (_ <- 1 to 3) {
-      val nbr = e.as("ed").join(sk.as("s"), col("ed.dst") === col("s.id"))
-        .select(col("ed.src").as("id"), col("s.sk"))
-      val next = nbr.unionByName(sk)
-        .groupBy($"id").agg(expr("hll_union_agg(sk)").as("sk"))
-        .localCheckpoint()
-      graft.engine.SqlRunner.checkpointRdd(sk)
-        .foreach(_.unpersist(blocking = false))
-      sk = next
-      // One 1-row aggregate per round — bounded driver state (3 longs),
-      // the b07-trace convention.
-      est += sk.agg(sum(expr("hll_sketch_estimate(sk)"))).head().getLong(0)
-    }
-    graft.engine.SqlRunner.checkpointRdd(sk)
-      .foreach(_.unpersist(blocking = false))
-    // Exact twin at gate scale: cumulative distinct (u, v) pairs within
-    // h hops via the same leveled expansion as harmonic4 — but with each
-    // level CHECKPOINTED, unlike harmonic4's single-action plan (where
-    // ReuseExchange replays the shared prefixes): the three cumulative
-    // counts are three separate JOBS, and exchange reuse does not span
-    // jobs, so un-checkpointed levels would re-run l1's join three times
-    // and l2's twice.
-    def step(prev: DataFrame): DataFrame =
-      prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
-        .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
-    val levels = Iterator.iterate(
-        v.select($"id".as("u"), $"id".as("v")).localCheckpoint())(
-        p => step(p).localCheckpoint())
-      .take(4).toVector
-    val exact = (1 to 3).map(h =>
-      levels.take(h + 1).reduce(_ union _).distinct().count())
-    (e +: levels).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
-      .foreach(_.unpersist(blocking = false)))
-    val ests = est.result()
+    val (ests, exact) = anfCounts(s, edgeDf, maxH = 3)
     (1 to 3).map { h =>
       val ex = exact(h - 1)
       (h.toLong, ex, math.abs(ests(h - 1) - ex) <= 0.05 * ex)
     }.toDF("h", "n_pairs", "within_tol")
   }
 
-  /** Hop-bounded EFFECTIVE DIAMETER from the ANF neighborhood function
-    * (HyperANF's headline application, Boldi 2011): the smallest h at
-    * which the cumulative pair count N(h) covers ≥ 90% of the maxH-hop
-    * ball N(maxH). Per-h rows carry the exact count, the coverage
-    * fraction, the 90% verdict (INTEGER arithmetic — 10·N(h) ≥ 9·N(maxH),
-    * engine-exact, no float boundary), and the q12-device tolerance
-    * verdict for the HLL sketch estimate of the same count.
-    *
-    * Scale posture = [[anf3]]'s: the production path is the per-vertex
-    * HLL ball-sketch loop (one edge-keyed shuffle per round, O(|V|)
-    * sketch state, never a pair expansion); the exact leveled expansion
-    * is the gate-scale twin, and maxH bounds both. Driver state: maxH
-    * longs.
+  /** The shared ANF machinery behind [[anf3]] and [[effDiameter]]: the HLL
+    * ball-sketch loop (the production path — one edge-keyed shuffle and
+    * O(|V|) sketch state per round) AND the exact leveled-expansion twin
+    * at gate scale. Returns (per-h sketch estimates, per-h exact counts),
+    * h = 1..maxH; all intermediates freed before return.
     */
-  def effDiameter(s: SparkSession, edgeDf: DataFrame,
-                  maxH: Int = 4): DataFrame = {
+  private def anfCounts(s: SparkSession, edgeDf: DataFrame, maxH: Int)
+      : (Seq[Long], Seq[Long]) = {
     import s.implicits._
     val e = edgeDf.select($"src", $"dst").localCheckpoint()
     val v = e.select($"src".as("id")).union(e.select($"dst")).distinct()
@@ -746,11 +699,19 @@ object GraphOps {
       graft.engine.SqlRunner.checkpointRdd(sk)
         .foreach(_.unpersist(blocking = false))
       sk = next
+      // One 1-row aggregate per round — bounded driver state (maxH longs),
+      // the b07-trace convention.
       est += sk.agg(sum(expr("hll_sketch_estimate(sk)"))).head().getLong(0)
     }
     graft.engine.SqlRunner.checkpointRdd(sk)
       .foreach(_.unpersist(blocking = false))
-    // Exact twin at gate scale — anf3's checkpointed leveled expansion.
+    // Exact twin at gate scale: cumulative distinct (u, v) pairs within
+    // h hops via the same leveled expansion as harmonic4 — but with each
+    // level CHECKPOINTED, unlike harmonic4's single-action plan (where
+    // ReuseExchange replays the shared prefixes): the maxH cumulative
+    // counts are separate JOBS, and exchange reuse does not span jobs, so
+    // un-checkpointed levels would re-run l1's join maxH times and l2's
+    // maxH−1 times.
     def step(prev: DataFrame): DataFrame =
       prev.as("p").join(e.as("ed"), col("p.v") === col("ed.src"))
         .select(col("p.u").as("u"), col("ed.dst").as("v")).distinct()
@@ -762,11 +723,33 @@ object GraphOps {
       levels.take(h + 1).reduce(_ union _).distinct().count())
     (e +: levels).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
       .foreach(_.unpersist(blocking = false)))
-    val ests = est.result()
+    (est.result().toSeq, exact)
+  }
+
+  /** Hop-bounded EFFECTIVE DIAMETER from the ANF neighborhood function
+    * (HyperANF's headline application, Boldi 2011): the smallest h at
+    * which the cumulative pair count N(h) covers ≥ 90% of the maxH-hop
+    * ball N(maxH). Per-h rows carry the exact count, the coverage
+    * fraction, the 90% verdict (INTEGER arithmetic — N(h) ≥ N(maxH) −
+    * ⌊N(maxH)/10⌋, the overflow-free form of 10·N(h) ≥ 9·N(maxH): no
+    * float boundary, and no Long wrap even at |V|²-shaped pair counts),
+    * and the q12-device tolerance verdict for the HLL sketch estimate of
+    * the same count.
+    *
+    * Scale posture = [[anf3]]'s (the two share [[anfCounts]]): the
+    * production path is the per-vertex HLL ball-sketch loop (one
+    * edge-keyed shuffle per round, O(|V|) sketch state, never a pair
+    * expansion); the exact leveled expansion is the gate-scale twin, and
+    * maxH bounds both. Driver state: maxH longs.
+    */
+  def effDiameter(s: SparkSession, edgeDf: DataFrame,
+                  maxH: Int = 4): DataFrame = {
+    import s.implicits._
+    val (ests, exact) = anfCounts(s, edgeDf, maxH)
     val nMax = exact.last
     (1 to maxH).map { h =>
       val ex = exact(h - 1)
-      (h.toLong, ex, 10L * ex >= 9L * nMax,
+      (h.toLong, ex, ex >= nMax - nMax / 10,
         math.abs(ests(h - 1) - ex) <= 0.05 * ex)
     }.toDF("h", "n_pairs", "reached90", "within_tol")
       .select($"h", $"n_pairs",
@@ -1582,7 +1565,9 @@ object GraphOps {
   def richClub(s: SparkSession, edgeDf: DataFrame,
                ks: Seq[Int] = Seq(4, 16, 64)): DataFrame = {
     import s.implicits._
-    val sym = symmetrize(s, edgeDf, dropSelfLoops = true)
+    // Cached: the symmetrize union+distinct shuffle feeds both the degree
+    // aggregate and the half-edge pass — uncached it would run twice.
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
     // Vertex-sized; materialized once, reused by the half-edge decoration
     // and the per-threshold node counts.
     val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
@@ -1601,8 +1586,13 @@ object GraphOps {
       ks.tail.map(k =>
         sum(when($"deg" > k, 1L).otherwise(0L)).as(s"n$k")): _*)
     // Two one-row relations: broadcast-scalar crossJoin idiom; checkpoint
-    // so the three per-k projections below share one materialization.
+    // so the three per-k projections below share one materialization —
+    // then free the edge cache and the degree checkpoint (the result only
+    // depends on the one-row pin).
     val onerow = eAgg.crossJoin(nAgg).localCheckpoint()
+    sym.unpersist()
+    graft.engine.SqlRunner.checkpointRdd(deg)
+      .foreach(_.unpersist(blocking = false))
     ks.map { k =>
       val n = col(s"n$k"); val e = col(s"e$k")
       onerow.select(
@@ -1632,7 +1622,16 @@ object GraphOps {
                   maxDepth: Int = 100): DataFrame = {
     import s.implicits._
     val sym = symmetrize(s, edgeDf, dropSelfLoops = true).localCheckpoint()
-    val s1 = sym.agg(min($"src")).head().getLong(0)
+    val minRow = sym.agg(min($"src")).head()
+    if (minRow.isNullAt(0)) {
+      // Empty graph: no seed to sweep from — empty result, same schema.
+      graft.engine.SqlRunner.checkpointRdd(sym)
+        .foreach(_.unpersist(blocking = false))
+      return s.range(0).select(
+        $"id".as("src1"), $"id".as("ecc1"), $"id".as("src2"),
+        $"id".as("ecc2"), $"id".as("diameter_lb"), $"id".as("n_reached"))
+    }
+    val s1 = minRow.getLong(0)
     val d1 = bfs(s, sym, source = s1, maxDepth = maxDepth)
     // Deterministic argmax: farthest vertex, ties to the smallest id.
     val far = d1.orderBy($"dist".desc, $"id".asc).limit(1).head()
@@ -1641,6 +1640,9 @@ object GraphOps {
       .localCheckpoint()
     val ecc2 = d2.agg(max($"dist")).head().getLong(0)
     val reached = d2.count()
+    // Result rows are pure literals — free every checkpoint before return.
+    Seq(sym, d2).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false)))
     s.range(1).select(
       lit(s1).as("src1"), lit(ecc1).as("ecc1"),
       lit(s2).as("src2"), lit(ecc2).as("ecc2"),
@@ -1662,7 +1664,10 @@ object GraphOps {
     */
   def condensation(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     import s.implicits._
-    val e = edgeDf.select($"src", $"dst").distinct().localCheckpoint()
+    // No distinct here: sccEngine dedups its own input and the condensed
+    // relation dedups on (cs, cd) — an extra pass would just repeat the
+    // shuffle. One checkpoint so the two consumers share one edge scan.
+    val e = edgeDf.select($"src", $"dst").localCheckpoint()
     val comp = Scc.sccEngine(s, e).localCheckpoint()
     val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("sz"))
     val condensed = e
@@ -1675,8 +1680,14 @@ object GraphOps {
       sum(when($"sz" >= 2L, 1L).otherwise(0L)).as("n_nontrivial"),
       sum(when($"sz" >= 2L, $"sz").otherwise(0L)).as("n_cyclic_vertices"))
     val b = condensed.agg(count(lit(1)).as("n_condensed_edges"))
-    a.crossJoin(b).select(
+    // Materialize the one-row summary, then free the edge/label
+    // checkpoints (bounded block-manager residency across the pooled dump).
+    val out = a.crossJoin(b).select(
       $"n_scc", $"n_nontrivial", $"n_cyclic_vertices",
       $"n_condensed_edges", ($"n_nontrivial" === 0L).as("is_dag"))
+      .localCheckpoint()
+    Seq(e, comp).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false)))
+    out
   }
 }

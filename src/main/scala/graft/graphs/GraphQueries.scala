@@ -1058,8 +1058,9 @@ object GraphQueries {
          |SELECT CAST(3 AS BIGINT),
          |       CAST((SELECT count(*) FROM (${ball(3)}) t3) AS BIGINT), true""".stripMargin
     },
-    // g33's leveled expansion extended one hop; the 90% cut in integer
-    // arithmetic (10·N(h) ≥ 9·N(4)), frac on the shared sig6 grid.
+    // g33's leveled expansion extended one hop; the 90% cut in the
+    // overflow-free integer form N(h) ≥ N(4) − N(4)//10 (≡ 10·N(h) ≥
+    // 9·N(4) — ceil(9n/10) = n − ⌊n/10⌋), frac on the shared sig6 grid.
     "g43_eff_diameter" -> {
       def lvl(k: Int) =
         s"""l$k AS MATERIALIZED (SELECT DISTINCT p.u, e0.dst AS v
@@ -1074,7 +1075,8 @@ object GraphQueries {
            |  ${graft.Canon.sig6Sql(
              s"CAST((SELECT n FROM b$h) AS DOUBLE) / (SELECT n FROM b4)")}
            |    AS frac,
-           |  10 * (SELECT n FROM b$h) >= 9 * (SELECT n FROM b4)
+           |  (SELECT n FROM b$h)
+           |    >= (SELECT n FROM b4) - (SELECT n FROM b4) // 10
            |    AS reached90,
            |  true AS within_tol""".stripMargin
       s"""WITH e0 AS ($sparseEdgesSql),

@@ -417,14 +417,25 @@ object TextStats {
     * at all — each document's token multiset (one map-side-combined agg)
     * joins the per-token symbol-count relation and sums integer weights.
     */
-  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  /** The trained vocabulary's per-token symbol counts `(tok, n_sym)` —
+    * the shared preamble of [[bpeEncode]] (l45) and [[bpeFertility]]
+    * (l67), so the two replays of the l42 merge table cannot drift.
+    * Vocab-sized; pinned eagerly so the big cached vocab can be freed.
+    */
+  private def trainedSymCounts(s: SparkSession, dir: String,
+                               rounds: Int): DataFrame = {
     import s.implicits._
     val (_, fin) = bpeMergeRounds(s, dir, rounds)
-    // Vocab-sized; pinned eagerly so the big cached vocab can be freed.
     val symc = fin.select($"tok",
         size(split(trim($"w"), " ")).as("n_sym"))
       .localCheckpoint()
     fin.unpersist()
+    symc
+  }
+
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val symc = trainedSymCounts(s, dir, rounds)
     val dt = Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("k"))
@@ -448,11 +459,7 @@ object TextStats {
     */
   def bpeFertility(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     import s.implicits._
-    val (_, fin) = bpeMergeRounds(s, dir, rounds)
-    val symc = fin.select($"tok",
-        size(split(trim($"w"), " ")).as("n_sym"))
-      .localCheckpoint()
-    fin.unpersist()
+    val symc = trainedSymCounts(s, dir, rounds)
     val lt = Tables.load(s, dir, "documents")
       .select($"lang", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"tok").agg(count(lit(1)).as("k"))

@@ -400,6 +400,22 @@ object MultimodalOps {
     }.toDF("doc_id", "afp")
   }
 
+  /** Per-frame 4×4 tile sums of a `side`×`side` gray frame — the shared
+    * spatial feature of [[sceneCuts]] (m09) and [[videoFingerprint]]
+    * (m11); one definition so the tile geometry cannot diverge.
+    */
+  private def tileSums(px: Array[Int], side: Int): Array[Long] = {
+    val tilesPerRow = side / 4
+    val sums = new Array[Long](tilesPerRow * tilesPerRow)
+    var i = 0
+    while (i < px.length) {
+      val t = (i / side / 4) * tilesPerRow + (i % side) / 4
+      sums(t) += px(i)
+      i += 1
+    }
+    sums
+  }
+
   /** Per-video PERCEPTUAL FINGERPRINT: decode every frame through the real
     * codec, sum pixels per 4×4 tile (the m09 feature), and concatenate the
     * integer tile sums over (frame, tile) order into one signature string —
@@ -416,19 +432,9 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").map { m =>
       val frames = decodeVideo(m.payload)
-      val side = m.width
-      val tilesPerRow = side / 4
-      val nTiles = tilesPerRow * tilesPerRow
       val sb = new StringBuilder
       frames.foreach { px =>
-        val sums = new Array[Long](nTiles)
-        var i = 0
-        while (i < px.length) {
-          val t = (i / side / 4) * tilesPerRow + (i % side) / 4
-          sums(t) += px(i)
-          i += 1
-        }
-        sums.foreach { s0 =>
+        tileSums(px, m.width).foreach { s0 =>
           if (sb.nonEmpty) sb.append(',')
           sb.append(s0)
         }
@@ -457,19 +463,8 @@ object MultimodalOps {
     media.filter(_.kind == "video").flatMap { m =>
       val frames = decodeVideo(m.payload)
       val side = m.width
-      val tilesPerRow = side / 4
-      val nTiles = tilesPerRow * tilesPerRow
-      def tileSums(px: Array[Int]): Array[Long] = {
-        val sums = new Array[Long](nTiles)
-        var i = 0
-        while (i < px.length) {
-          val t = (i / side / 4) * tilesPerRow + (i % side) / 4
-          sums(t) += px(i)
-          i += 1
-        }
-        sums
-      }
-      val ts = frames.map(tileSums)
+      val nTiles = (side / 4) * (side / 4)
+      val ts = frames.map(px => tileSums(px, side))
       (0 until frames.length - 1).map { f =>
         var sd = 0L
         var t = 0
