@@ -73,4 +73,70 @@ object FunctionProperties extends Properties("graft.functions") {
       val got = (0 until sa.n).map(j => (sa.ords(j), sa.ids(j)))
       got == ps.sorted.take(k)
     }
+
+  // --- FreqItemsAgg: the q84 heavy-hitters sketch under partitioning ---
+
+  /** A stream with one PLANTED heavy key (~1/3 of the mass) over a long
+    * tail, cut into random partitions: per-partition update → a
+    * serialize/deserialize roundtrip (the shuffle path) → merges. The
+    * sketch's guarantees must survive any split: the heavy key is in the
+    * NO_FALSE_NEGATIVES list, its estimate is one-sided (est ≥ true,
+    * est − true ≤ max_err), and the (lb, ub) interval brackets the truth.
+    * Estimates themselves are order-dependent under purges — exactly why
+    * q84 emits verdicts — so the law checks bounds, never exact values.
+    */
+  private val genFreq: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(50, 400)
+    tail <- Gen.listOfN(n, Gen.choose(100L, 10000L))
+    hot <- Gen.listOfN(n / 2, Gen.const(7L))
+    cut <- Gen.choose(0, n + n / 2)
+  } yield (scala.util.Random.javaRandomToRandom(
+    new java.util.Random(n)).shuffle(tail ++ hot), cut)
+
+  private def freqEval(stream: List[Long], cut: Int)
+      : (Long, Map[Long, (Long, Long, Long)]) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.FreqItemsAgg(
+      BoundReference(0, LongType, nullable = true), maxMapSize = 32)
+    val (a, b) = stream.splitAt(cut)
+    def build(part: List[Long]) =
+      part.foldLeft(agg.createAggregationBuffer()) { (buf, v) =>
+        agg.update(buf, InternalRow(v))
+      }
+    // Shuffle path: partial buffers serialize, deserialize, then merge.
+    val merged = agg.merge(
+      agg.deserialize(agg.serialize(build(a))),
+      agg.deserialize(agg.serialize(build(b))))
+    val row = agg.eval(merged).asInstanceOf[InternalRow]
+    val arr = row.getArray(1)
+    val items = (0 until arr.numElements()).map { i =>
+      val st = arr.getStruct(i, 4)
+      st.getLong(0) -> ((st.getLong(1), st.getLong(2), st.getLong(3)))
+    }.toMap
+    (row.getLong(0), items)
+  }
+
+  property("FreqItemsAgg: planted heavy key survives any split+merge " +
+      "with one-sided bounded error") =
+    Prop.forAll(genFreq) { case (stream, cut) =>
+      val (maxErr, items) = freqEval(stream, cut)
+      val truth = stream.count(_ == 7L).toLong
+      items.get(7L).exists { case (est, lb, ub) =>
+        est >= truth && est - truth <= maxErr &&
+          lb <= truth && truth <= ub
+      }
+    }
+
+  property("FreqItemsAgg: split point never breaks any emitted bound") =
+    Prop.forAll(genFreq) { case (stream, cut) =>
+      val (maxErr, items) = freqEval(stream, cut)
+      val counts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      items.forall { case (k, (est, lb, ub)) =>
+        val truth = counts.getOrElse(k, 0L)
+        est >= truth && est - truth <= maxErr &&
+          lb <= truth && truth <= ub
+      }
+    }
 }
