@@ -1550,6 +1550,47 @@ object GraphOps {
     out
   }
 
+  /** One-row GRAPH PROFILE — the dataset card a pipeline owner reads
+    * before choosing algorithms: vertex/edge counts, density, max degree,
+    * triangle count, and the global clustering coefficient
+    * (3·triangles / wedges). Composes the engine's own primitives
+    * ([[symmetrize]], the g02 triangle join) into broadcast-scalar
+    * crossJoins of one-row aggregates; integers exact, ratios on the
+    * sig6 grid.
+    *
+    * Scale posture: one degree aggregate, one triangle count (the
+    * degree-ordered triple join), three one-row reductions — no pair
+    * expansion beyond the triangle join every motif query already pays,
+    * no driver state past five scalars.
+    */
+  def graphProfile(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
+    val deg = sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+    // Per-row wedge counts stay in exact-integer range (deg ≤ ~1e6 keeps
+    // the double-typed division exact; the sum is back in LongType).
+    val vAgg = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      max($"deg").as("max_degree"),
+      sum(($"deg" * ($"deg" - 1L) / 2L).cast("long")).as("n_wedges"))
+    val eAgg = sym.agg((count(lit(1)) / 2L).cast("long").as("n_edges"))
+    val tri = triangleCount(s, edgeDf)
+      .select($"triangles".as("n_triangles"))
+    val out = vAgg.crossJoin(eAgg).crossJoin(tri)
+      .select($"n_vertices", $"n_edges",
+        graft.Canon.sig6(lit(2.0) * $"n_edges" /
+          ($"n_vertices" * ($"n_vertices" - 1L)).cast("double"))
+          .as("density"),
+        $"max_degree", $"n_wedges", $"n_triangles",
+        when($"n_wedges" > 0L,
+          graft.Canon.sig6(lit(3.0) * $"n_triangles" /
+            $"n_wedges".cast("double")))
+          .otherwise(lit(0.0)).as("clustering"))
+      .localCheckpoint()
+    sym.unpersist()
+    out
+  }
+
   /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree
     * threshold k: the edge density among vertices of degree > k (Colizza
     * 2006) — the "do hubs preferentially link to hubs" summary that

@@ -566,6 +566,10 @@ object GraphQueries {
     // (GraphOps.effDiameter — g33's loop with the 90%-coverage cut).
     "g43_eff_diameter" -> ((s, dir) =>
       GraphOps.effDiameter(s, GraphOps.sparseEdges(s, dir))),
+    // One-row graph profile / dataset card (GraphOps.graphProfile) on the
+    // dense view, where g02's triangle join already runs.
+    "g44_graph_profile" -> ((s, dir) =>
+      GraphOps.graphProfile(s, GraphOps.edges(s, dir))),
     // Per-vertex triangles through the TYPED engine tier — the triangle
     // credited to its MIDDLE vertex, computed by shipping adjacency lists
     // as messages (the reference's own TriangleCount shape,
@@ -1087,6 +1091,32 @@ object GraphQueries {
          |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(3)}
          |UNION ALL ${row(4)}""".stripMargin
     },
+    // The g02 triangle join + a degree aggregate composed into one row;
+    // integer wedge counts via // 2, ratios on the sig6 grid.
+    "g44_graph_profile" ->
+      s"""WITH e0 AS ($edgesSql),
+         |ue AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) u
+         |  WHERE src <> dst),
+         |ua AS (SELECT src AS a, dst AS b FROM ue WHERE src < dst),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM ue GROUP BY src),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |        FROM ua e1 JOIN ua e2 ON e2.a = e1.b
+         |                   JOIN ua e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+         |             CAST(max(deg) AS BIGINT) AS md,
+         |             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS nw
+         |      FROM deg),
+         |e AS (SELECT CAST(count(*) // 2 AS BIGINT) AS ne FROM ue)
+         |SELECT v.nv AS n_vertices, e.ne AS n_edges,
+         |       ${graft.Canon.sig6Sql(
+             "2.0 * e.ne / (CAST(v.nv AS DOUBLE) * (v.nv - 1))")} AS density,
+         |       v.md AS max_degree, v.nw AS n_wedges,
+         |       tri.n AS n_triangles,
+         |       CASE WHEN v.nw > 0 THEN ${graft.Canon.sig6Sql(
+             "3.0 * tri.n / CAST(v.nw AS DOUBLE)")}
+         |            ELSE 0.0 END AS clustering
+         |FROM v, e, tri""".stripMargin,
     // The H-index coreness iteration, statically unrolled 32 rounds: the
     // map is monotone-decreasing and IDEMPOTENT at its fixpoint (the
     // coreness), so any unroll ≥ the data's fixpoint depth (measured

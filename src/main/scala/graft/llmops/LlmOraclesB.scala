@@ -31,6 +31,23 @@ object LlmOraclesB {
          |       ${sig6Sql("(sy*sxx - sx*sxy) / (n*sxx - sx*sx)")}
          |         AS intercept
          |FROM s""".stripMargin,
+    // Corpus card: one aggregation over per-doc digests/token counts;
+    // integer counts BIGINT-cast, the two rates on the sig6 grid.
+    "l69_corpus_card" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, md5(text) AS digest,
+         |         len($toksSql) AS nt
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_docs,
+         |       ${sig6Sql("1.0 - CAST(count(DISTINCT digest) AS DOUBLE)" +
+             " / count(*)")} AS exact_dup_frac,
+         |       ${sig6Sql("CAST(sum(nt) AS DOUBLE) / count(*)")}
+         |         AS mean_tokens
+         |FROM d""".stripMargin,
     // Outliers: the l14 Lloyd chain's final assignment JOINED with its
     // final centroids; full squared distance (|v|² + |c|² − 2v·c), mean /
     // population-stddev per cluster, z — every float on the sig6 grid.

@@ -80,6 +80,9 @@ object LlmQueries {
     // Embedding-space outliers: per-cluster z-scored centroid distance,
     // flagged tail (Similarity.embedOutliers).
     "l68_embed_outliers" -> ((s, dir) => Similarity.embedOutliers(s, dir)),
+    // One-row corpus card: volume, breadth, exact-dup rate, mean tokens
+    // (TextStats.corpusCard).
+    "l69_corpus_card" -> ((s, dir) => TextStats.corpusCard(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

@@ -417,6 +417,33 @@ object TextStats {
     * at all — each document's token multiset (one map-side-combined agg)
     * joins the per-token symbol-count relation and sums integer weights.
     */
+  /** L69: one-row CORPUS CARD — the dataset-card summary a curation run
+    * publishes beside its output: document/token volume, language and
+    * source breadth, the exact-duplicate fraction (1 − distinct digests /
+    * docs, l01's signal as a rate), and mean tokens per document. ONE
+    * aggregation pass (count-distincts shuffle digest/lang/source keys,
+    * nothing wider); integers exact, the two rates on the sig6 grid.
+    */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"lang", $"source", md5($"text").as("digest"),
+        size(tokens($"text")).as("nt"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nt").as("n_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"digest").as("n_unique_docs"))
+      .select($"n_docs", $"n_tokens", $"n_langs", $"n_sources",
+        $"n_unique_docs",
+        graft.Canon.sig6(lit(1.0) -
+          $"n_unique_docs".cast("double") / $"n_docs".cast("double"))
+          .as("exact_dup_frac"),
+        graft.Canon.sig6($"n_tokens".cast("double") /
+          $"n_docs".cast("double")).as("mean_tokens"))
+  }
+
   /** The trained vocabulary's per-token symbol counts `(tok, n_sym)` —
     * the shared preamble of [[bpeEncode]] (l45) and [[bpeFertility]]
     * (l67), so the two replays of the l42 merge table cannot drift.
