@@ -31,6 +31,48 @@ object LlmOraclesB {
          |       ${sig6Sql("(sy*sxx - sx*sxy) / (n*sxx - sx*sx)")}
          |         AS intercept
          |FROM s""".stripMargin,
+    // Dedup audit: ONE minhash CTE chain serves both sides — the exact
+    // pairs from the shingle-hash relation (jaccardPairs hashes shingles
+    // with the same strHash60, so the Jaccard values agree) and the l04
+    // candidate+verify pipeline from the band keys; counts + recall.
+    "l70_dedup_audit" ->
+      s"""$minhashCtes,
+         |exi AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT da, db FROM exi
+         |       JOIN n na ON na.doc_id = exi.da
+         |       JOIN n nb ON nb.doc_id = exi.db
+         |       WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |ixf AS (
+         |  SELECT c.da, c.db, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.da
+         |  JOIN sh b ON b.doc_id = c.db AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |fd AS (SELECT da, db FROM ixf
+         |       JOIN n na ON na.doc_id = ixf.da
+         |       JOIN n nb ON nb.doc_id = ixf.db
+         |       WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM
+         |       (SELECT da, db FROM ex INTERSECT SELECT da, db FROM fd) q),
+         |c AS (SELECT
+         |        CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |        CAST((SELECT count(*) FROM fd) AS BIGINT) AS n_found,
+         |        (SELECT tp FROM tp) AS n_true_pos)
+         |SELECT n_exact, n_found, n_true_pos,
+         |       n_exact - n_true_pos AS n_missed,
+         |       n_found - n_true_pos AS n_spurious,
+         |       CASE WHEN n_exact > 0 THEN ${sig6Sql(
+             "CAST(n_true_pos AS DOUBLE) / n_exact")}
+         |            ELSE 0.0 END AS recall
+         |FROM c""".stripMargin,
     // Corpus card: one aggregation over per-doc digests/token counts;
     // integer counts BIGINT-cast, the two rates on the sig6 grid.
     "l69_corpus_card" ->

@@ -83,6 +83,9 @@ object LlmQueries {
     // One-row corpus card: volume, breadth, exact-dup rate, mean tokens
     // (TextStats.corpusCard).
     "l69_corpus_card" -> ((s, dir) => TextStats.corpusCard(s, dir)),
+    // Dedup-quality audit: l04's LSH pass scored against l03's exact twin
+    // — recall/misses/spurious as one hash-gated row (TextOps.dedupAudit).
+    "l70_dedup_audit" -> ((s, dir) => Dedup.dedupAudit(s, dir)),
     "l09_text_stats" -> ((s, dir) => TextStats.textStats(s, dir)),
     "l10_lang_dist" -> ((s, dir) => TextStats.langDist(s, dir)),
     "l11_token_counts" -> ((s, dir) => TextStats.tokenCounts(s, dir)),

@@ -627,4 +627,40 @@ object Dedup {
     sh.unpersist()
     out
   }
+
+  /** L70: DEDUP-QUALITY AUDIT — the one-row scorecard for the MinHash+LSH
+    * near-dedup pass: exact-twin pair count ([[jaccardPairs]]), LSH pair
+    * count ([[minhashPairs]]), true positives, misses, spurious rows
+    * (zero by construction — LSH candidates are exact-verified before the
+    * threshold — so a nonzero value is a pipeline bug the hash gate would
+    * catch), and recall. Elevates the recall number that previously lived
+    * only in bench sidecars into a first-class hash-gated result.
+    *
+    * Scale caveat (by design): the exact twin is corpus-quadratic in the
+    * worst case and exists to AUDIT a banding configuration on a sample —
+    * at 100 TB you run l70 on a sampled slice to pick the banding, then
+    * run l04 alone at scale. Both inputs hash shingles with the same
+    * strHash60, so the exact side and the LSH verification agree on the
+    * same Jaccard values.
+    */
+  def dedupAudit(s: SparkSession, dir: String,
+                 threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val ex = jaccardPairs(s, dir, threshold)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val fd = minhashPairs(s, dir, threshold)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val tp = ex.intersect(fd).count()
+    val nEx = ex.count()
+    val nFd = fd.count()
+    Seq(ex, fd).foreach(df => graft.engine.SqlRunner.checkpointRdd(df)
+      .foreach(_.unpersist(blocking = false)))
+    s.range(1).select(
+      lit(nEx).as("n_exact"), lit(nFd).as("n_found"),
+      lit(tp).as("n_true_pos"),
+      lit(nEx - tp).as("n_missed"), lit(nFd - tp).as("n_spurious"),
+      (if (nEx > 0)
+        graft.Canon.sig6(lit(tp.toDouble) / lit(nEx.toDouble))
+      else lit(0.0)).as("recall"))
+  }
 }
