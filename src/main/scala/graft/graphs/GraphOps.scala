@@ -1606,6 +1606,7 @@ object GraphOps {
   def richClub(s: SparkSession, edgeDf: DataFrame,
                ks: Seq[Int] = Seq(4, 16, 64)): DataFrame = {
     import s.implicits._
+    require(ks.nonEmpty, "richClub needs at least one degree threshold")
     // Cached: the symmetrize union+distinct shuffle feeds both the degree
     // aggregate and the half-edge pass — uncached it would run twice.
     val sym = symmetrize(s, edgeDf, dropSelfLoops = true).cache()
@@ -1616,16 +1617,21 @@ object GraphOps {
     val half = sym.filter($"src" < $"dst")
       .join(deg.select($"id".as("src"), $"deg".as("sdeg")), "src")
       .join(deg.select($"id".as("dst"), $"deg".as("ddeg")), "dst")
+    // coalesce(…, 0): sum() over ZERO rows (an empty edge relation) is
+    // NULL, which would flow into the per-k projections as NULL counts —
+    // degenerate inputs should yield well-typed zero rows instead.
     val eAgg = half.agg(
-      sum(when($"sdeg" > ks.head && $"ddeg" > ks.head, 1L).otherwise(0L))
-        .as(s"e${ks.head}"),
+      coalesce(sum(when($"sdeg" > ks.head && $"ddeg" > ks.head, 1L)
+        .otherwise(0L)), lit(0L)).as(s"e${ks.head}"),
       ks.tail.map(k =>
-        sum(when($"sdeg" > k && $"ddeg" > k, 1L).otherwise(0L))
-          .as(s"e$k")): _*)
+        coalesce(sum(when($"sdeg" > k && $"ddeg" > k, 1L).otherwise(0L)),
+          lit(0L)).as(s"e$k")): _*)
     val nAgg = deg.agg(
-      sum(when($"deg" > ks.head, 1L).otherwise(0L)).as(s"n${ks.head}"),
+      coalesce(sum(when($"deg" > ks.head, 1L).otherwise(0L)), lit(0L))
+        .as(s"n${ks.head}"),
       ks.tail.map(k =>
-        sum(when($"deg" > k, 1L).otherwise(0L)).as(s"n$k")): _*)
+        coalesce(sum(when($"deg" > k, 1L).otherwise(0L)), lit(0L))
+          .as(s"n$k")): _*)
     // Two one-row relations: broadcast-scalar crossJoin idiom; checkpoint
     // so the three per-k projections below share one materialization —
     // then free the edge cache and the degree checkpoint (the result only

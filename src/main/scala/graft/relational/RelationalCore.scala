@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Canon.{sig6, sig6Sql}
+import graft.Canon.{sig6, sig6Sql, exactSum, exactSumSql}
 
 import RelationalInputs._
 
@@ -33,11 +33,16 @@ object RelationalCore {
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
+          // quantity is integer-valued: its double sum is exact and
+          // order-independent as-is. The money sums are exact 2dp/4dp
+          // decimals — integer-grid sums (Canon.exactSum) so the result
+          // is the bit-identical double on both engines (q76/q78 class).
           sig6(sum($"l_quantity")).as("sum_qty"),
-          sig6(sum($"l_extendedprice")).as("sum_base_price"),
-          sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+          exactSum($"l_extendedprice", 2).as("sum_base_price"),
+          exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+            .as("sum_disc_price"),
           sig6(avg($"l_quantity")).as("avg_qty"),
-          sig6(avg($"l_extendedprice")).as("avg_price"),
+          (exactSum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -49,7 +54,7 @@ object RelationalCore {
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
-        .agg(sig6(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(exactSum($"o_totalprice", 2).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // Q4 — broadcast-join chain over the tiny dims (region 5 rows, nation 25).
@@ -59,7 +64,7 @@ object RelationalCore {
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(count(lit(1)).as("n_cust"), sig6(sum($"c_acctbal")).as("total_bal"))
+        .agg(count(lit(1)).as("n_cust"), exactSum($"c_acctbal", 2).as("total_bal"))
     }),
 
     // Q5a — left outer join + aggregate (customers keep their zero counts).
@@ -164,7 +169,7 @@ object RelationalCore {
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .rollup($"n_name", $"o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
+        .agg(count(lit(1)).as("cnt"), exactSum($"o_totalprice", 2).as("rev"))
     }),
 
     // Q11 — set operations over two customer-key selections.
@@ -282,7 +287,10 @@ object RelationalCore {
     // Scalar subquery: price relative to the global mean.
     "q27_scalar_subquery" -> ((s, dir) => {
       import s.implicits._
-      val mean = t(s, dir, "orders").agg(avg($"o_totalprice").as("m"))
+      // Exact-sum-based mean: both engines derive the identical double, so
+      // the 15,000 per-row quotients can't knife-edge on a differing ulp.
+      val mean = t(s, dir, "orders")
+        .agg((exactSum($"o_totalprice", 2) / count(lit(1))).as("m"))
       t(s, dir, "orders").crossJoin(broadcast(mean))
         .select($"o_orderkey", sig6($"o_totalprice" / $"m").as("rel_price"))
     }),
@@ -292,7 +300,7 @@ object RelationalCore {
       import s.implicits._
       t(s, dir, "orders")
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sig6(sum($"o_totalprice")).as("rev"))
+        .agg(count(lit(1)).as("cnt"), exactSum($"o_totalprice", 2).as("rev"))
     }),
 
     // Pivot: event_type columns per user (fixed value list => stable schema).
@@ -344,14 +352,14 @@ object RelationalCore {
     "q34_full_outer" -> ((s, dir) => {
       import s.implicits._
       val totals = t(s, dir, "orders")
-        .groupBy($"o_custkey").agg(sum($"o_totalprice").as("total"))
+        .groupBy($"o_custkey").agg(exactSum($"o_totalprice", 2).as("total"))
         .filter($"o_custkey" % 3 === 0)
       val custs = t(s, dir, "customer")
         .filter($"c_acctbal" > 5000.0)
         .select($"c_custkey", $"c_nationkey")
       custs.join(totals, $"c_custkey" === $"o_custkey", "full_outer")
         .select(coalesce($"c_custkey", $"o_custkey").as("k"),
-          $"c_nationkey", sig6($"total").as("total"),
+          $"c_nationkey", $"total",
           $"c_custkey".isNull.as("no_cust"), $"o_custkey".isNull.as("no_orders"))
     }),
 
@@ -404,21 +412,21 @@ object RelationalCore {
     "q02_group_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sig6Sql("sum(l_quantity)")} AS sum_qty,
-         |       ${sig6Sql("sum(l_extendedprice)")} AS sum_base_price,
-         |       ${sig6Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+         |       ${exactSumSql("l_extendedprice", 2)} AS sum_base_price,
+         |       ${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
          |       ${sig6Sql("avg(l_quantity)")} AS avg_qty,
-         |       ${sig6Sql("avg(l_extendedprice)")} AS avg_price,
+         |       (${exactSumSql("l_extendedprice", 2)} / count(*)) AS avg_price,
          |       count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q03_join_agg" ->
-      s"""SELECT n_name, ${sig6Sql("sum(o_totalprice)")} AS revenue, count(*) AS n_orders
+      s"""SELECT n_name, ${exactSumSql("o_totalprice", 2)} AS revenue, count(*) AS n_orders
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
     "q04_broadcast_join" ->
       s"""SELECT r_name, n_name, count(*) AS n_cust,
-         |       ${sig6Sql("sum(c_acctbal)")} AS total_bal
+         |       ${exactSumSql("c_acctbal", 2)} AS total_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
@@ -471,7 +479,7 @@ object RelationalCore {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q13_rollup" ->
       s"""SELECT n_name, o_orderpriority, count(*) AS cnt,
-         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |       ${exactSumSql("o_totalprice", 2)} AS rev
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -532,11 +540,12 @@ object RelationalCore {
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q27_scalar_subquery" ->
       s"""SELECT o_orderkey,
-         |       ${sig6Sql("o_totalprice / (SELECT avg(o_totalprice) FROM orders)")} AS rel_price
+         |       ${sig6Sql("o_totalprice / (SELECT " +
+              exactSumSql("o_totalprice", 2) + " / count(*) FROM orders)")} AS rel_price
          |FROM orders""".stripMargin,
     "q28_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-         |       ${sig6Sql("sum(o_totalprice)")} AS rev
+         |       ${exactSumSql("o_totalprice", 2)} AS rev
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q29_pivot" ->
       s"""SELECT user_id,
@@ -561,12 +570,12 @@ object RelationalCore {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "q34_full_outer" ->
       s"""WITH totals AS (
-         |  SELECT o_custkey, sum(o_totalprice) AS t0 FROM orders
+         |  SELECT o_custkey, ${exactSumSql("o_totalprice", 2)} AS t0 FROM orders
          |  GROUP BY o_custkey HAVING o_custkey % 3 = 0),
          |custs AS (
          |  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0)
          |SELECT coalesce(c_custkey, o_custkey) AS k, c_nationkey,
-         |       ${sig6Sql("t0")} AS total,
+         |       t0 AS total,
          |       (c_custkey IS NULL) AS no_cust,
          |       (o_custkey IS NULL) AS no_orders
          |FROM custs FULL OUTER JOIN totals ON c_custkey = o_custkey""".stripMargin,

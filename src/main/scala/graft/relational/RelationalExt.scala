@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Canon.{sig6, sig6Sql}
+import graft.Canon.{sig6, sig6Sql, exactSum, exactSumSql}
 
 import RelationalInputs._
 
@@ -19,8 +19,13 @@ object RelationalExt {
     "q37_above_cust_avg" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
+      // Exact-sum-based per-customer mean (integer cents summed as LONG,
+      // divided once): deterministic across engines, so the filter and the
+      // 7,540 per-row differences can't flip on a differing ulp.
       t(s, dir, "orders")
-        .withColumn("cavg", avg($"o_totalprice").over(w))
+        .withColumn("cavg",
+          sum(round($"o_totalprice" * 100).cast("long")).over(w) /
+            lit(100.0) / count(lit(1)).over(w))
         .filter($"o_totalprice" > $"cavg")
         .select($"o_orderkey", $"o_custkey",
           sig6($"o_totalprice" - $"cavg").as("above_by"))
@@ -66,7 +71,8 @@ object RelationalExt {
         .groupBy($"o_orderpriority")
         .agg(
           expr("count_if(o_totalprice > 300000.0)").as("n_big"),
-          sig6(sum(when($"o_orderstatus" === "F", $"o_totalprice"))).as("rev_f"),
+          exactSum(when($"o_orderstatus" === "F", $"o_totalprice"), 2)
+            .as("rev_f"),
           expr("bool_or(o_totalprice > 500000.0)").as("any_huge"),
           expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
           max(struct($"o_totalprice".as("p"), $"o_orderkey".as("k")))
@@ -374,9 +380,12 @@ object RelationalExt {
   val oracles: Map[String, String] = Map(
     "q37_above_cust_avg" ->
       s"""SELECT o_orderkey, o_custkey,
-         |       ${sig6Sql("o_totalprice - (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")} AS above_by
+         |       ${sig6Sql("o_totalprice - (SELECT " +
+              exactSumSql("o2.o_totalprice", 2) +
+              " / count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")} AS above_by
          |FROM orders o
-         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+         |WHERE o_totalprice > (SELECT ${exactSumSql("o2.o_totalprice", 2)}
+         |                             / count(*) FROM orders o2
          |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "q38_range_frame" ->
       s"""SELECT event_id, user_id, epoch_ms(ts) AS ms,
@@ -396,7 +405,7 @@ object RelationalExt {
     "q40_conditional_agg" ->
       s"""SELECT o_orderpriority,
          |       count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_big,
-         |       ${sig6Sql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)")} AS rev_f,
+         |       ${exactSumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS rev_f,
          |       bool_or(o_totalprice > 500000.0) AS any_huge,
          |       bool_and(o_totalprice > 1000.0) AS all_over_1k,
          |       struct_extract(max({'p': o_totalprice, 'k': o_orderkey}), 'k') AS best_key

@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Canon.{sig6, sig6Sql}
+import graft.Canon.{sig6, sig6Sql, exactSum, exactSumSql}
 
 import RelationalInputs._
 
@@ -66,7 +66,10 @@ object RelationalExt2 {
       val rev = t(s, dir, "lineitem")
         .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01")
         .groupBy($"l_suppkey")
-        .agg(sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        // Exact integer-ten-thousandths sum (vol is exact at 4dp): the
+        // revenue is order-independent, so the argmax equality join and
+        // the cross-engine hash are both exact (q76/q78-class fix).
+        .agg(exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("total_revenue"))
         .cache()
       val mx = rev.agg(max($"total_revenue").as("mx"))
@@ -94,10 +97,13 @@ object RelationalExt2 {
       val pv = t(s, dir, "lineitem")
         .join(broadcast(supR), $"l_suppkey" === $"s_suppkey", "left_semi")
         .groupBy($"l_partkey")
-        .agg(sig6(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .agg(exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("value"))
         .cache()
-      val thr = pv.agg(sig6(avg($"value") * 2.0).as("thr"))
+      // Threshold from the exact per-part values via the same device, so
+      // the `value > thr` cut is engine-independent.
+      val thr = pv.agg(
+        (exactSum($"value", 4) / count(lit(1)) * 2.0).as("thr"))
       pv.join(broadcast(thr), $"value" > $"thr")
         .select($"l_partkey", $"value")
     }),
@@ -170,7 +176,7 @@ object RelationalExt2 {
     "q71_top_supplier" ->
       s"""WITH revenue AS (
          |  SELECT l_suppkey,
-         |         ${sig6Sql("sum(l_extendedprice * (1 - l_discount))")} AS total_revenue
+         |         ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
          |  FROM lineitem
          |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
          |  GROUP BY l_suppkey)
@@ -180,14 +186,15 @@ object RelationalExt2 {
     "q72_part_value_share" ->
       s"""WITH pv AS (
          |  SELECT l_partkey,
-         |         ${sig6Sql("sum(l_extendedprice * (1 - l_discount))")} AS value
+         |         ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS value
          |  FROM lineitem
          |  WHERE l_suppkey IN (
          |    SELECT s_suppkey FROM supplier
          |    JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 1)
          |  GROUP BY l_partkey)
          |SELECT l_partkey, value FROM pv
-         |WHERE value > (SELECT ${sig6Sql("avg(value) * 2.0")} FROM pv)""".stripMargin,
+         |WHERE value > (SELECT ${exactSumSql("value", 4)} / count(*) * 2.0
+         |               FROM pv)""".stripMargin,
     "q74_min_cost_supplier" ->
       s"""WITH supr AS (
          |  SELECT s_suppkey, s_name, n_name

@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Canon.{sig6, sig6Sql}
+import graft.Canon.{sig6, sig6Sql, exactSum, exactSumSql, exactSumUnits, exactSumUnitsSql}
 
 import RelationalInputs._
 
@@ -70,7 +70,11 @@ object RelationalExt3 {
         .join(broadcast(custN), $"o_custkey" === $"c_custkey")
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("yr"))
-        .agg(sig6(sum($"vol")).as("revenue"))
+        // vol = 2dp price × 2dp (1−disc) is exact at 4 decimals; sum it
+        // on the integer ten-thousandths grid so the revenue is
+        // order-independent (the round-10 q76 hash-fail was sig6 of an
+        // order-dependent double sum landing on a 9-sig half-grid point).
+        .agg(exactSum($"vol", 4).as("revenue"))
     }),
 
     // TPC-H Q8 shape: one nation's market share inside a region's market
@@ -98,9 +102,13 @@ object RelationalExt3 {
         .join(broadcast(custR), $"o_custkey" === $"c_custkey", "left_semi")
         .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
         .groupBy(year($"o_orderdate").as("yr"))
+        // Numerator and denominator as exact integer ten-thousandths (vol
+        // is exact at 4dp), divided once: the share is a single
+        // deterministic double division on both engines.
         .agg(sig6(
-          sum(when($"supp_nation" === "NATION_3", $"vol").otherwise(0.0)) /
-            sum($"vol")).as("mkt_share"))
+          exactSumUnits(when($"supp_nation" === "NATION_3", $"vol")
+            .otherwise(0.0), 4).cast("double") /
+            exactSumUnits($"vol", 4).cast("double")).as("mkt_share"))
     }),
 
     // TPC-H Q9 shape: product profit by supplier nation and year, supply
@@ -124,7 +132,9 @@ object RelationalExt3 {
           $"l_orderkey" === $"o_orderkey")
         .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
         .groupBy($"n_name".as("nation"), year($"o_orderdate").as("yr"))
-        .agg(sig6(sum($"amount")).as("profit"))
+        // amount = 4dp vol − 3dp cost×integer qty: exact at 4 decimals —
+        // integer-grid sum, same device as q76 (round-10 hash-fail fix).
+        .agg(exactSum($"amount", 4).as("profit"))
     }),
 
     // TPC-H Q13 shape: the customer order-count distribution — a left
@@ -200,7 +210,7 @@ object RelationalExt3 {
             $"l_quantity".between(10, 30)) ||
           ($"p_brand" === "Brand#34" && $"p_size".between(20, 50) &&
             $"l_quantity".between(20, 50)))
-        .agg(sig6(sum($"vol")).as("revenue"), count(lit(1)).as("n_lines"))
+        .agg(exactSum($"vol", 4).as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
     // TPC-H Q20 shape: suppliers shipping excess volume of one brand's
@@ -281,7 +291,7 @@ object RelationalExt3 {
     "q76_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |       year(l_shipdate) AS yr,
-         |       ${sig6Sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+         |       ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
          |FROM lineitem
          |JOIN orders ON o_orderkey = l_orderkey
          |JOIN customer ON c_custkey = o_custkey
@@ -292,9 +302,12 @@ object RelationalExt3 {
          |GROUP BY 1, 2, 3""".stripMargin,
     "q77_market_share" ->
       s"""SELECT year(o_orderdate) AS yr,
-         |       ${sig6Sql("sum(CASE WHEN n1.n_name = 'NATION_3' " +
-            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / " +
-            "sum(l_extendedprice * (1 - l_discount))")} AS mkt_share
+         |       ${sig6Sql(
+              "CAST(" + exactSumUnitsSql("CASE WHEN n1.n_name = 'NATION_3' " +
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4) +
+              " AS DOUBLE) / CAST(" +
+              exactSumUnitsSql("l_extendedprice * (1 - l_discount)", 4) +
+              " AS DOUBLE)")} AS mkt_share
          |FROM lineitem
          |JOIN orders ON o_orderkey = l_orderkey
          |JOIN customer ON c_custkey = o_custkey
@@ -306,8 +319,8 @@ object RelationalExt3 {
          |GROUP BY 1""".stripMargin,
     "q78_product_profit" ->
       s"""SELECT n_name AS nation, year(o_orderdate) AS yr,
-         |       ${sig6Sql("sum(l_extendedprice * (1 - l_discount) " +
-            "- 0.6 * p_retailprice * l_quantity)")} AS profit
+         |       ${exactSumSql("l_extendedprice * (1 - l_discount) " +
+            "- 0.6 * p_retailprice * l_quantity", 4)} AS profit
          |FROM lineitem
          |JOIN orders ON o_orderkey = l_orderkey
          |JOIN supplier ON s_suppkey = l_suppkey
@@ -340,7 +353,7 @@ object RelationalExt3 {
         |                     GROUP BY 1 HAVING sum(l_quantity) > 250)
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "q82_disc_revenue" ->
-      s"""SELECT ${sig6Sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+      s"""SELECT ${exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
          |       count(*) AS n_lines
          |FROM lineitem JOIN part ON p_partkey = l_partkey
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

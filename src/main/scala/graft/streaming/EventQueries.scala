@@ -509,10 +509,11 @@ object EventQueries {
         EventStreams.typeCounts(src).toDF(), "s14", "append", dir)
       unstage(staged)
       val w = Window.partitionBy($"user_id")
+      // `total` is exact (integer cents accumulated in MapState, divided
+      // once at emission) — no grid rounding needed or wanted.
       drained.withColumn("mx", max($"n_seen").over(w))
         .filter($"n_seen" === $"mx")
-        .select($"user_id", $"event_type", $"cnt",
-          graft.Canon.sig6($"total").as("total"))
+        .select($"user_id", $"event_type", $"cnt", $"total")
     }),
 
     // CHAINED STATEFUL OPERATORS in one streaming query: watermarked dedup
@@ -832,7 +833,7 @@ object EventQueries {
     // counts bleeding across types all hash-mismatch.
     "s14_stream_typecounts" ->
       s"""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
-         |       ${graft.Canon.sig6Sql("sum(value)")} AS total
+         |       ${graft.Canon.exactSumSql("value", 2)} AS total
          |FROM events GROUP BY user_id, event_type""".stripMargin,
     "q35_range_join" -> rangeJoinOracle,
     "s05_stream_interval_join" -> rangeJoinOracle,

@@ -250,17 +250,22 @@ object EventStreams {
   final class TypeCountsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Ev, TypeCount] {
+    // The stored total is INTEGER CENTS (value is an exact 2dp decimal),
+    // not a running double: a double accumulated in micro-batch arrival
+    // order is order-dependent, which is the q76/q78 knife-edge class —
+    // integer merges are associative, so the final total is bit-exact
+    // regardless of how the replay was batched (ADVICE r10).
     @transient private var mp:
-      org.apache.spark.sql.streaming.MapState[String, (Long, Double)] = _
+      org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
     @transient private var seen:
       org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      mp = getHandle.getMapState[String, (Long, Double)]("bytype",
+      mp = getHandle.getMapState[String, (Long, Long)]("bytype",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaDouble),
+          org.apache.spark.sql.Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       seen = getHandle.getValueState[Long]("seen",
         org.apache.spark.sql.Encoders.scalaLong,
@@ -277,12 +282,13 @@ object EventStreams {
       incoming.groupBy(_.event_type).toSeq.sortBy(_._1).foreach {
         case (t, evs) =>
           val (c0, s0) =
-            if (mp.containsKey(t)) mp.getValue(t) else (0L, 0.0)
-          mp.updateValue(t, (c0 + evs.length, s0 + evs.map(_.value).sum))
+            if (mp.containsKey(t)) mp.getValue(t) else (0L, 0L)
+          mp.updateValue(t, (c0 + evs.length,
+            s0 + evs.map(e => math.round(e.value * 100)).sum))
       }
       seen.update(cnt)
-      mp.iterator().map { case (t, (c, tot)) =>
-        TypeCount(key, cnt, t, c, tot)
+      mp.iterator().map { case (t, (c, cents)) =>
+        TypeCount(key, cnt, t, c, cents / 100.0)
       }
     }
   }

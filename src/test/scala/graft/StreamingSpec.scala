@@ -309,7 +309,7 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     val exp = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .groupBy($"user_id", $"event_type")
-      .agg(count(lit(1)).as("cnt"), graft.Canon.sig6(sum($"value")).as("t"))
+      .agg(count(lit(1)).as("cnt"), graft.Canon.exactSum($"value", 2).as("t"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
         ((r.getLong(2), r.getDouble(3))))
