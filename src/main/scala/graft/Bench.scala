@@ -17,6 +17,14 @@ object Bench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spilled = new AtomicLong
+    /** Cumulative task CPU nanoseconds (executorCpuTime) — the
+      * host-neutral work measure: wall-derived eips swing 2-3× with the
+      * driver VM while cpu-seconds-per-edge moves only with the code, so
+      * cross-round adjudication reads the *_eips_cpu ratios against a
+      * tight ±1.5× band instead of excusing everything inside the wall
+      * band (r10 verdict item 3).
+      */
+    val taskCpuNs = new AtomicLong
     /** Task-end event count — part of the boundary-stability check: a
       * shuffle-LIGHT query's final tasks move none of the byte counters, so
       * polling bytes alone can declare "settled" while its task-end events
@@ -51,6 +59,7 @@ object Bench {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        taskCpuNs.addAndGet(m.executorCpuTime)
       }
       if (t.taskInfo != null) {
         maxTaskMs.getAndUpdate(cur => math.max(cur, t.taskInfo.duration))
@@ -181,7 +190,7 @@ object Bench {
     val anchorNames = SuperstepAnchors
     final case class AnchorRun(loopSec: Double, iters: Int, hubs: Int,
                                saltF: Int, totalSec: Double, maxTask: Double,
-                               medTask: Double) {
+                               medTask: Double, cpuSec: Double) {
       def contention: Double = if (medTask > 0) maxTask / medTask else 0.0
     }
     val anchorStats = scala.collection.mutable.Map.empty[String, AnchorRun]
@@ -200,39 +209,41 @@ object Bench {
     // run's wall clock from its own phase figures.
     final case class GRun(sec: Double, maxTask: Double, medTask: Double,
                           loopSec: Double, iters: Int,
-                          canonSec: Double, closeSec: Double) {
+                          canonSec: Double, closeSec: Double,
+                          cpuSec: Double) {
       def contention: Double = if (medTask > 0) maxTask / medTask else 0.0
     }
-    def gRun(name: String, dt: Double, mxT: Double, medT: Double): GRun =
+    def gRun(name: String, dt: Double, mxT: Double, medT: Double,
+             cpu: Double): GRun =
       if (name.startsWith("b02"))
         GRun(dt, mxT, medT, graft.engine.LocalRunner.lastLoopSeconds,
-          graft.engine.LocalRunner.lastIterations, 0.0, 0.0)
+          graft.engine.LocalRunner.lastIterations, 0.0, 0.0, cpu)
       else if (name.startsWith("b08")) {
         val (c, cl) = graphs.GraphQueries.lastTriStats
-        GRun(dt, mxT, medT, 0.0, 0, c, cl)
-      } else GRun(dt, mxT, medT, 0.0, 0, 0.0, 0.0)
+        GRun(dt, mxT, medT, 0.0, 0, c, cl, cpu)
+      } else GRun(dt, mxT, medT, 0.0, 0, 0.0, 0.0, cpu)
     val genericStats = scala.collection.mutable.Map.empty[String, GRun]
     // Per-query shuffle deltas (O17: the reference logs cumulative shuffle
     // bytes per phase; here each query's own read/write/spill) — reported in
     // the FILE artifact only, the stdout line must stay under the driver's
     // 4 KB tail capture.
-    val perQ = Seq.newBuilder[(String, Double, Double, Double, Double)]
+    val perQ = Seq.newBuilder[(String, Double, Double, Double, Double, Double)]
     // Task-end events arrive on an async listener bus: count() returning
     // does not mean the last wave was delivered, and sampling mid-drain
     // misattributes bytes to the NEXT query. Poll until the totals stop
     // moving (typically one 25 ms beat) before reading a boundary.
-    def settled(): (Long, Long, Long) = {
+    def settled(): (Long, Long, Long, Long) = {
       def snap() = (listener.shuffleRead.get, listener.shuffleWrite.get,
-        listener.spilled.get, listener.taskEnds.get)
+        listener.spilled.get, listener.taskCpuNs.get, listener.taskEnds.get)
       var cur = snap()
       var tries = 0
       while (tries < 40) {
         Thread.sleep(25)
         val nxt = snap()
-        if (nxt == cur) return (cur._1, cur._2, cur._3)
+        if (nxt == cur) return (cur._1, cur._2, cur._3, cur._4)
         cur = nxt; tries += 1
       }
-      (cur._1, cur._2, cur._3)
+      (cur._1, cur._2, cur._3, cur._4)
     }
     // Dev-only subset runs (variance probes, single-query A/Bs): a
     // comma-separated name list in SPARK_GRAFT_ONLY restricts the loop.
@@ -243,7 +254,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val (r0, w0, s0) = settled()
+      val (r0, w0, s0, c0) = settled()
       listener.resetMaxTask()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -253,16 +264,19 @@ object Bench {
       }
       // A throwing query reports -1, never a normal-looking duration.
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      val (r1, w1, s1) = settled()
+      val (r1, w1, s1, c1) = settled()
       val (mxT, medT) = listener.taskSpread()
+      val cpuSec = (c1 - c0) / 1e9
       if (ok && anchorNames(name))
         anchorStats(name) = AnchorRun(graft.engine.SqlRunner.lastLoopSeconds,
           graft.engine.SqlRunner.lastIterations,
           graft.engine.SqlRunner.lastSaltedHubs,
-          graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT)
-      if (ok && genericNames(name)) genericStats(name) = gRun(name, dt, mxT, medT)
+          graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT, cpuSec)
+      if (ok && genericNames(name))
+        genericStats(name) = gRun(name, dt, mxT, medT, cpuSec)
       val mb = 1024.0 * 1024.0
-      perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb, mxT))
+      perQ += ((name, (r1 - r0) / mb, (w1 - w0) / mb, (s1 - s0) / mb, mxT,
+        cpuSec))
       // Queries are independent: drop cached relations AND the persisted
       // RDDs that back localCheckpoints (clearCache does not touch those —
       // iterative queries leave one block set per superstep), then let the
@@ -278,7 +292,7 @@ object Bench {
     // re-executions) — sampling at JSON-build time would count sidecar
     // shuffle in the benchmark totals and break round-over-round
     // comparability of the observability metrics.
-    val (benchRead, benchWrite, benchSpilled) = settled()
+    val (benchRead, benchWrite, benchSpilled, benchCpuNs) = settled()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Failures carry the -1 sentinel per-query but must not subtract from
@@ -312,9 +326,9 @@ object Bench {
     // listener, run, settle, read the task spread, sweep caches. Returns
     // (wall sec, max task, median task) or None if the query threw.
     def rerunMeasure(name: String, contention: Double)
-        : Option[(Double, Double, Double)] = {
+        : Option[(Double, Double, Double, Double)] = {
       System.err.println(f"BENCH rerun $name: contention $contention%.1f > 12")
-      settled()
+      val (_, _, _, rc0) = settled()
       listener.resetMaxTask()
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -323,22 +337,22 @@ object Bench {
         false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      settled()
+      val (_, _, _, rc1) = settled()
       val (mxT, medT) = listener.taskSpread()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       System.gc()
-      if (ok) Some((dt, mxT, medT)) else None
+      if (ok) Some((dt, mxT, medT, (rc1 - rc0) / 1e9)) else None
     }
     val rerunStats = scala.collection.mutable.Map.empty[String, AnchorRun]
     anchorStats.toSeq.sortBy(_._1).foreach { case (name, first) =>
       if (first.contention > 12.0)
-        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT) =>
+        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT, cpu) =>
           rerunStats(name) = AnchorRun(graft.engine.SqlRunner.lastLoopSeconds,
             graft.engine.SqlRunner.lastIterations,
             graft.engine.SqlRunner.lastSaltedHubs,
-            graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT)
+            graft.engine.SqlRunner.lastSaltFactor, dt, mxT, medT, cpu)
         }
     }
     // Generic anchors: same protocol, plus a 5 s floor (a 0.2 s query's
@@ -346,8 +360,8 @@ object Bench {
     val genericRerun = scala.collection.mutable.Map.empty[String, GRun]
     genericStats.toSeq.sortBy(_._1).foreach { case (name, first) =>
       if (first.contention > 12.0 && first.sec >= 5.0)
-        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT) =>
-          genericRerun(name) = gRun(name, dt, mxT, medT)
+        rerunMeasure(name, first.contention).foreach { case (dt, mxT, medT, cpu) =>
+          genericRerun(name) = gRun(name, dt, mxT, medT, cpu)
         }
     }
     /** Better of first run / contention rerun, plus the rerun audit-trail
@@ -387,7 +401,13 @@ object Bench {
         val eipsLoop = if (best.loopSec > 0)
           edges.toDouble * best.iters / best.loopSec else -1.0
         val eipsLoopNorm = if (eipsLoop > 0) eipsLoop * hostFactor else -1.0
-        f""","${key}_edges":$edges,"${key}_iters":${best.iters},"${key}_loop_sec":${best.loopSec}%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_eips_loop_norm":$eipsLoopNorm%.0f,"${key}_salted_hubs":${best.hubs},"${key}_salt_factor":${best.saltF},"${key}_max_task_sec":${best.maxTask}%.1f,"${key}_median_task_sec":${best.medTask}%.2f,"${key}_contention":${best.contention}%.1f""" +
+        // Host-neutral work rate: edge-iterations per task-CPU-second.
+        // Wall eips swing 2-3× with the VM; this moves only with the code
+        // (plus JIT/contention noise well under 1.5×), so the cpu_vs_prev
+        // band below can be tight.
+        val eipsCpu = if (best.cpuSec > 0)
+          edges.toDouble * best.iters / best.cpuSec else -1.0
+        f""","${key}_edges":$edges,"${key}_iters":${best.iters},"${key}_loop_sec":${best.loopSec}%.3f,"${key}_eips_total":$eipsTotal%.0f,"${key}_eips_loop":$eipsLoop%.0f,"${key}_eips_loop_norm":$eipsLoopNorm%.0f,"${key}_task_cpu_sec":${best.cpuSec}%.1f,"${key}_eips_cpu":$eipsCpu%.0f,"${key}_salted_hubs":${best.hubs},"${key}_salt_factor":${best.saltF},"${key}_max_task_sec":${best.maxTask}%.1f,"${key}_median_task_sec":${best.medTask}%.2f,"${key}_contention":${best.contention}%.1f""" +
           rr.map(r => f""","${key}_rerun":true,"${key}_first_loop_sec":${first.loopSec}%.3f,"${key}_first_contention":${first.contention}%.1f""").getOrElse("")
     }.mkString +
       // b02 sidecar: the local-CSR-tier anchor — round count from the SAME
@@ -402,7 +422,9 @@ object Bench {
         val eips = edges8M.toDouble * iters / best.sec
         val eipsLoop = if (best.loopSec > 0)
           edges8M.toDouble * best.iters / best.loopSec else -1.0
-        f""","b02_edges":$edges8M,"b02_iters":$iters,"b02_sec":${best.sec}%.3f,"b02_loop_sec":${best.loopSec}%.3f,"b02_eips_total":$eips%.0f,"b02_eips_total_norm":${eips * hostFactor}%.0f,"b02_eips_loop":$eipsLoop%.0f,"b02_eips_loop_norm":${eipsLoop * hostFactor}%.0f$audit"""
+        val eipsCpu = if (best.cpuSec > 0)
+          edges8M.toDouble * iters / best.cpuSec else -1.0
+        f""","b02_edges":$edges8M,"b02_iters":$iters,"b02_sec":${best.sec}%.3f,"b02_loop_sec":${best.loopSec}%.3f,"b02_eips_total":$eips%.0f,"b02_eips_total_norm":${eips * hostFactor}%.0f,"b02_eips_loop":$eipsLoop%.0f,"b02_eips_loop_norm":${eipsLoop * hostFactor}%.0f,"b02_task_cpu_sec":${best.cpuSec}%.1f,"b02_eips_cpu":$eipsCpu%.0f$audit"""
       }.getOrElse("") +
       // b06 sidecar (r9 verdict item 1: the GraphX anchor previously had
       // neither a throughput figure nor contention adjudication, making
@@ -411,7 +433,9 @@ object Bench {
       bestGeneric("b06_sssp_graphx64m").map { case (best, audit) =>
         val iters = graphs.GraphQueries.b03Rounds
         val eips = uniformEdges.toDouble * iters / best.sec
-        f""","b06_edges":$uniformEdges,"b06_iters":$iters,"b06_sec":${best.sec}%.3f,"b06_eips_total":$eips%.0f,"b06_eips_total_norm":${eips * hostFactor}%.0f$audit"""
+        val eipsCpu = if (best.cpuSec > 0)
+          uniformEdges.toDouble * iters / best.cpuSec else -1.0
+        f""","b06_edges":$uniformEdges,"b06_iters":$iters,"b06_sec":${best.sec}%.3f,"b06_eips_total":$eips%.0f,"b06_eips_total_norm":${eips * hostFactor}%.0f,"b06_task_cpu_sec":${best.cpuSec}%.1f,"b06_eips_cpu":$eipsCpu%.0f$audit"""
       }.getOrElse("") +
       // b08 TC sidecar: per-phase split + directed-edge throughput from
       // the adjudicated best run — the phase split was captured INTO that
@@ -420,7 +444,9 @@ object Bench {
       // edges / 1.002 s ≈ 1.02M edges/s (BASELINE.md headline matrix).
       bestGeneric("b08_triangles_8m").map { case (best, audit) =>
         val eps = edges8M.toDouble / best.sec
-        f""","b08_edges":$edges8M,"b08_sec":${best.sec}%.3f,"b08_canon_sec":${best.canonSec}%.3f,"b08_close_sec":${best.closeSec}%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f$audit"""
+        val epsCpu = if (best.cpuSec > 0) edges8M.toDouble / best.cpuSec
+          else -1.0
+        f""","b08_edges":$edges8M,"b08_sec":${best.sec}%.3f,"b08_canon_sec":${best.canonSec}%.3f,"b08_close_sec":${best.closeSec}%.3f,"b08_eps":$eps%.0f,"b08_eps_norm":${eps * hostFactor}%.0f,"b08_task_cpu_sec":${best.cpuSec}%.1f,"b08_eps_cpu":$epsCpu%.0f$audit"""
       }.getOrElse("")
     // Sketch-quality sidecar: measured recall of the LSH variants against
     // their exact twins on THIS run's data — a hash-function or banding
@@ -512,7 +538,7 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) "" else {
         val prev = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        val re = "\"(b[0-9]+_eips_(?:total|loop))\":([0-9.]+)".r
+        val re = "\"(b[0-9]+_(?:eips_(?:total|loop|cpu)|eps_cpu))\":([0-9.]+)".r
         // FIRST occurrence wins: a prior artifact also carries these keys
         // inside its own eips_vs_prev ratio block, and last-wins would
         // divide by a ratio instead of a throughput.
@@ -543,17 +569,28 @@ object Bench {
         // the normalized ratio when both artifacts carry calibration, the
         // raw one otherwise.
         val outside = pairs.collect {
-          case (k, v, pv) if {
+          case (k, v, pv) if !k.endsWith("_cpu") && {
             val r = prevHf.map(phf => (v * hostFactor) / (pv * phf))
               .getOrElse(v / pv)
             r < 1.0 / 3 || r > 3.0
           } => "\"" + k + "\""
+        }
+        // Host-neutral band for the *_cpu rates (r10 verdict item 3): task
+        // CPU seconds per edge do not swing with the VM, so a ±1.5×
+        // cross-round move is a real code/work change demanding a rerun or
+        // an explanation — the wall band above can never see a true 2×
+        // regression that host variance happens to cancel.
+        val cpuFlagged = pairs.collect {
+          case (k, v, pv) if k.endsWith("_cpu") &&
+            (v / pv < 1.0 / 1.5 || v / pv > 1.5) => "\"" + k + "\""
         }
         if (ratios.isEmpty) "" else
           s""","eips_vs_prev":{${ratios.mkString(",")}}""" +
             (if (normRatios.nonEmpty)
               s""","eips_vs_prev_norm":{${normRatios.mkString(",")}}""" else "") +
             s""","eips_outside_band":[${outside.mkString(",")}]""" +
+            s""","cpu_outside_band":[${cpuFlagged.mkString(",")}]""" +
+            s""","cpu_band":"±1.5x on *_eips_cpu/*_eps_cpu (host-neutral task-CPU rates): entries here are code-level work changes, not VM noise — mandatory rerun/explanation"""" +
             s""","eips_variance_band":"2-3x across driver VMs (COVERAGE.md anchors note); ratios inside the band are host noise — entries in eips_outside_band exceed it and were contention-adjudicated (see *_contention, *_rerun)""""
       }
     } catch { case e: Throwable =>
@@ -561,7 +598,7 @@ object Bench {
       ""
     }
     val calibExtra = f""","calib_cpu_sec":$calibCpu%.3f,"calib_mem_sec":$calibMem%.3f,"host_factor":$hostFactor%.3f"""
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${benchRead / mb}%.1f,"shuffle_write_mb":${benchWrite / mb}%.1f,"spilled_mb":${benchSpilled / mb}%.1f,"cpus":$cpus$calibExtra$anchorExtra$recallExtra$eipsVsPrev}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${benchRead / mb}%.1f,"shuffle_write_mb":${benchWrite / mb}%.1f,"spilled_mb":${benchSpilled / mb}%.1f,"task_cpu_sec":${benchCpuNs / 1e9}%.1f,"cpus":$cpus$calibExtra$anchorExtra$recallExtra$eipsVsPrev}"""
     println(json)
     // Also persist to a repo file: the driver captures only the last 4 KB
     // of stdout, which has truncated the per-query map (and with it the
@@ -569,9 +606,9 @@ object Bench {
     // it additionally carries the per-query shuffle/spill deltas, which the
     // stdout line omits to stay inside the tail capture.
     val perQList = perQ.result()
-    val shuffleQs = perQList.filter { case (_, r, w, sp, _) =>
+    val shuffleQs = perQList.filter { case (_, r, w, sp, _, _) =>
       r >= 0.05 || w >= 0.05 || sp >= 0.05 }
-      .map { case (n, r, w, sp, _) =>
+      .map { case (n, r, w, sp, _, _) =>
         "\"" + n + f"\":[$r%.1f,$w%.1f,$sp%.1f]" }
       .mkString("{", ",", "}")
     // Straggler evidence per query (file artifact only): the longest single
@@ -579,7 +616,14 @@ object Bench {
     // 64M-edge superstep anchor must NOT show one task spanning most of its
     // wall time — b04's entry here beside b03's is the recorded proof.
     val maxTaskQs = perQList.filter(_._5 >= 1.0)
-      .map { case (n, _, _, _, mt) => "\"" + n + f"\":$mt%.1f" }
+      .map { case (n, _, _, _, mt, _) => "\"" + n + f"\":$mt%.1f" }
+      .mkString("{", ",", "}")
+    // Per-query task-CPU seconds (file artifact only; ≥1 s): the
+    // host-neutral per-operator work map cross-round comparisons read
+    // instead of wall seconds (guide §1 — measure what the code does, not
+    // what the box allowed).
+    val cpuQs = perQList.filter(_._6 >= 1.0)
+      .map { case (n, _, _, _, _, cs) => "\"" + n + f"\":$cs%.1f" }
       .mkString("{", ",", "}")
     // Streaming progress (file artifact only): micro-batches run and peak
     // state-store rows per streaming query — bounded state is the
@@ -605,7 +649,7 @@ object Bench {
     val memGb = Runtime.getRuntime.maxMemory() / (1L << 30)
     val fileJson = json.dropRight(1) +
       s""","host_cpu":"${cpuModel.replace("\"", "")}","heap_gb":$memGb""" +
-      s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs,"stream_batches_staterows":$streamQs}"""
+      s""","query_shuffle_rws_mb":$shuffleQs,"query_max_task_sec":$maxTaskQs,"query_cpu_sec":$cpuQs,"stream_batches_staterows":$streamQs}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out,
@@ -617,8 +661,9 @@ object Bench {
     // calibration/anchor/flag sidecars and always survives the tail whole,
     // so round-over-round adjudication stops requiring git archaeology.
     val compactKeep = ("\"(b[0-9]+_(?:first_loop_sec|loop_sec|eips_loop_norm" +
-      "|eips_loop|eips_total_norm|eips_total|first_contention|first_sec" +
-      "|contention|rerun_sec|rerun|iters|canon_sec|close_sec|eps_norm|eps|sec))\":([^,}]+)").r
+      "|eips_loop|eips_total_norm|eips_total|eips_cpu|task_cpu_sec" +
+      "|first_contention|first_sec" +
+      "|contention|rerun_sec|rerun|iters|canon_sec|close_sec|eps_norm|eps_cpu|eps|sec))\":([^,}]+)").r
     val anchorCompact = {
       val kept = compactKeep.findAllMatchIn(anchorExtra)
         .map(m => s""""${m.group(1)}":${m.group(2)}""").mkString(",")

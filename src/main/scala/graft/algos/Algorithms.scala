@@ -47,6 +47,24 @@ object Algorithms {
     */
   val Bfs: GmrAlgorithm = Sssp
 
+  /** [[base]] with the edge weight pinned to 1.0 — for callers that KNOW
+    * their graph is unit-weight (the synthetic anchors build
+    * `weight = lit(1.0)` themselves). `msg(v, 1.0, d)` is definitionally
+    * identical to `msg(v, w, d)` on such a graph, and declaring
+    * `usesWeight = false` lets SqlRunner drop the constant-1.0 column
+    * from the per-superstep cached edge relation (guide §2.3).
+    */
+  final case class UnitWeighted(b: GmrAlgorithm)
+      extends graft.engine.DelegatingGmrAlgorithm(b) {
+    override val usesWeight = false
+    override def msgCol(srcVal: Column, weight: Column,
+                        srcOutDeg: Column): Column =
+      base.msgCol(srcVal, lit(1.0), srcOutDeg)
+    override def msgFn(srcVal: Double, weight: Double,
+                       srcOutDeg: Int): Double =
+      base.msgFn(srcVal, 1.0, srcOutDeg)
+  }
+
   /** PageRank (algorithms.h:73-112). `PR' = d·Σ(PR(u)/outdeg(u)) + (1-d)/n`,
     * cover mode, ε=1e-4, ≤120 iterations.
     *
@@ -61,6 +79,7 @@ object Algorithms {
       extends GmrAlgorithm {
     val name = s"pagerank_d$d"
     override val activeMessaging = false
+    override val usesWeight = false // msg = value/outdeg — weight unread
     // A fixed iteration count (≙ algoIterNum, gmr.h:121) disables the ε-stop.
     override val maxIter: Int = fixedIters.getOrElse(120)
     override val epsilon: Double = if (fixedIters.isDefined) -1.0 else 1e-4
@@ -90,6 +109,7 @@ object Algorithms {
     */
   object FwdMaxColor extends GmrAlgorithm {
     override val idleNoOp = true
+    override val usesWeight = false // msg = srcVal — weight unread
     val name = "fwd-max-color"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")
@@ -112,6 +132,7 @@ object Algorithms {
     */
   object Wcc extends GmrAlgorithm {
     override val idleNoOp = true
+    override val usesWeight = false // msg = srcVal — weight unread
     val name = "wcc"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")

@@ -46,6 +46,16 @@ trait GmrAlgorithm extends Serializable {
     */
   def idleNoOp: Boolean = false
 
+  /** False when [[msgCol]]/[[msgFn]] ignore the edge weight (label
+    * propagations, PageRank's value/outdeg). SqlRunner then drops the
+    * weight column from the per-round cached edge relation — at 64M edges
+    * that is 512 MB of constant doubles the loop otherwise re-reads every
+    * superstep (guide §2.3: narrower rows). Pure representation: the
+    * runner feeds a literal 1.0 where the hook asks for a weight, and the
+    * hook never looks at it.
+    */
+  def usesWeight: Boolean = true
+
   // ---- SqlRunner hooks (Catalyst expressions) ----
   def initCol(id: Column, meta: GraphMeta): Column
   def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column
@@ -75,6 +85,7 @@ class DelegatingGmrAlgorithm(protected val base: GmrAlgorithm)
   override def epsilon: Double = base.epsilon
   override def activeMessaging: Boolean = base.activeMessaging
   override def idleNoOp: Boolean = base.idleNoOp
+  override def usesWeight: Boolean = base.usesWeight
   def initCol(id: Column, meta: GraphMeta): Column = base.initCol(id, meta)
   def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
     base.msgCol(srcVal, weight, srcOutDeg)

@@ -102,6 +102,23 @@ object SqlRunner {
     */
   private val HubProbeMinEdges = 8_000_000L
 
+  /** BROADCAST-PULL mode cap (guide §8: broadcast the plan, move heavy
+    * rows once — here, never). When the vertex state fits a per-round
+    * broadcast (≤ this many vertices, ~16 B each before hash-relation
+    * overhead), the edge cache is partitioned by DST and each superstep
+    * broadcast-joins the senders INTO it: the scatter join shuffles
+    * nothing, and because message rows are then dst-clustered, the
+    * partial aggregation collapses them to ≤|V| rows before the exchange
+    * — per-round shuffle drops from |frontier out-edges| (64M rows/1 GB
+    * on the PageRank anchors) to ≤|V| partials (4M rows). Above the cap
+    * (a 100 TB graph's vertex state does not broadcast) the classic
+    * src-partitioned shuffle path below runs unchanged — override with
+    * -Dgraft.engine.broadcastPullMaxVertices for deployment sizing.
+    */
+  private def broadcastPullMaxVertices: Long =
+    sys.props.get("graft.engine.broadcastPullMaxVertices").map(_.toLong)
+      .getOrElse(8_000_000L)
+
   /** The local-checkpoint RDD backing a loop-state Dataset, if any. */
   private[graft] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =
     df.queryExecution.analyzed.collectFirst {
@@ -121,12 +138,46 @@ object SqlRunner {
                    numEdges: Long = -1L): (DataFrame, RunStats) = {
     import spark.implicits._
 
-    val sel0 = edges.select($"src", $"dst", $"weight")
+    // NARROW ROWS (guide §2.3) — the loop's two recurring byte streams are
+    // the cached edge relation (re-probed every superstep) and the message
+    // shuffle; both shrink with the id width and the weight column:
+    //  - weight is dropped outright when the algorithm's msg hook never
+    //    reads it (alg.usesWeight=false — label propagations, PageRank,
+    //    unit-weight anchors): at 64M edges that is 512 MB of constant
+    //    doubles per superstep scan.
+    //  - src/dst/id narrow from LONG to INT when every vertex id fits —
+    //    probed with one vertex-sized agg (the engine contract is that
+    //    edges reference declared vertices), gated on the same ≥8M-edge
+    //    floor as the hub probe so tight driver loops (the SCC peel) never
+    //    pay an extra job on small graphs, where the cache is tiny anyway.
+    // Values stay DOUBLE throughout — results are bit-identical; the
+    // output re-widens ids to LONG so the surface schema is unchanged.
+    val usesWeight = alg.usesWeight
+    val sel0 =
+      if (usesWeight) edges.select($"src", $"dst", $"weight")
+      else edges.select($"src", $"dst")
     // Unknown size: cache BEFORE counting so the sizing pass and the
     // partitioned cache below share one computation of the edge derivation.
     val needCount = numEdges < 0
     val sel = if (needCount) sel0.cache() else sel0
     val m = if (needCount) sel.count() else numEdges
+    // Id-width probe, gated on the same ≥8M-edge floor as the hub probe so
+    // tight driver loops (the SCC peel) never pay an extra job on small
+    // graphs, where the cache is tiny anyway. One vertex-sized agg; the
+    // engine contract is that edges reference declared vertices.
+    val narrowIds = m >= HubProbeMinEdges && {
+      val b = vertices.agg(min($"id"), max($"id")).head()
+      !b.isNullAt(0) && b.getLong(0) >= 0L &&
+        b.getLong(1) < Int.MaxValue.toLong
+    }
+    def nid(c: org.apache.spark.sql.Column) =
+      if (narrowIds) c.cast("int") else c
+    // Mode selection (see [[broadcastPullMaxVertices]]): pull mode
+    // partitions the cache by DST and broadcasts the senders per round —
+    // zero-shuffle scatter, dst-clustered messages so the partial
+    // aggregation collapses them to ≤|V| rows before the exchange.
+    val pullMode = meta.numVertices > 0 &&
+      meta.numVertices <= broadcastPullMaxVertices
     val parts = LoopConf.loopParallelism(spark, m)
     LoopConf.withShuffleParts(spark, parts) {
       val tSetup = System.nanoTime()
@@ -166,8 +217,13 @@ object SqlRunner {
             (m < HubProbeMinEdges && hubMinDegreeOverride.isEmpty))
           Array.empty
         else
+          // The straggler risk lives on the cache's PARTITION KEY: src
+          // (out-degree hubs) in classic mode, dst (in-degree hubs) in
+          // pull mode — either way a vertex whose edge list rivals a
+          // partition serializes one task.
           sel.sample(withReplacement = false, HubSampleFraction, seed = 42)
-            .groupBy($"src").agg(count(lit(1)).as("c"))
+            .groupBy(if (pullMode) $"dst" else $"src")
+            .agg(count(lit(1)).as("c"))
             .filter($"c" >= math.max(1L,
               (hubMinDegree * HubSampleFraction).toLong))
             .orderBy($"c".desc).limit(MaxSaltedHubs)
@@ -185,6 +241,10 @@ object SqlRunner {
           f
         }
       val hubIds: Seq[Long] = hubs.map(_._1).toIndexedSeq
+      // Literal type matches the (possibly narrowed) id columns so the
+      // IN-set probe stays a same-type comparison inside codegen.
+      val hubLits: Seq[Any] =
+        if (narrowIds) hubIds.map(_.toInt) else hubIds
       lastSaltedHubs = hubs.length
       lastSaltFactor = saltF
       val allSalts = array((0 until saltF).map(i => lit(i)): _*)
@@ -193,19 +253,32 @@ object SqlRunner {
       // hash-partitioned on its key, so only the (active-set-sized)
       // senders relation shuffles per round — the DataFrame form of the
       // reference's precomputed adjloc routing table (partition.h:276-279).
+      // Narrowing applies HERE, to the relation every superstep re-reads
+      // — the sizing cache above keeps the caller's width.
+      val eBase =
+        if (usesWeight) sel.select(nid($"src").as("src"),
+          nid($"dst").as("dst"), $"weight")
+        else sel.select(nid($"src").as("src"), nid($"dst").as("dst"))
+      // Pull mode: partitioned by dst (the aggregation key) — the salt,
+      // when present, only SPLITS a hot dst's rows across partitions; the
+      // scatter join and the groupBy never reference it (the partial
+      // aggregate merges the split partials back on the tiny exchange).
+      // Classic mode: partitioned by src[, salt] exactly as before.
+      val pKey = if (pullMode) $"dst" else $"src"
+      val sKey = if (pullMode) $"src" else $"dst"
       val e =
-        if (!salted) sel.repartition($"src").cache()
-        else sel.withColumn("salt",
-            when($"src".isInCollection(hubIds),
-              pmod(xxhash64($"dst"), lit(saltF.toLong)).cast("int"))
+        if (!salted) eBase.repartition(pKey).cache()
+        else eBase.withColumn("salt",
+            when(pKey.isInCollection(hubLits),
+              pmod(xxhash64(sKey), lit(saltF.toLong)).cast("int"))
               .otherwise(lit(0)))
-          .repartition($"src", $"salt").cache()
+          .repartition(pKey, $"salt").cache()
       if (verbose) {
         e.count()
         println(f"[${alg.name}] edge cache: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
       }
       val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
-      var verts = vertices.select($"id")
+      var verts = vertices.select(nid($"id").as("id"))
         .join(deg, $"id" === deg("src"), "left")
         .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
           alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
@@ -223,27 +296,38 @@ object SqlRunner {
         val tIter = System.nanoTime()
         val senders0 = if (alg.activeMessaging) verts.filter($"changed") else verts
         val senders1 = senders0.filter(alg.sendCondCol($"value"))
-        // Salted path: a sender that is a hub fans out to every salt shard
-        // of its own edge list; everyone else probes shard 0. The fan-out
-        // adds ≤ |hub∩senders|·(saltF−1) rows to the SMALL relation.
-        val senders = if (!salted) senders1 else
+        // Classic salted path: a sender that is a hub fans out to every
+        // salt shard of its own edge list; everyone else probes shard 0.
+        // The fan-out adds ≤ |hub∩senders|·(saltF−1) rows to the SMALL
+        // relation. Pull mode never fans senders out — its salt is pure
+        // cache layout.
+        val senders = if (!salted || pullMode) senders1 else
           senders1.withColumn("salt",
-            explode(when($"id".isInCollection(hubIds), allSalts)
+            explode(when($"id".isInCollection(hubLits), allSalts)
               .otherwise(array(lit(0)))))
         val scatterCond =
-          if (!salted) senders("id") === e("src")
+          if (!salted || pullMode) senders("id") === e("src")
           else senders("id") === e("src") && senders("salt") === e("salt")
-        // SHUFFLE_HASH on the small side of both joins. Without the hint
-        // the planner sees two co-partitioned inputs (the edge cache and
-        // the vertex checkpoint both carry hash partitioning), plans a
-        // zero-exchange sort-merge join, and RE-SORTS the full edge
-        // relation EVERY superstep — measured 13-35 s/round at 64M edges
-        // regardless of active-set size. Hash join keeps the zero-exchange
-        // property but probes the big side linearly: build the (active-set
-        // sized) senders/aggs map, stream the edges/vertices.
-        val aggs = senders.hint("SHUFFLE_HASH").join(e, scatterCond)
+        // Join strategy per mode. Pull: the senders broadcast into the
+        // dst-partitioned cache — no exchange at all on the scatter, and
+        // the message rows emerge dst-clustered, so the hash aggregate's
+        // partial pass collapses them to ≤|V| rows before the (only)
+        // per-round exchange. Classic: SHUFFLE_HASH on the small side of
+        // both joins — without the hint the planner sees two
+        // co-partitioned inputs (the edge cache and the vertex checkpoint
+        // both carry hash partitioning), plans a zero-exchange sort-merge
+        // join, and RE-SORTS the full edge relation EVERY superstep
+        // (measured 13-35 s/round at 64M edges regardless of active-set
+        // size); hash join keeps the zero-exchange property but probes
+        // the big side linearly.
+        val scattered =
+          if (pullMode) e.join(broadcast(senders), scatterCond)
+          else senders.hint("SHUFFLE_HASH").join(e, scatterCond)
+        val aggs = scattered
           .select(e("dst").as("mdst"),
-            alg.msgCol(senders("value"), e("weight"), senders("outdeg")).as("msg"))
+            alg.msgCol(senders("value"),
+              if (usesWeight) e("weight") else lit(1.0),
+              senders("outdeg")).as("msg"))
           .groupBy($"mdst")
           .agg(alg.reduceAgg($"msg").as("agg"))
         val updated = verts.join(aggs.hint("SHUFFLE_HASH"), verts("id") === aggs("mdst"), "left")
@@ -295,7 +379,9 @@ object SqlRunner {
       lastIterations = iter
       if (verbose)
         println(f"[${alg.name}] unpersist: ${(System.nanoTime() - tUn) / 1e9}%.2f s")
-      (verts.select($"id", $"value"),
+      // Re-widen narrowed ids: the surface schema is (id LONG, value).
+      (verts.select(
+          (if (narrowIds) $"id".cast("long") else $"id").as("id"), $"value"),
         RunStats(iter, loopSecs, hubs.length, saltF, trace.result()))
     }
   }

@@ -921,10 +921,70 @@ object GraphOps {
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b")
       .distinct().cache()
-    ue.as("e1")
-      .join(ue.as("e2"), $"e2.a" === $"e1.b")
-      .join(ue.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
-      .agg(count(lit(1)).as("triangles"))
+    val n = wedgeCloseCount(s, ue, ue.count())
+    ue.unpersist(blocking = false)
+    Seq(n).toDF("triangles")
+  }
+
+  /** Edge-count cap for BROADCASTING the canonical edge set into the
+    * wedge-close join. Broadcast builds are DRIVER-SERIAL (collect + hash
+    * relation construction): measured on the b08 anchor, broadcasting the
+    * 8M-edge set cost 10.1 s of close wall where the shuffled-hash close
+    * runs 5.2 s — so the default cap stays small (the sf-scale g02 graphs,
+    * where a sub-second broadcast genuinely beats shuffling the wedges);
+    * everything bigger takes the SHUFFLE_HASH close. Deployment override:
+    * -Dgraft.graphs.broadcastCloseEdges.
+    */
+  private val BroadcastCloseEdgeCap: Long =
+    sys.props.get("graft.graphs.broadcastCloseEdges").map(_.toLong)
+      .getOrElse(2_000_000L)
+
+  /** Wedge-close triangle total over a cached PACKED canonical edge
+    * relation (one column `ab` = a<<32|b with a<b, ids in 31 bits) — the
+    * close kernel shared by [[triangleCount]] (g02) and the b08 anchor.
+    * The single-long key halves the wedge relation's shuffle bytes and
+    * makes both joins one-long hash probes; the wedge join is
+    * SHUFFLE_HASH-hinted (two co-sized relations — sort-merge would pay
+    * two full sorts); the close side broadcasts only under
+    * [[BroadcastCloseEdgeCap]], else shuffles as the hash build.
+    */
+  private[graphs] def wedgeClosePacked(s: SparkSession, keyed: DataFrame,
+                                       nEdges: Long): Long = {
+    import s.implicits._
+    if (nEdges == 0) return 0L
+    val lo32 = lit((1L << 32) - 1L)
+    val e1 = keyed.select(shiftrightunsigned($"ab", 32).as("a"),
+      $"ab".bitwiseAND(lo32).as("b"))
+    val wedges = e1.as("e1")
+      .join(e1.as("e2").hint("SHUFFLE_HASH"), $"e2.a" === $"e1.b")
+      .select(shiftleft($"e1.a", 32).bitwiseOR($"e2.b").as("ab"))
+    val closeSide = if (nEdges <= BroadcastCloseEdgeCap) broadcast(keyed)
+      else keyed.hint("SHUFFLE_HASH")
+    wedges.join(closeSide, "ab").count()
+  }
+
+  /** [[wedgeClosePacked]] over a two-column canonical (a < b) relation:
+    * probes the id range with one agg over the CACHED relation (no extra
+    * input scan) and packs when every id fits in 31 bits; otherwise the
+    * original two-column close (correct for any long ids, wider keys).
+    */
+  private[graphs] def wedgeCloseCount(s: SparkSession, ue: DataFrame,
+                                      nEdges: Long): Long = {
+    import s.implicits._
+    val bounds = ue.agg(min($"a").as("lo"), max($"b").as("hi")).head()
+    val packable = nEdges == 0 ||
+      (!bounds.isNullAt(0) && bounds.getLong(0) >= 0 &&
+        bounds.getLong(1) < (1L << 31))
+    if (nEdges == 0) 0L
+    else if (packable)
+      wedgeClosePacked(s,
+        ue.select(shiftleft($"a", 32).bitwiseOR($"b").as("ab")), nEdges)
+    else
+      ue.as("e1")
+        .join(ue.as("e2").hint("SHUFFLE_HASH"), $"e2.a" === $"e1.b")
+        .join(ue.as("e3").hint("SHUFFLE_HASH"),
+          $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .count()
   }
 
   /** Synchronous label propagation (community detection) for a FIXED number

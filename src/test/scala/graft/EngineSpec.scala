@@ -150,6 +150,11 @@ class EngineSpec extends AnyFunSuite {
     val verts = spark.range(1, nV + 1).select($"id")
     val meta = GraphMeta(nV, source = 1L)
     sys.props.put("graft.engine.hubMinDegree", "5000")
+    // Force the CLASSIC (src-partitioned, shuffled-scatter) path: at 20k
+    // vertices the runner would otherwise pick broadcast-pull mode, whose
+    // skew story is structural (src never partitions anything) — the
+    // pull-mode salting twin below covers that side.
+    sys.props.put("graft.engine.broadcastPullMaxVertices", "0")
     try {
       val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
       assert(SqlRunner.lastSaltedHubs >= 1,
@@ -157,12 +162,44 @@ class EngineSpec extends AnyFunSuite {
       assert(SqlRunner.lastSaltFactor >= 2)
       val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
       assert(sqlR == localR)
-    } finally sys.props.remove("graft.engine.hubMinDegree")
+    } finally {
+      sys.props.remove("graft.engine.hubMinDegree")
+      sys.props.remove("graft.engine.broadcastPullMaxVertices")
+    }
     // Uniform default threshold: the same runner on the same graph keeps
     // the unsalted plan (no false engagement on mere 2×-mean variance).
     val again = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
     assert(SqlRunner.lastSaltedHubs == 0 && SqlRunner.lastSaltFactor == 1)
     assert(again.count(!_._2.isInfinite) > 10000)
+    edges.unpersist()
+  }
+
+  test("pull-mode salting engages on an IN-degree-skewed graph and " +
+      "preserves results") {
+    // Broadcast-pull partitions the cache by dst, so the straggler risk is
+    // a hot IN-degree vertex: vertex 1 receives half of all edges. The
+    // probe must salt ITS shards (layout-only — no sender fan-out) and the
+    // result must agree bit-for-bit with the single-task LocalRunner.
+    import spark.implicits._
+    val nV = 20000L
+    val edges = spark.range(0, 200000)
+      .select((pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("src"),
+        when($"id" % 2 === 0, lit(1L))
+          .otherwise(pmod(xxhash64($"id"), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+      .cache()
+    val verts = spark.range(1, nV + 1).select($"id")
+    val meta = GraphMeta(nV, source = 1L)
+    sys.props.put("graft.engine.hubMinDegree", "5000")
+    try {
+      val sqlR = toMap(SqlRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      assert(SqlRunner.lastSaltedHubs >= 1,
+        s"expected the dst-hub probe to fire, saltedHubs=${SqlRunner.lastSaltedHubs}")
+      assert(SqlRunner.lastSaltFactor >= 2)
+      val localR = toMap(LocalRunner.run(spark, verts, edges, Algorithms.Sssp, meta))
+      assert(sqlR == localR)
+    } finally sys.props.remove("graft.engine.hubMinDegree")
     edges.unpersist()
   }
 

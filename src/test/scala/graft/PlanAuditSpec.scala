@@ -312,6 +312,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val verts = s.range(1, nV + 1).select($"id")
     sys.props.put("graft.engine.hubMinDegree", "5000")
     sys.props.put("graft.engine.capturePlan", "true")
+    // Classic path pinned explicitly (pull mode — the sub-8M-vertex
+    // default — has no scatter shuffle to audit; its twin is below).
+    sys.props.put("graft.engine.broadcastPullMaxVertices", "0")
     try {
       SqlRunner.run(s, verts, edges, Algorithms.Sssp,
         GraphMeta(nV, source = 1L), numEdges = 200000L).count()
@@ -342,6 +345,53 @@ class PlanAuditSpec extends AnyFunSuite {
         s"edge side must not re-shuffle:\n$streamed")
     } finally {
       sys.props.remove("graft.engine.hubMinDegree")
+      sys.props.remove("graft.engine.capturePlan")
+      sys.props.remove("graft.engine.broadcastPullMaxVertices")
+      SqlRunner.lastRoundPlan = None
+    }
+  }
+
+  test("broadcast-pull scatter: the superstep round plan has a broadcast " +
+      "join and a cache-reading edge side with no shuffle above it") {
+    // The default mode below BroadcastPullMaxVertices: the senders
+    // broadcast INTO the dst-partitioned cache, so the scatter join is a
+    // BroadcastHashJoin whose streamed side reads the InMemory cache with
+    // zero ShuffleExchange — the per-round wire traffic is only the
+    // (partial-aggregated, ≤|V|-row) message exchange.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions._
+    import graft.engine.{GraphMeta, SqlRunner}
+    import graft.algos.Algorithms
+    val s = spark
+    import s.implicits._
+    val nV = 20000L
+    val edges = s.range(0, 200000)
+      .select((pmod(xxhash64($"id"), lit(nV)) + 1).as("src"),
+        (pmod(xxhash64($"id" + 1000000L), lit(nV)) + 1).as("dst"))
+      .filter($"src" =!= $"dst")
+      .withColumn("weight", lit(1.0))
+    val verts = s.range(1, nV + 1).select($"id")
+    sys.props.put("graft.engine.capturePlan", "true")
+    try {
+      SqlRunner.run(s, verts, edges, Algorithms.Sssp,
+        GraphMeta(nV, source = 1L), numEdges = 200000L).count()
+      val plan = SqlRunner.lastRoundPlan.getOrElse(fail("no captured plan"))
+      val nodes = expand(plan)
+      val scatter = nodes.collectFirst {
+        case j: BroadcastHashJoinExec => j
+      }.getOrElse(fail(s"no BroadcastHashJoin in:\n$plan"))
+      val streamed = scatter.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => scatter.right
+        case _ => scatter.left
+      }
+      val sub = expand(streamed)
+      assert(sub.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"edge side must read the cache:\n$streamed")
+      assert(!sub.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"edge side must not re-shuffle:\n$streamed")
+    } finally {
       sys.props.remove("graft.engine.capturePlan")
       SqlRunner.lastRoundPlan = None
     }
