@@ -356,9 +356,11 @@ object SqlRunner {
           println(f"[${alg.name}] iter $iter: changed=$changedCount " +
             f"(count ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
             f"full ${(System.nanoTime() - tIter) / 1e9}%.2f s)")
+          // The PRE-checkpoint frame: `next` plans as a bare LogicalRDD
+          // scan; `updated` carries the real join→agg→join round plan.
           if (iter == 1)
-            println(next.queryExecution.executedPlan.toString
-              .split("== Initial Plan ==").head)
+            println(updated.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
         }
         // The count above materialized `next`'s checkpoint, which truncates
         // its lineage — the previous round's checkpoint is now unreferenced.

@@ -960,7 +960,16 @@ object GraphOps {
       .select(shiftleft($"e1.a", 32).bitwiseOR($"e2.b").as("ab"))
     val closeSide = if (nEdges <= BroadcastCloseEdgeCap) broadcast(keyed)
       else keyed.hint("SHUFFLE_HASH")
-    wedges.join(closeSide, "ab").count()
+    val closed = wedges.join(closeSide, "ab")
+    // Plan evidence on demand (the count below executes eagerly, so an
+    // outside Explain would only see the trivial local result relation) —
+    // the SqlRunner capturePlan convention.
+    if (sys.props.get("graft.graphs.capturePlan").contains("true"))
+      // scalastyle:off println
+      println(closed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      // scalastyle:on println
+    closed.count()
   }
 
   /** [[wedgeClosePacked]] over a two-column canonical (a < b) relation:
