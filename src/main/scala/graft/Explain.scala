@@ -21,14 +21,18 @@ object Explain {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val starts =
-            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
           override def onJobStart(
-              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            starts.put(j.jobId, System.nanoTime())
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            // The last stage's call site names the action — enough to map
+            // a slow job back to the operator without the (disabled) UI.
+            val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), site))
+          }
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = starts.remove(j.jobId)
-            println(f"[job] ${j.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+            val (t0, site) = starts.remove(j.jobId)
+            println(f"[job] ${j.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms  $site")
           }
         })
     }

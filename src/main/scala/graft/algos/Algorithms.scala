@@ -20,6 +20,7 @@ object Algorithms {
     */
   object Sssp extends GmrAlgorithm {
     override val idleNoOp = true
+    override val usesOutDegree = false // msg = srcVal + w
     val name = "sssp"
     private val Inf = Double.PositiveInfinity
 
@@ -110,6 +111,7 @@ object Algorithms {
   object FwdMaxColor extends GmrAlgorithm {
     override val idleNoOp = true
     override val usesWeight = false // msg = srcVal — weight unread
+    override val usesOutDegree = false
     val name = "fwd-max-color"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")
@@ -133,6 +135,7 @@ object Algorithms {
   object Wcc extends GmrAlgorithm {
     override val idleNoOp = true
     override val usesWeight = false // msg = srcVal — weight unread
+    override val usesOutDegree = false
     val name = "wcc"
 
     def initCol(id: Column, meta: GraphMeta): Column = id.cast("double")

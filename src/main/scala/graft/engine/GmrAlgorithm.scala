@@ -46,6 +46,15 @@ trait GmrAlgorithm extends Serializable {
     */
   def idleNoOp: Boolean = false
 
+  /** False when [[msgCol]]/[[msgFn]] ignore the sender's out-degree
+    * (everything but PageRank-style mass division). SqlRunner then skips
+    * the out-degree aggregate + vertex join entirely — at 64M edges that
+    * setup pass (a full-width partial aggregate and a vertex-sized join)
+    * costs tens of seconds and produces a column no expression reads.
+    * Pure representation: the vertex state carries a constant 0.
+    */
+  def usesOutDegree: Boolean = true
+
   /** False when [[msgCol]]/[[msgFn]] ignore the edge weight (label
     * propagations, PageRank's value/outdeg). SqlRunner then drops the
     * weight column from the per-round cached edge relation — at 64M edges
@@ -86,6 +95,7 @@ class DelegatingGmrAlgorithm(protected val base: GmrAlgorithm)
   override def activeMessaging: Boolean = base.activeMessaging
   override def idleNoOp: Boolean = base.idleNoOp
   override def usesWeight: Boolean = base.usesWeight
+  override def usesOutDegree: Boolean = base.usesOutDegree
   def initCol(id: Column, meta: GraphMeta): Column = base.initCol(id, meta)
   def msgCol(srcVal: Column, weight: Column, srcOutDeg: Column): Column =
     base.msgCol(srcVal, weight, srcOutDeg)

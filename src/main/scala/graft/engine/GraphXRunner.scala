@@ -65,8 +65,19 @@ object GraphXRunner {
     val edgeRdd = cappedEdges
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val vertRdd = vertices.select("id").rdd.map(r => (r.getLong(0), ()))
-    val base = Graph(vertRdd, edgeRdd, (),
+    val base0 = Graph(vertRdd, edgeRdd, (),
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    // Optional vertex-cut strategy (SURVEY §4 names EdgePartition2D as the
+    // cheap locality improvement: mirrors per vertex bounded by
+    // 2·sqrt(parts) instead of parts). A/B-able without a code change:
+    // -Dgraft.engine.graphxPartitionStrategy=EdgePartition2D|EdgePartition1D
+    // |RandomVertexCut|CanonicalRandomVertexCut. Measured on the b06 64M
+    // anchor this round — see OPTIMIZATION_r11.md for the keep/reject
+    // number (results are strategy-independent; only placement changes).
+    val base = sys.props.get("graft.engine.graphxPartitionStrategy")
+      .map(nm => base0.partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.fromString(nm)))
+      .getOrElse(base0)
     val degrees = base.outDegrees
     var g: Graph[VAttr, Double] = base.outerJoinVertices(degrees) {
       (id, _, d) => VAttr(alg.initFn(id, meta), changed = true, d.getOrElse(0))

@@ -277,12 +277,28 @@ object SqlRunner {
         e.count()
         println(f"[${alg.name}] edge cache: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
       }
-      val deg = e.groupBy($"src").agg(count(lit(1)).cast("int").as("outdeg"))
-      var verts = vertices.select(nid($"id").as("id"))
-        .join(deg, $"id" === deg("src"), "left")
-        .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
-          alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
-        .localCheckpoint()
+      // The out-degree aggregate + vertex join only run for algorithms
+      // whose message hook reads the degree (PageRank): at 64M edges it is
+      // a full-width partial aggregate plus a vertex-sized join for a
+      // column SSSP/WCC/max-color never evaluate. When skipped, an
+      // explicit count() keeps the edge-cache materialization in SETUP
+      // (deg used to force it), so loop seconds stay a loop measurement.
+      var verts =
+        if (alg.usesOutDegree) {
+          val deg = e.groupBy($"src")
+            .agg(count(lit(1)).cast("int").as("outdeg"))
+          vertices.select(nid($"id").as("id"))
+            .join(deg, $"id" === deg("src"), "left")
+            .select($"id", coalesce($"outdeg", lit(0)).as("outdeg"),
+              alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
+            .localCheckpoint()
+        } else {
+          e.count()
+          vertices.select(nid($"id").as("id"))
+            .select($"id", lit(0).as("outdeg"),
+              alg.initCol($"id", meta).as("value"), lit(true).as("changed"))
+            .localCheckpoint()
+        }
       if (verbose)
         println(f"[${alg.name}] setup total: ${(System.nanoTime() - tSetup) / 1e9}%.2f s" +
           (if (salted) s" (salted ${hubs.length} hubs ×$saltF)" else ""))

@@ -126,8 +126,15 @@ object GraphOps {
     // the earlier 1M cap was ~100 MB of Row overhead for a tier whose
     // whole point is "too small to bother the cluster with".
     val threshold = 100000
-    val sampled = sym.limit(threshold + 1).collect()
-    if (sampled.length <= threshold) {
+    // count() FIRST: it materializes the cache in one parallel pass (and
+    // the distributed path needs the count anyway). The previous
+    // limit(n+1).collect() probe ran executeTake's partition-escalation
+    // loop against the UNMATERIALIZED cache — measured inside l57: six
+    // ~3.3 s jobs re-running the upstream near-dup pair pipeline, ~20 s of
+    // a 13 s query. The collect below then reads cached blocks only.
+    val m = sym.count()
+    if (m <= threshold) {
+      val sampled = sym.collect()
       sym.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -147,9 +154,8 @@ object GraphOps {
       val ids = sampled.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
       return ids.map(v => (v, find(v))).toSeq.toDF("id", "comp")
     }
-    // Size the loop's shuffles to the graph, then cache co-partitioned on
-    // the per-round join key (see bfs).
-    val m = sym.count()
+    // Size the loop's shuffles to the graph (m counted above), then cache
+    // co-partitioned on the per-round join key (see bfs).
     withShuffleParts(s, loopParallelism(s, m)) {
       val ue = sym.repartition($"src").cache()
       var labels = ue.select($"src".as("id")).distinct()
@@ -1145,8 +1151,12 @@ object GraphOps {
     // the driver loop is milliseconds; identical layers by construction
     // (tier-equality pinned in GraphAlgoSpec). Larger DAGs take the
     // distributed loop below.
-    val tierProbe = d.limit(100001).collect()
-    if (tierProbe.length <= 100000) {
+    // count() materializes the cache in one parallel pass before the
+    // driver pull — the limit+collect probe it replaces ran executeTake's
+    // partition escalation against the unmaterialized cache (see wcc).
+    val nEdges = d.count()
+    if (nEdges <= 100000) {
+      val tierProbe = d.collect()
       d.unpersist()
       val edges = tierProbe.map(r => (r.getLong(0), r.getLong(1)))
       val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }

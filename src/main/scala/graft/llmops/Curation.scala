@@ -272,18 +272,48 @@ object Curation {
         Dedup.jaccardPairs(s, dir).select($"doc_a".as("src"), $"doc_b".as("dst")))
       .filter($"id" =!= $"comp").select($"id".as("doc_id"))
     val contam = Dedup.decontaminate(s, dir).select($"doc_id")
-    val s1 = docs.join(exKeep, Seq("doc_id"), "left_semi")
-    val s2 = s1.join(qKeep, Seq("doc_id"), "left_semi")
-    val s3 = s2.join(ndDrop, Seq("doc_id"), "left_anti")
-    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
-    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum($"n_tokens"), lit(0L)).as("n_tokens"))
-        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
-          $"n_docs", $"n_tokens")
-    Seq((docs, 0, "input"), (s1, 1, "exact_dedup"), (s2, 2, "quality"),
-        (s3, 3, "near_dedup"), (s4, 4, "decontaminated"))
-      .map { case (df, o, n) => stage(df, o, n) }
+    // ONE decorated pass instead of five cascading semi/anti-join
+    // aggregates (guide §2.4: share the work, don't re-derive it): each
+    // stage mask lands as a boolean flag via a left join (the drop-side
+    // relations are distinct()ed so a duplicate marker row can never fan
+    // a doc out), stage membership is the cumulative AND, and one
+    // aggregate computes every stage's (count, token sum) as conditional
+    // sums — the five output rows then project from the one-row relation
+    // (the richClub crossJoin idiom). Identical rows to the cascade by
+    // construction: semi ≡ flag true, anti ≡ flag null.
+    val flagged = docs
+      .join(exKeep.withColumn("f1", lit(true)), Seq("doc_id"), "left")
+      .join(qKeep.withColumn("f2", lit(true)), Seq("doc_id"), "left")
+      .join(ndDrop.distinct().withColumn("f3", lit(true)),
+        Seq("doc_id"), "left")
+      .join(contam.distinct().withColumn("f4", lit(true)),
+        Seq("doc_id"), "left")
+      .select($"n_tokens",
+        coalesce($"f1", lit(false)).as("s1"),
+        (coalesce($"f1", lit(false)) &&
+          coalesce($"f2", lit(false))).as("s2"),
+        (coalesce($"f1", lit(false)) && coalesce($"f2", lit(false)) &&
+          !coalesce($"f3", lit(false))).as("s3"),
+        (coalesce($"f1", lit(false)) && coalesce($"f2", lit(false)) &&
+          !coalesce($"f3", lit(false)) &&
+          !coalesce($"f4", lit(false))).as("s4"))
+    val one = flagged.agg(
+      count(lit(1)).as("n0"), coalesce(sum($"n_tokens"), lit(0L)).as("t0"),
+      sum(when($"s1", 1L).otherwise(0L)).as("n1"),
+      coalesce(sum(when($"s1", $"n_tokens")), lit(0L)).as("t1"),
+      sum(when($"s2", 1L).otherwise(0L)).as("n2"),
+      coalesce(sum(when($"s2", $"n_tokens")), lit(0L)).as("t2"),
+      sum(when($"s3", 1L).otherwise(0L)).as("n3"),
+      coalesce(sum(when($"s3", $"n_tokens")), lit(0L)).as("t3"),
+      sum(when($"s4", 1L).otherwise(0L)).as("n4"),
+      coalesce(sum(when($"s4", $"n_tokens")), lit(0L)).as("t4"))
+      .localCheckpoint()
+    Seq((0, "input"), (1, "exact_dedup"), (2, "quality"),
+        (3, "near_dedup"), (4, "decontaminated"))
+      .map { case (o, n) =>
+        one.select(lit(o.toLong).as("stage_ord"), lit(n).as("stage"),
+          col(s"n$o").as("n_docs"), col(s"t$o").as("n_tokens"))
+      }
       .reduce(_ unionByName _)
   }
 }
