@@ -18,6 +18,27 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(n == 2) // {1,2,3} and {1,4,5}, FIXTURES.md §1
   }
 
+  test("wedge-close kernel: packed and wide-id paths agree, including at " +
+      "the 31-bit pack boundary") {
+    // The r11 close kernel packs (a<b) into one long (a<<32|b) when every
+    // id fits 31 bits and falls back to the two-column join otherwise.
+    // Same triangle structure rendered twice: small ids (packed path) and
+    // the same graph shifted to ids ABOVE 2^31 (fallback path) — both must
+    // count the same triangles, and a boundary id of exactly 2^31−1 must
+    // still take the packed path correctly.
+    import spark.implicits._
+    val hi = (1L << 31) - 1 // max packable id
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, hi), (2L, hi),
+      (1L, 4L)) // triangles {1,2,3}, {2,3,hi}; pendant edge 1-4
+    def count(shift: Long): Long = {
+      val df = tri.map { case (a, b) => (a + shift, b + shift) }
+        .toDF("src", "dst")
+      GraphOps.triangleCount(spark, df).collect()(0).getLong(0)
+    }
+    assert(count(0L) == 2)          // packed: hi is exactly the boundary
+    assert(count(1L << 31) == 2)    // ids past 31 bits: two-column fallback
+  }
+
   test("GraphX TriangleCount agrees (cross-engine check)") {
     val g = GraphSource.readGmrText(spark, "/root/reference/graph/small.graph")
     val edgeRdd = g.edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
