@@ -532,10 +532,10 @@ object Bench {
     // so cross-round deltas must be read as eips ratios against that
     // band, and the artifact now carries that lens itself instead of
     // requiring a manual tools/compare_bench.py pass.
-    val eipsVsPrev = try {
+    val (eipsVsPrev, eipsVsPrevCompact) = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-      if (!java.nio.file.Files.exists(p)) "" else {
+      if (!java.nio.file.Files.exists(p)) ("", "") else {
         val prev = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
         val re = "\"(b[0-9]+_(?:eips_(?:total|loop|cpu)|eps_cpu))\":([0-9.]+)".r
@@ -584,18 +584,33 @@ object Bench {
           case (k, v, pv) if k.endsWith("_cpu") &&
             (v / pv < 1.0 / 1.5 || v / pv > 1.5) => "\"" + k + "\""
         }
-        if (ratios.isEmpty) "" else
-          s""","eips_vs_prev":{${ratios.mkString(",")}}""" +
-            (if (normRatios.nonEmpty)
-              s""","eips_vs_prev_norm":{${normRatios.mkString(",")}}""" else "") +
+        if (ratios.isEmpty) ("", "") else {
+          val bands =
             s""","eips_outside_band":[${outside.mkString(",")}]""" +
-            s""","cpu_outside_band":[${cpuFlagged.mkString(",")}]""" +
-            s""","cpu_band":"±1.5x on *_eips_cpu/*_eps_cpu (host-neutral task-CPU rates): entries here are code-level work changes, not VM noise — mandatory rerun/explanation"""" +
-            s""","eips_variance_band":"2-3x across driver VMs (COVERAGE.md anchors note); ratios inside the band are host noise — entries in eips_outside_band exceed it and were contention-adjudicated (see *_contention, *_rerun)""""
+              s""","cpu_outside_band":[${cpuFlagged.mkString(",")}]"""
+          val full =
+            s""","eips_vs_prev":{${ratios.mkString(",")}}""" +
+              (if (normRatios.nonEmpty)
+                s""","eips_vs_prev_norm":{${normRatios.mkString(",")}}""" else "") +
+              bands +
+              s""","cpu_band":"±1.5x on *_eips_cpu/*_eps_cpu (host-neutral task-CPU rates): entries here are code-level work changes, not VM noise — mandatory rerun/explanation"""" +
+              s""","eips_variance_band":"2-3x across driver VMs (COVERAGE.md anchors note); ratios inside the band are host noise — entries in eips_outside_band exceed it and were contention-adjudicated (see *_contention, *_rerun)""""
+          // Compact variant: the normalized ratios (or raw when the previous
+          // artifact lacked calibration) and the flag lists ONLY — the prose
+          // band descriptions and the redundant raw map live in the full
+          // line/file. Rationale: the driver captures the last ~2 KB of
+          // stdout; BENCH_r10.parsed was null because this sidecar's prose
+          // pushed the compact line past that window.
+          val compactRatios =
+            if (normRatios.nonEmpty)
+              s""","eips_vs_prev_norm":{${normRatios.mkString(",")}}"""
+            else s""","eips_vs_prev":{${ratios.mkString(",")}}"""
+          (full, compactRatios + bands)
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"BENCH eips-compare sidecar failed: ${e.getMessage}")
-      ""
+      ("", "")
     }
     val calibExtra = f""","calib_cpu_sec":$calibCpu%.3f,"calib_mem_sec":$calibMem%.3f,"host_factor":$hostFactor%.3f"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","shuffle_read_mb":${benchRead / mb}%.1f,"shuffle_write_mb":${benchWrite / mb}%.1f,"spilled_mb":${benchSpilled / mb}%.1f,"task_cpu_sec":${benchCpuNs / 1e9}%.1f,"cpus":$cpus$calibExtra$anchorExtra$recallExtra$eipsVsPrev}"""
@@ -660,16 +675,33 @@ object Bench {
     // for exactly that reason) — this line carries the headline + the
     // calibration/anchor/flag sidecars and always survives the tail whole,
     // so round-over-round adjudication stops requiring git archaeology.
-    val compactKeep = ("\"(b[0-9]+_(?:first_loop_sec|loop_sec|eips_loop_norm" +
-      "|eips_loop|eips_total_norm|eips_total|eips_cpu|task_cpu_sec" +
-      "|first_contention|first_sec" +
-      "|contention|rerun_sec|rerun|iters|canon_sec|close_sec|eps_norm|eps_cpu|eps|sec))\":([^,}]+)").r
+    // Keep list deliberately minimal: one wall number, one normalized rate,
+    // one host-neutral CPU rate and the contention signal per anchor — the
+    // raw rates / rerun provenance / task-CPU totals are in the full line
+    // and BENCH_LOCAL.json. r10's wider list (plus the band prose) grew the
+    // compact line to ~3 KB and the driver's 2 KB tail captured it headless
+    // (BENCH_r10.parsed: null).
+    val compactKeep = ("\"(b[0-9]+_(?:loop_sec|eips_loop_norm" +
+      "|eips_total_norm|eips_cpu" +
+      "|contention|iters|canon_sec|close_sec|eps_norm|eps_cpu|sec))\":([^,}]+)").r
     val anchorCompact = {
       val kept = compactKeep.findAllMatchIn(anchorExtra)
         .map(m => s""""${m.group(1)}":${m.group(2)}""").mkString(",")
       if (kept.isEmpty) "" else "," + kept
     }
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","cpus":$cpus,"compact":true$calibExtra$anchorCompact$recallExtra$eipsVsPrev}"""
+    val compactHead = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","cpus":$cpus,"compact":true$calibExtra"""
+    // Hard guard: the line must end well inside the driver's ~2 KB stdout
+    // tail (sbt prints ~80 chars of "[success] ..." after it). Shed the
+    // least essential sidecars until it fits; the full data is always in
+    // the file artifacts.
+    val compact = {
+      val candidates = Seq(
+        compactHead + anchorCompact + recallExtra + eipsVsPrevCompact + "}",
+        compactHead + anchorCompact + eipsVsPrevCompact + "}",
+        compactHead + anchorCompact + "}",
+        compactHead + "}")
+      candidates.find(_.length <= 1850).getOrElse(candidates.last)
+    }
     println(compact)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(

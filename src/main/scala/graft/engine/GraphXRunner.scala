@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.{Edge, Graph, TripletFields, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -55,14 +55,28 @@ object GraphXRunner {
       spark.sparkContext.defaultParallelism,
       (Runtime.getRuntime.maxMemory() /
         (math.max(1L, meta.numVertices) * MirrorBytes)).toInt))
-    val rawEdges = edges.select("src", "dst", "weight").rdd
-    if (rawEdges.getNumPartitions > maxEdgeParts)
-      System.err.println(s"[graphx] edge partitions capped at $maxEdgeParts " +
-        s"(heap ${Runtime.getRuntime.maxMemory() >> 30}g, " +
-        s"|V|=${meta.numVertices})")
-    val cappedEdges = if (rawEdges.getNumPartitions > maxEdgeParts)
-      rawEdges.coalesce(maxEdgeParts) else rawEdges
-    val edgeRdd = cappedEdges
+    val sel = edges.select("src", "dst", "weight")
+    val rawParts = sel.rdd.getNumPartitions
+    val cappedSel =
+      if (rawParts > maxEdgeParts) {
+        System.err.println(s"[graphx] edge partitions capped at $maxEdgeParts " +
+          s"(heap ${Runtime.getRuntime.maxMemory() >> 30}g, " +
+          s"|V|=${meta.numVertices})")
+        // Two ways down to the cap, A/B-able because neither dominates on
+        // paper: `coalesce` FUSES the upstream into the capped task count
+        // (b06's 64M md5 edge generator then runs at parallelism 8 — a
+        // measured 52.8 s max task), while `shuffle` keeps the source at
+        // full width for the price of one ~1.2 GB exchange (guide §2.6 /
+        // §1.2). Shuffle key: xxhash64 over both endpoints — uniform even
+        // under hub skew, deterministic under task retry (guide §2.5:
+        // never rand(), never an n-valued key into n partitions). The
+        // measured winner is the default; see OPTIMIZATION_r11.md.
+        if (sys.props.get("graft.engine.graphxCapMode").contains("shuffle")) {
+          import org.apache.spark.sql.functions.xxhash64
+          sel.repartition(maxEdgeParts, xxhash64($"src", $"dst"))
+        } else sel.coalesce(maxEdgeParts)
+      } else sel
+    val edgeRdd = cappedSel.rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val vertRdd = vertices.select("id").rdd.map(r => (r.getLong(0), ()))
     val base0 = Graph(vertRdd, edgeRdd, (),
@@ -78,22 +92,37 @@ object GraphXRunner {
       .map(nm => base0.partitionBy(
         org.apache.spark.graphx.PartitionStrategy.fromString(nm)))
       .getOrElse(base0)
-    val degrees = base.outDegrees
-    var g: Graph[VAttr, Double] = base.outerJoinVertices(degrees) {
-      (id, _, d) => VAttr(alg.initFn(id, meta), changed = true, d.getOrElse(0))
-    }.cache()
+    // The out-degree pass (a full aggregateMessages sweep over every edge
+    // plus a vertex join) only runs when the algorithm's message hook reads
+    // the degree — the same elision SqlRunner applies (guide §1.2: don't
+    // compute things you throw away). SSSP/WCC/max-color ship a constant 0.
+    var g: Graph[VAttr, Double] =
+      if (alg.usesOutDegree) {
+        val degrees = base.outDegrees
+        base.outerJoinVertices(degrees) { (id, _, d) =>
+          VAttr(alg.initFn(id, meta), changed = true, d.getOrElse(0))
+        }.cache()
+      } else base.mapVertices { (id, _) =>
+        VAttr(alg.initFn(id, meta), changed = true, 0)
+      }.cache()
 
     var iter = 0
     var changedCount = 1L
     while (iter < alg.maxIter && changedCount > 0) {
       iter += 1
+      // TripletFields.Src: the send closure reads only ctx.srcAttr and the
+      // edge attr, so dst attributes are declared unused — GraphX then
+      // ships only SRC attrs to the edge-partition mirror views each round
+      // (guide §2.3: shuffle fewer bytes; the default TripletFields.All
+      // replicates both endpoints' attrs).
       val msgs = g.aggregateMessages[Double](
         ctx => {
           val a = ctx.srcAttr
           if ((!alg.activeMessaging || a.changed) && alg.sendCondFn(a.value))
             ctx.sendToDst(alg.msgFn(a.value, ctx.attr, a.outdeg))
         },
-        alg.mergeFn)
+        alg.mergeFn,
+        TripletFields.Src)
       val prev = g
       g = g.outerJoinVertices(msgs) { (_, attr, m) =>
         val nv = alg.updateFn(attr.value, m, meta)

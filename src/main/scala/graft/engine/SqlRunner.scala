@@ -317,10 +317,35 @@ object SqlRunner {
         // The fan-out adds ≤ |hub∩senders|·(saltF−1) rows to the SMALL
         // relation. Pull mode never fans senders out — its salt is pure
         // cache layout.
-        val senders = if (!salted || pullMode) senders1 else
+        val senders2 = if (!salted || pullMode) senders1 else
           senders1.withColumn("salt",
             explode(when($"id".isInCollection(hubLits), allSalts)
               .otherwise(array(lit(0)))))
+        // SENDER-SIDE MESSAGE PRECOMPUTE (guide §2.3: shuffle fewer bytes,
+        // aggregate before you shuffle — applied to the scatter side). When
+        // the message never reads the edge weight (usesWeight=false:
+        // PageRank's value/outdeg, label propagations, the unit-weight
+        // anchors), msg is a pure function of the SENDER row — so evaluate
+        // it ONCE per sender here instead of once per edge in the scatter
+        // join's output (|senders| divisions instead of |messages|: 4M vs
+        // 64M/round on the PageRank anchors), and ship/broadcast only
+        // (id[, salt], msg) — the value/outdeg/changed columns never enter
+        // the join. Identical results: the same expression over the same
+        // operands, evaluated earlier.
+        val senders = if (usesWeight) senders2 else {
+          // A sender with no out-edges matches no scatter row, so dropping
+          // it is result-identical and shrinks the broadcast — and it is
+          // REQUIRED here: the precomputed expression now evaluates on
+          // every sender row, and PageRank's value/outdeg would hit
+          // DIVIDE_BY_ZERO (ANSI) on dangling vertices that the join used
+          // to filter out before the expression ever ran.
+          val live =
+            if (alg.usesOutDegree) senders2.filter($"outdeg" > 0)
+            else senders2
+          val msgC = alg.msgCol($"value", lit(1.0), $"outdeg").as("msg")
+          if (salted && !pullMode) live.select($"id", $"salt", msgC)
+          else live.select($"id", msgC)
+        }
         val scatterCond =
           if (!salted || pullMode) senders("id") === e("src")
           else senders("id") === e("src") && senders("salt") === e("salt")
@@ -341,9 +366,9 @@ object SqlRunner {
           else senders.hint("SHUFFLE_HASH").join(e, scatterCond)
         val aggs = scattered
           .select(e("dst").as("mdst"),
-            alg.msgCol(senders("value"),
-              if (usesWeight) e("weight") else lit(1.0),
-              senders("outdeg")).as("msg"))
+            (if (usesWeight)
+              alg.msgCol(senders("value"), e("weight"), senders("outdeg"))
+            else senders("msg")).as("msg"))
           .groupBy($"mdst")
           .agg(alg.reduceAgg($"msg").as("agg"))
         val updated = verts.join(aggs.hint("SHUFFLE_HASH"), verts("id") === aggs("mdst"), "left")
