@@ -178,7 +178,43 @@ object SqlRunner {
     // aggregation collapses them to ≤|V| rows before the exchange.
     val pullMode = meta.numVertices > 0 &&
       meta.numVertices <= broadcastPullMaxVertices
-    val parts = LoopConf.loopParallelism(spark, m)
+    // PARTITION SIZING BY RELATION (guide §2.2/§2.3: size partitions to
+    // the bytes that actually flow, not one count for every relation).
+    // The loop moves two very differently sized relations:
+    //  - the cached edge relation, scanned once per superstep: 8 B/row
+    //    once ids are narrowed and the weight elided (24 B legacy width);
+    //  - per-round VERTEX-sized state: the senders scan, the (pull-mode)
+    //    message-partial exchange, the update join and the checkpoint —
+    //    ~24 B/row over |V| rows.
+    // The old single edge-derived count (128 at 64M edges) split each
+    // 80 MB vertex pass into 128 ~0.07 s tasks — three waves of mostly
+    // scheduling overhead per round. Pull mode therefore sets the session
+    // shuffle conf (which sizes exactly the vertex-side exchanges there —
+    // the only per-round exchange is the vertex-sized partial-agg one)
+    // from the VERTEX bytes, with a defaultParallelism floor once the
+    // vertex state is big enough to want the whole box, and partitions
+    // the edge cache explicitly from the EDGE bytes. Classic mode's
+    // message shuffle is edge-sized, so it keeps the edge-derived conf
+    // unchanged.
+    val edgeRowBytes = (if (usesWeight) 8 else 0) + (if (narrowIds) 8 else 16)
+    val edgeParts = LoopConf.sizedParallelism(spark, m, edgeRowBytes.toLong)
+    val vertexParts = {
+      val sized = LoopConf.sizedParallelism(
+        spark, math.max(1L, meta.numVertices), 24)
+      // Floor factor: how many task WAVES per core the vertex stages get
+      // once the state is big enough to want the whole box. 1 wave makes
+      // a straggling core cost a whole round tail; measured on the 64M
+      // anchors (b03/b07 A/B, OPTIMIZATION_r11.md) small multiples win.
+      val floorFactor = sys.props.get("graft.engine.vertexPartsFloorFactor")
+        .map(_.toInt).getOrElse(4)
+      if (meta.numVertices * 24L >= 8L * 1024 * 1024)
+        math.max(floorFactor * spark.sparkContext.defaultParallelism, sized)
+      else sized
+    }
+    val parts = if (pullMode) vertexParts else LoopConf.loopParallelism(spark, m)
+    // The partition count the edge cache is actually laid out at — the
+    // denominator of the hub-straggler threshold below.
+    val cacheParts = if (pullMode) edgeParts else parts
     LoopConf.withShuffleParts(spark, parts) {
       val tSetup = System.nanoTime()
       // SKEW PROBE + HUB SALTING. Hash partitioning sends a vertex's whole
@@ -203,7 +239,7 @@ object SqlRunner {
       // scale it alone would exceed executor memory. Uniform graphs pay
       // one 1% scan and keep the identical unsalted plan; sub-8M-edge
       // graphs skip even that.
-      val meanPartEdges = math.max(1L, m / parts)
+      val meanPartEdges = math.max(1L, m / cacheParts)
       val hubMinDegreeOverride = sys.props.get("graft.engine.hubMinDegree")
         .map(_.toLong)
       val hubMinDegree = hubMinDegreeOverride
@@ -267,12 +303,12 @@ object SqlRunner {
       val pKey = if (pullMode) $"dst" else $"src"
       val sKey = if (pullMode) $"src" else $"dst"
       val e =
-        if (!salted) eBase.repartition(pKey).cache()
+        if (!salted) eBase.repartition(cacheParts, pKey).cache()
         else eBase.withColumn("salt",
             when(pKey.isInCollection(hubLits),
               pmod(xxhash64(sKey), lit(saltF.toLong)).cast("int"))
               .otherwise(lit(0)))
-          .repartition(pKey, $"salt").cache()
+          .repartition(cacheParts, pKey, $"salt").cache()
       if (verbose) {
         e.count()
         println(f"[${alg.name}] edge cache: ${(System.nanoTime() - tSetup) / 1e9}%.2f s")
