@@ -39,7 +39,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // which is how a whole gate round can produce no artifacts. 20g clears
   // b06 with margin on the 128 GiB hosts (the fresh full-bench total at
   // 20g is recorded in BENCH_LOCAL.json). Override via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  //
+  // r12: requests ABOVE 20g are CLAMPED back to 20g unless
+  // SPARK_DRIVER_MEM_FORCE=1. Round 11's gate ran with an 89 GB heap
+  // (BENCH_LOCAL.json heap_gb: 89) and the same 231-query sweep measured
+  // 1205.8 s at 89g vs 624.3 s at 20g on one box (OPTIMIZATION_r12.md):
+  // above ~20g G1's bigger regions/card tables turn the sweep's rapid
+  // allocate-and-drop churn into mutator-visible stalls (task-CPU per
+  // query inflates 4-12× early in the sweep, contention ratios in the
+  // hundreds), consistent with the r7 8g-vs-32g measurement. More heap
+  // buys this workload nothing — 20g clears the largest anchor with
+  // margin — so an oversized request is a measured pessimization, not
+  // headroom. A deployment that truly wants a bigger driver sets
+  // SPARK_DRIVER_MEM_FORCE=1 alongside SPARK_DRIVER_MEM.
+  s"-Xmx${
+    val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")
+    val gb: Option[Double] = {
+      val t = req.trim.toLowerCase
+      try {
+        if (t.endsWith("g")) Some(t.dropRight(1).toDouble)
+        else if (t.endsWith("m")) Some(t.dropRight(1).toDouble / 1024.0)
+        else None
+      } catch { case _: NumberFormatException => None }
+    }
+    if (sys.env.get("SPARK_DRIVER_MEM_FORCE").contains("1")) req
+    else if (gb.exists(_ > 20.0)) "20g"
+    else req
+  }",
   // 60+ benched queries generate thousands of Janino/JIT-compiled classes;
   // the JDK default 240 MB code cache fills mid-run and later queries lose
   // JIT compilation entirely.

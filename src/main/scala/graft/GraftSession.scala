@@ -31,6 +31,14 @@ object GraftSession {
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Whole-stage-codegen class cache (static conf, default 100 entries):
+    // a multi-query workload generates thousands of codegen classes, and a
+    // 100-entry LRU evicts a compiled class long before the same plan
+    // shape recurs — every recurrence then pays a full Janino compile.
+    // 4096 entries keeps the working set of a few-hundred-query session
+    // resident; the entries are compiled classes (metadata, not data), so
+    // the sizing is scale-independent.
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
     "spark.ui.enabled" -> "false")
 
   def builder(master: String = s"local[${defaultCores}]",

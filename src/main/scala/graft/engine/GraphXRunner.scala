@@ -20,9 +20,12 @@ object GraphXRunner {
 
   private final case class VAttr(value: Double, changed: Boolean, outdeg: Int)
 
-  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value). */
+  /** Run `alg` over `edges(src, dst, weight)`; returns (id, value).
+    * `numEdges` < 0 means unknown (the |E|-derived partition bound below
+    * is then skipped — callers at anchor scale pass the generator count).
+    */
   def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-          alg: GmrAlgorithm, meta: GraphMeta): DataFrame = {
+          alg: GmrAlgorithm, meta: GraphMeta, numEdges: Long = -1L): DataFrame = {
     import spark.implicits._
 
     // Cap the edge-partition count: GraphX replicates vertex attributes
@@ -50,11 +53,29 @@ object GraphXRunner {
     // derivation is a SAFETY bound that widens with memory (a real-cluster
     // executor fleet needs the parallelism), not a speed optimum for this
     // single-JVM cross-check tier.
+    // r12: the heap term alone is a one-sided bound — it WIDENS with heap,
+    // and on a large-heap driver (the r11 gate box ran 89 GB) it stops
+    // binding at all: min(parallelism=32, heap-derived=37) = 32 edge
+    // partitions, and b06 measured 268.5 s there vs ~96 s at the proven
+    // 8-partition layout (more partitions ⇒ more vertex-mirror replication
+    // ⇒ more shuffle and GC; the same r9 A/B saw 8 parts beat 13).
+    // Mirrors saturate toward |V| per DENSE-graph partition, so the right
+    // partition count grows with |E|, not with heap: add an |E|-derived
+    // bound (one partition per ~TargetEdgesPerPart edges — 64M edges ⇒ 8,
+    // the measured optimum; a 100 TB graph still gets thousands of
+    // partitions). Heap stays as the OOM-safety bound; it can only shrink
+    // the count below the |E| target, never inflate it.
     val MirrorBytes = 640L
-    val maxEdgeParts = math.max(4, math.min(
+    val TargetEdgesPerPart = sys.props.get("graft.engine.graphxEdgesPerPart")
+      .map(_.toLong).getOrElse(8_000_000L)
+    val edgeDerived =
+      if (numEdges > 0) ((numEdges + TargetEdgesPerPart - 1) /
+        TargetEdgesPerPart).toInt
+      else Int.MaxValue
+    val maxEdgeParts = math.max(4, math.min(edgeDerived, math.min(
       spark.sparkContext.defaultParallelism,
       (Runtime.getRuntime.maxMemory() /
-        (math.max(1L, meta.numVertices) * MirrorBytes)).toInt))
+        (math.max(1L, meta.numVertices) * MirrorBytes)).toInt)))
     val sel = edges.select("src", "dst", "weight")
     val rawParts = sel.rdd.getNumPartitions
     val cappedSel =

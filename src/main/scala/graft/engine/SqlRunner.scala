@@ -116,8 +116,21 @@ object SqlRunner {
     * -Dgraft.engine.broadcastPullMaxVertices for deployment sizing.
     */
   private def broadcastPullMaxVertices: Long =
+    // MEMORY-DERIVED default (r11 verdict item 8, replacing the flat 8M
+    // tuned to one box): a broadcast hash relation costs ~48 B/vertex
+    // built (16 B row + LongHashedRelation overhead); the ContextCleaner
+    // frees the previous round's broadcast lazily (on the GC after the
+    // round's checkpoint unlinks it — localCheckpoint's markCheckpointed
+    // drops the closure references), so a few retained generations must
+    // fit beside the edge cache. heap/(64·48) caps one generation at
+    // ~heap/64: a 20 GiB driver derives ~6.5M vertices (the 4M anchors
+    // stay in pull mode), an 8 GiB one ~2.6M (the anchors correctly fall
+    // back to classic). Broadcast blocks are storage-managed
+    // (MEMORY_AND_DISK) so the executor side evicts under pressure; the
+    // derivation bounds the driver-side build.
     sys.props.get("graft.engine.broadcastPullMaxVertices").map(_.toLong)
-      .getOrElse(8_000_000L)
+      .getOrElse(math.max(1_000_000L,
+        Runtime.getRuntime.maxMemory() / (64L * 48L)))
 
   /** The local-checkpoint RDD backing a loop-state Dataset, if any. */
   private[graft] def checkpointRdd(df: org.apache.spark.sql.Dataset[_]) =

@@ -710,7 +710,8 @@ object GraphQueries {
       val e = uniformEdges64M(s).withColumn("weight", lit(1.0))
       val v = s.range(AnchorNV).select($"id")
       pinnedDepthHist(GraphXRunner.run(s, v, e, Algorithms.Sssp,
-        GraphMeta(AnchorNV, source = 1L)), B03DepthGolden, "b06")
+        GraphMeta(AnchorNV, source = 1L), numEdges = 16L * AnchorNV),
+        B03DepthGolden, "b06")
     }),
     // BENCH anchor 7: PageRank TO CONVERGENCE at the 64M tier — the
     // reference's converged-run methodology (README §4.1: d=0.5, all-ones

@@ -111,11 +111,26 @@ object TextStats {
     * reason (auditable filtering, not just a boolean). Pure projection:
     * embarrassingly parallel at corpus scale.
     */
-  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityFilterOn(s, docsWithTokens(s, dir))
+
+  /** The shared (doc_id, text, ws=tokens(text)) base relation — the
+    * tokenize-once parameter (r12): [[fusedQuality]] caches ONE of these
+    * and feeds all four signal passes from it, so the corpus is scanned
+    * and tokenized once instead of four times; each standalone query
+    * builds its own (uncached) copy, which projection-collapses to the
+    * exact plan it had before the refactor.
+    */
+  private[llmops] def docsWithTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", tokens($"text").as("ws"))
+  }
+
+  private[llmops] def qualityFilterOn(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
     val stopArr = array(stopwords.map(lit): _*)
-    Tables.load(s, dir, "documents")
-      .withColumn("ws", tokens($"text"))
+    base
       .select($"doc_id",
         length($"text").cast("long").as("chars"),
         size($"ws").cast("long").as("n_tokens"),
@@ -174,15 +189,17 @@ object TextStats {
     * rules (l16) and statistical LM score (l27). The bigram stats are
     * row-local array ops; only the unigram argmax aggregates.
     */
-  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionStatsOn(s, docsWithTokens(s, dir))
+
+  private[llmops] def repetitionStatsOn(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    val tc = Tables.load(s, dir, "documents")
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val tc = base
+      .select($"doc_id", explode($"ws").as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     val top = tc.groupBy($"doc_id")
       .agg((max($"c").cast("double") / sum($"c")).as("top_tok_frac"))
-    val bg = Tables.load(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("ws"))
+    val bg = base
       .select($"doc_id", TextOps.shingles($"ws", 2).as("bg"))
       .select($"doc_id",
         (lit(1.0) - size(array_distinct($"bg")).cast("double") /
@@ -230,9 +247,17 @@ object TextStats {
     */
   def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.load(s, dir, "documents")
+    unigramLogProbOn(s, Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .cache()
+      .cache())
+  }
+
+  /** `toks` is the exploded (doc_id, tok) relation; the standalone path
+    * caches its own copy (it is read twice: model + scoring join), the
+    * fused path derives it from the shared cached token-array base.
+    */
+  private[llmops] def unigramLogProbOn(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum($"cnt").cast("double").as("n"))
     toks.join(freq, "tok")
@@ -591,7 +616,11 @@ object TextStats {
     * The keep flag is computed from the ROUNDED entropy on both engines,
     * so grid-boundary documents cannot flip across the gate.
     */
-  def charEntropy(s: SparkSession, dir: String, threshold: Double = 2.8): DataFrame = {
+  def charEntropy(s: SparkSession, dir: String, threshold: Double = 2.8): DataFrame =
+    charEntropyOn(s, Tables.load(s, dir, "documents"), threshold)
+
+  private[llmops] def charEntropyOn(s: SparkSession, docs: DataFrame,
+                                    threshold: Double = 2.8): DataFrame = {
     import s.implicits._
     val ent = element_at(
       transform(array(filter(split($"text", ""), c => c =!= "")), cs => {
@@ -601,7 +630,7 @@ object TextStats {
           acc - p * log(p)
         })
       }), 1)
-    Tables.load(s, dir, "documents")
+    docs
       .select($"doc_id", graft.Canon.sig6(ent).as("char_entropy"))
       .withColumn("keep", ($"char_entropy" >= threshold).cast("boolean"))
   }
@@ -701,13 +730,22 @@ object TextStats {
     */
   def fusedQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rules = TextStats.qualityFilter(s, dir)
+    // TOKENIZE ONCE (r12, guide §2.4 "share the work"): the four signal
+    // passes previously each re-scanned and re-tokenized the corpus (and
+    // unigramLogProb cached its own exploded copy). One cached
+    // (doc_id, text, ws) base now feeds all four via the *On variants —
+    // the signal expressions are the standalone functions' own, evaluated
+    // over the same tokens, so every value (and the standalone queries
+    // l16/l30/l27/l38) is unchanged. At 100 TB this is the difference
+    // between one corpus read and four.
+    val base = docsWithTokens(s, dir).cache()
+    val rules = qualityFilterOn(s, base)
       .select($"doc_id", $"reason".as("rule_reason"))
-    val rep = TextStats.repetitionStats(s, dir)
+    val rep = repetitionStatsOn(s, base)
       .select($"doc_id", $"top_tok_frac")
-    val lm = TextStats.unigramLogProb(s, dir)
+    val lm = unigramLogProbOn(s, base.select($"doc_id", explode($"ws").as("tok")))
       .select($"doc_id", $"logprob")
-    val ent = TextStats.charEntropy(s, dir)
+    val ent = charEntropyOn(s, base)
       .select($"doc_id", $"char_entropy")
     // LEFT joins from the rules relation (a total projection): a
     // zero-token document has no repetition/LM row at all, but it must
