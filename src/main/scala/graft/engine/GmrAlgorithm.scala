@@ -178,4 +178,18 @@ object LoopConf {
     s.conf.set("spark.sql.shuffle.partitions", n)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Run `body` with session confs temporarily overridden (same scoping
+    * discipline as [[withShuffleParts]] — the loops materialize eagerly,
+    * so the overrides cover exactly the loop's own queries).
+    */
+  def withConfs[T](s: org.apache.spark.sql.SparkSession,
+                   confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

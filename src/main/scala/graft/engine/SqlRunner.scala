@@ -228,6 +228,19 @@ object SqlRunner {
     // The partition count the edge cache is actually laid out at — the
     // denominator of the hub-straggler threshold below.
     val cacheParts = if (pullMode) edgeParts else parts
+    // AQE OFF for the loop's own queries (r12, guide §1.2 config-last):
+    // every superstep replans its stages through the adaptive executor —
+    // a driver-side latency per stage per round — yet nothing here is
+    // adaptive: the join strategy is explicit (broadcast/SHUFFLE_HASH
+    // hints), the exchange sizes are pre-computed from |V|/|E| (the
+    // sizing above), and the cached edge side is invisible to AQE's
+    // skew/coalesce machinery anyway. Measured on the b03 64M anchor
+    // (this round, same box): loop 17.2 → 14.4 s and 805 → 625 MB
+    // shuffled. Results are execution-identical; override with
+    // -Dgraft.engine.loopAdaptive=true to restore.
+    val loopConfs = Map("spark.sql.adaptive.enabled" ->
+      sys.props.getOrElse("graft.engine.loopAdaptive", "false"))
+    LoopConf.withConfs(spark, loopConfs) {
     LoopConf.withShuffleParts(spark, parts) {
       val tSetup = System.nanoTime()
       // SKEW PROBE + HUB SALTING. Hash partitioning sends a vertex's whole
@@ -475,6 +488,7 @@ object SqlRunner {
       (verts.select(
           (if (narrowIds) $"id".cast("long") else $"id").as("id"), $"value"),
         RunStats(iter, loopSecs, hubs.length, saltF, trace.result()))
+    }
     }
   }
 }
